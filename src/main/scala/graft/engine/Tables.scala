@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's parquet star schema + LLM-data tables.
+  *
+  * Tables (TESTDATA.md): region nation customer supplier part orders
+  * lineitem events documents embeddings — one parquet file each under
+  * an `sfDir` such as /root/testdata/sf0.01.
+  *
+  * Reference parity: josemarialuna/ClusterIndices reads delimited text
+  * into RDD[mllib.linalg.Vector] (SURVEY.md §1.1 [REPO-RECON]); we read
+  * columnar parquet into DataFrames so Catalyst can prune/push down,
+  * and represent point sets as (id, features: array<double>) —
+  * SQL-expressible and oracle-checkable (SURVEY.md §1.2).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = table(s, d, "region")
+  def nation(s: SparkSession, d: String)    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = table(s, d, "part")
+  def orders(s: SparkSession, d: String)    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  def documents(s: SparkSession, d: String) = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** The clustering-validity point set: embeddings with float64 features
+    * and the ground-truth label used as the fixed cluster assignment for
+    * all oracle-checked index queries (SURVEY.md §2.1).
+    */
+  def points(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("features"),
+      col("label").as("cluster"))
+}

@@ -1,0 +1,66 @@
+package graft.engine.cluster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.ArrayMath
+
+/** Centroid derivation and nearest-centroid assignment
+  * (SURVEY.md §2.1 #2–#4).
+  *
+  * Reference behavior: centroids come from `KMeansModel.clusterCenters`
+  * and assignment from `model.predict(point)` [REPO-RECON]. Here both
+  * are decoupled relational operators: centroids are the element-wise
+  * mean of each cluster's members, assignment is an argmin over a
+  * broadcast centroid table — which is what makes them oracle-checkable
+  * and reusable for any assignment column (ground-truth labels or
+  * K-Means output).
+  *
+  * Scale notes (100 TB): the per-dimension explode shuffles n·d rows
+  * once with map-side partial aggregation (HashAggregate partial+final),
+  * then the k·d centroid table is tiny and always broadcast. No other
+  * shuffle touches the point set.
+  */
+object Centroids {
+
+  /** (cluster, pos, c) — per-cluster per-dimension mean, the exploded
+    * form used by the oracle. `pos` is 0-based. */
+  def centroidDims(points: DataFrame): DataFrame =
+    points
+      .select(col("cluster"), posexplode(col("features")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(avg("v").as("c"))
+
+  /** (cluster, centroid: array<double>) — assembled, dimension-ordered. */
+  def centroids(points: DataFrame): DataFrame =
+    centroidDims(points)
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), p => p("c")).as("centroid"))
+
+  /** (cluster, n) — cluster cardinalities (SURVEY.md §2.1 #3). */
+  def clusterSizes(points: DataFrame): DataFrame =
+    points.groupBy("cluster").agg(count(lit(1)).as("n"))
+
+  /** Distance from each point to every centroid: one row per
+    * (point, centroid) pair via broadcast cross join — the k ≪ n
+    * broadcast is the reference's centroids-in-closure pattern made
+    * declarative. Returns (point columns…, c_cluster, d2). */
+  def pointCentroidDistances(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids
+      .withColumnRenamed("cluster", "c_cluster"))
+    points.crossJoin(c)
+      .withColumn("d2", ArrayMath.sqDist(col("features"), col("centroid")))
+  }
+
+  /** Assign each point to its nearest centroid (argmin Euclidean,
+    * deterministic tie-break on centroid id) — `model.predict` parity
+    * (SURVEY.md §2.1 #4). Returns (id, assigned, d2). */
+  def assignNearest(points: DataFrame, centroids: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("d2"), col("c_cluster"))
+    pointCentroidDistances(points.select(col(idCol), col("features")), centroids)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("c_cluster").as("assigned"), col("d2"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.engine.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.ArrayMath
+
+/** The reference's core surface: centroid-based ("Big Data") clustering
+  * validity indices — WSSSE, BD-Silhouette, BD-Dunn, Davies-Bouldin
+  * (SURVEY.md §2.1 #5–#10; formulas normative per Luna-Romera et al.,
+  * Prog. Artif. Intell. 2018, DOI 10.1007/s13748-017-0135-3).
+  *
+  * Every index is O(n·k) with one or two shuffle-bounded aggregations
+  * over the point set — the paper's contribution vs O(n²) classic
+  * Silhouette/Dunn — and a broadcast of the k·d centroid table. All
+  * input is (id, features: array<double>, cluster: int); assignments
+  * are an *input*, so the same operators serve ground-truth labels
+  * (oracle-checked) and K-Means output (sweep).
+  */
+object Indices {
+
+  /** Each point with the distance to its OWN centroid:
+    * (point cols…, d2, d). One broadcast hash join, no extra shuffle
+    * of the point set. */
+  def ownCentroidDistances(points: DataFrame): DataFrame = {
+    val c = broadcast(Centroids.centroids(points)
+      .withColumnRenamed("cluster", "c_cluster"))
+    points.join(c, points("cluster") === c("c_cluster"))
+      .withColumn("d2", ArrayMath.sqDist(col("features"), col("centroid")))
+      .withColumn("d", sqrt(col("d2")))
+      .drop("c_cluster", "centroid")
+  }
+
+  /** WSSSE = Σᵢ ‖xᵢ − c(xᵢ)‖² — reference `model.computeCost` parity
+    * (#5). Single-row DataFrame (wssse). */
+  def wssse(points: DataFrame): DataFrame =
+    ownCentroidDistances(points).agg(sum("d2").as("wssse"))
+
+  /** Per-cluster Sᵢ (mean dist to own centroid), diameter proxy
+    * (max dist), and size (#6): (cluster, n, mean_dist, max_dist). */
+  def intraClusterStats(points: DataFrame): DataFrame =
+    ownCentroidDistances(points)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), avg("d").as("mean_dist"), max("d").as("max_dist"))
+
+  /** All pairwise centroid distances d(cᵢ,cⱼ), i<j (#7):
+    * (ci, cj, dist). k² rows — tiny for any real k. */
+  def interCentroidDist(points: DataFrame): DataFrame = {
+    val c = Centroids.centroids(points)
+    val a = c.select(col("cluster").as("ci"), col("centroid").as("ca"))
+    val b = c.select(col("cluster").as("cj"), col("centroid").as("cb"))
+    a.join(broadcast(b), col("ci") < col("cj"))
+      .select(col("ci"), col("cj"),
+        ArrayMath.dist(col("ca"), col("cb")).as("dist"))
+  }
+
+  /** BD-Silhouette (#8, the paper's core contribution): per point
+    * a = d(x, own centroid), b = min over OTHER centroids d(x, cⱼ),
+    * s = (b−a)/max(a,b); index = mean(s). Single row (bd_silhouette).
+    *
+    * One broadcast of all k centroids + one pass over the points: the
+    * per-pair rows never shuffle (min/avg have map-side partials). */
+  def bdSilhouette(points: DataFrame): DataFrame = {
+    val perPair = Centroids.pointCentroidDistances(points, Centroids.centroids(points))
+      .withColumn("dd", sqrt(col("d2")))
+    val perPoint = perPair.groupBy("vec_id").agg(
+      min(when(col("cluster") === col("c_cluster"), col("dd"))).as("a"),
+      min(when(col("cluster") =!= col("c_cluster"), col("dd"))).as("b"))
+    perPoint
+      .select(((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+      .agg(avg("s").as("bd_silhouette"))
+  }
+
+  /** BD-Dunn (#9): min inter-centroid distance ÷ max point-to-own-
+    * centroid distance. Single row (bd_dunn). */
+  def bdDunn(points: DataFrame): DataFrame = {
+    val minInter = interCentroidDist(points).agg(min("dist").as("min_inter"))
+    val maxIntra = ownCentroidDistances(points).agg(max("d").as("max_intra"))
+    minInter.crossJoin(maxIntra)
+      .select((col("min_inter") / col("max_intra")).as("bd_dunn"))
+  }
+
+  /** Davies-Bouldin (#10): (1/k) Σᵢ maxⱼ≠ᵢ (Sᵢ+Sⱼ)/d(cᵢ,cⱼ),
+    * Sᵢ = mean dist to centroid. Single row (davies_bouldin). */
+  def daviesBouldin(points: DataFrame): DataFrame = {
+    val s = intraClusterStats(points).select(col("cluster"), col("mean_dist"))
+    // both orientations of the i<j pair table → full i≠j
+    val pairs = interCentroidDist(points)
+    val dij = pairs.select(col("ci"), col("cj"), col("dist"))
+      .union(pairs.select(col("cj").as("ci"), col("ci").as("cj"), col("dist")))
+    dij
+      .join(s.withColumnRenamed("cluster", "ci").withColumnRenamed("mean_dist", "si"), "ci")
+      .join(s.withColumnRenamed("cluster", "cj").withColumnRenamed("mean_dist", "sj"), "cj")
+      .select(col("ci"), ((col("si") + col("sj")) / col("dist")).as("r"))
+      .groupBy("ci").agg(max("r").as("rmax"))
+      .agg(avg("rmax").as("davies_bouldin"))
+  }
+
+  /** Chi-squared external validity over a contingency table of two
+    * categorical columns (#16): Σ (o−e)²/e with e = row·col/N.
+    * Pure SQL — expected counts via broadcast-joined marginals. */
+  def chiSquared(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obs = df.groupBy(rowCol, colCol).agg(count(lit(1)).cast("double").as("o"))
+    val rowTot = obs.groupBy(rowCol).agg(sum("o").as("rt"))
+    val colTot = obs.groupBy(colCol).agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("nn"))
+    // full grid (zero cells contribute (0−e)²/e = e), o = 0 when unobserved
+    rowTot.crossJoin(broadcast(colTot))
+      .join(obs, Seq(rowCol, colCol), "left")
+      .crossJoin(broadcast(n))
+      .select((pow(coalesce(col("o"), lit(0.0)) - col("rt") * col("ct") / col("nn"), 2.0)
+        / (col("rt") * col("ct") / col("nn"))).as("term"))
+      .agg(sum("term").as("chi2"))
+  }
+}

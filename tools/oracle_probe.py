@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Pre-validate SparkEntry.oracleSql against a Verify output dir.
+
+Usage: python3 tools/oracle_probe.py <sfDir> <verifyOutDir>
+
+Mimics the driver's t2 check: for each key in oracle_sql.json, run the
+SQL in DuckDB 1.0.0 with views named after the parquet tables in sfDir,
+load the Spark result parquet, sort columns by name, and compare
+row-by-row (exact after string normalization) plus a sorted-rows
+comparison. Prints PASS/FAIL per key.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.astype(str).reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for key, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {key}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out_dir}/{key}/*.parquet")
+        if not files:
+            print(f"FAIL {key}: no spark output parquet")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        w, g = norm(want), norm(got)
+        if list(w.columns) != list(g.columns):
+            print(f"FAIL {key}: columns {list(g.columns)} != oracle {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(w) != len(g):
+            print(f"FAIL {key}: rows {len(g)} != oracle {len(w)}")
+            n_fail += 1
+            continue
+        exact = w.equals(g)
+        ws = w.sort_values(by=list(w.columns)).reset_index(drop=True)
+        gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+        sorted_eq = ws.equals(gs)
+        if exact:
+            print(f"PASS {key} ({len(w)} rows)")
+            n_pass += 1
+        elif sorted_eq:
+            print(f"PASS(sorted-only) {key} ({len(w)} rows) — row order differs!")
+            n_pass += 1
+        else:
+            diff = (ws != gs).any(axis=1)
+            idx = ws.index[diff][:3]
+            print(f"FAIL {key}: value mismatch at sorted rows {list(idx)}")
+            for i in idx:
+                print(f"  oracle: {ws.loc[i].to_dict()}")
+                print(f"  spark : {gs.loc[i].to_dict()}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

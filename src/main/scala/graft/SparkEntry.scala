@@ -1,6 +1,10 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.engine.cluster.ClusterQueries
+import graft.engine.rel.{RelQueries, Udafs}
+import graft.engine.sim.Similarity
+import graft.engine.stream.StreamQueries
+import graft.engine.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ClusterQueries.queries
+    ClusterQueries.queries ++ RelQueries.queries ++ Udafs.queries ++
+      StreamQueries.queries ++ TextOps.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ClusterQueries.oracles
+    ClusterQueries.oracles ++ RelQueries.oracles ++ Udafs.oracles ++
+      StreamQueries.oracles ++ TextOps.oracles ++ Similarity.oracles
 }

@@ -26,7 +26,19 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS,false), which Spark 4 refuses
+    * to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a
+    * ns-epoch long via the legacy conf and floor to µs TimestampType —
+    * same truncation DuckDB's µs cast applies, and all declared event
+    * queries only compare at ≥ second granularity (FIXTURES.md). */
+  def ensureNanosAsLong(s: SparkSession): Unit =
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    ensureNanosAsLong(s)
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 

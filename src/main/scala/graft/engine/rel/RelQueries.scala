@@ -1,0 +1,387 @@
+package graft.engine.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** General relational surface over the driver's star schema
+  * (SURVEY.md §2.3 #25–#40): one named query per operator category,
+  * each proving the engine drives Catalyst end-to-end against a DuckDB
+  * oracle. The reference has none of these; they're the relational face
+  * any "same capabilities, idiomatic Spark" engine must expose.
+  *
+  * Determinism discipline (§7.6): ROUND(·,6) on computed floats
+  * (ROUND(·,2) on large money sums where cross-engine summation-order
+  * drift exceeds 1e-6), total ORDER BY on unique key suffixes, no
+  * raw nanosecond timestamps in outputs (second-truncated epochs only).
+  *
+  * Scale notes (100 TB): filters/projections push to the parquet scan;
+  * dimension joins (region/nation/customer) broadcast; fact-fact joins
+  * shuffle on their keys with AQE handling skew; aggregations are
+  * partial+final HashAggregate. The as-of join is equi-join on user_id
+  * (shuffle-bounded) with the time range as a post-join predicate —
+  * never a nested-loop cross product.
+  */
+object RelQueries {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #25 scan + filter + project — pushed to parquet (PushedFilters)
+    "q_filter_project" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.06)
+          && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // #26 5-way equi-join, TPC-H Q5 shape; dims broadcast
+    "q_join_5way" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      rev.groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // #27 outer / semi / anti joins
+    "q_join_outer" -> ((s, d) =>
+      customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total"))
+        .orderBy("c_custkey")),
+
+    "q_join_semi" -> ((s, d) =>
+      customer(s, d).join(
+        orders(s, d).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, d) =>
+      customer(s, d).join(
+        orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // #28 range/as-of join: clicks within 10 min before each error,
+    // same user. Equi on user_id + range predicate → SMJ, not BNLJ.
+    "q_join_range" -> ((s, d) => {
+      val ev = events(s, d).withColumn("tss", date_trunc("second", col("ts")))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("eu"), col("tss").as("ets"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("tss").as("cts"))
+      err.join(clk,
+          col("eu") === col("cu")
+            && col("cts") >= col("ets") - expr("INTERVAL 10 MINUTES")
+            && col("cts") < col("ets"), "left")
+        .groupBy("event_id").agg(count(col("cts")).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
+    // #29 hash aggregate, TPC-H Q1 shape (partial+final auto)
+    "q_agg_groupby" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2).cast("double").as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // #30 exact distinct + approx (approx is engine-only, no oracle)
+    "q_agg_distinct" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_suppkey")
+        .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("n_items"))
+        .orderBy("l_suppkey")),
+
+    "q_agg_approx" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_suppkey")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_suppkey")),
+
+    // #31 rollup (NULL grouping slots made explicit for the oracle)
+    "q_agg_rollup" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))
+        .select(coalesce(col("n_name"), lit("__ALL__")).as("nation"),
+          coalesce(col("yr"), lit(-1)).as("yr"), col("revenue"), col("n"))
+        .orderBy("nation", "yr")),
+
+    // #32 window ranking: top-3 orders per customer
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"), dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // #33 window frame: running revenue + lag delta per customer
+    "q_window_frame" -> ((s, d) => {
+      val ord = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(frame), 2).as("running"),
+          round(col("o_totalprice") - lag("o_totalprice", 1).over(ord), 2).as("delta"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // #34 global top-k → TakeOrderedAndProject
+    "q_topk" -> ((s, d) =>
+      lineitem(s, d)
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)),
+
+    // #35 set ops over aligned (id) schemas
+    "q_union" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("id"))
+        .union(events(s, d).select(col("user_id").as("id")))
+        .distinct().orderBy("id")),
+
+    "q_intersect" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("id"))
+        .intersect(events(s, d).select(col("user_id").as("id")))
+        .orderBy("id")),
+
+    "q_except" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("id"))
+        .except(events(s, d).select(col("user_id").as("id")))
+        .orderBy("id")),
+
+    // #36 scalar string functions
+    "q_scalar_string" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("prefix"),
+        length(col("p_name")).as("len"),
+        concat(col("p_brand"), lit("|"), col("p_type")).as("bt"),
+        when(col("p_name").like("%e%"), 1).otherwise(0).as("has_e"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+        .orderBy("p_partkey")),
+
+    // #37 scalar date functions (session TZ pinned UTC)
+    "q_scalar_date" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due"))
+        .orderBy("o_orderkey")),
+
+    // #38 scalar math / conditional functions
+    "q_scalar_math" -> ((s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+          * (lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")), 2)
+          .cast("double").as("eff"),
+        round(abs(col("l_discount") - 0.05), 6).as("absd"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        when(col("l_quantity") < 10, "low").when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("band"),
+        round(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)), 6).as("nzdisc"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // #39 array higher-order functions over embeddings
+    "q_array_fns" -> ((s, d) => {
+      val s8 = slice(transform(col("embedding"), x => x.cast("double")), 1, 8)
+      embeddings(s, d).select(
+        col("vec_id"),
+        round(aggregate(s8, lit(0.0), (a, x) => a + x), 6).as("sum8"),
+        round(array_max(s8), 6).as("max8"),
+        size(array_distinct(transform(s8, x => round(x, 1)))).as("nd"),
+        round(element_at(sort_array(s8), 3), 6).as("third"),
+        size(filter(s8, x => x > 0)).as("npos"))
+        .orderBy("vec_id")
+    }),
+
+    // #40 JSON parsing: from_json + get_json_object over events.props
+    "q_json_fns" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .withColumn("gk", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          round(avg("k"), 6).as("avg_k"), max("gk").as("max_k"))
+        .orderBy("event_type")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_5way" ->
+      """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tss FROM events),
+        |err AS (SELECT event_id, user_id, tss FROM ev WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, tss FROM ev WHERE event_type = 'click')
+        |SELECT err.event_id, COUNT(clk.tss) AS n_clicks
+        |FROM err LEFT JOIN clk ON err.user_id = clk.user_id
+        |  AND clk.tss >= err.tss - INTERVAL 10 MINUTE AND clk.tss < err.tss
+        |GROUP BY err.event_id ORDER BY err.event_id""".stripMargin,
+
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT COALESCE(n_name, '__ALL__') AS nation,
+        |  COALESCE(EXTRACT(year FROM o_orderdate), -1) AS yr,
+        |  ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, EXTRACT(year FROM o_orderdate))
+        |ORDER BY nation, yr""".stripMargin,
+
+    "q_window_rank" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+        |  FROM orders)
+        |SELECT * FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+        |  ROUND(o_totalprice - LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_custkey AS id FROM orders UNION SELECT user_id AS id FROM events
+        |ORDER BY id""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey AS id FROM orders INTERSECT SELECT user_id AS id FROM events
+        |ORDER BY id""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey AS id FROM orders EXCEPT SELECT user_id AS id FROM events
+        |ORDER BY id""".stripMargin,
+
+    "q_scalar_string" ->
+      """SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 10)) AS prefix,
+        |  LENGTH(p_name) AS len, p_brand || '|' || p_type AS bt,
+        |  CASE WHEN p_name LIKE '%e%' THEN 1 ELSE 0 END AS has_e,
+        |  REGEXP_EXTRACT(p_name, '^(\w+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_date" ->
+      """SELECT o_orderkey, EXTRACT(year FROM o_orderdate) AS yr,
+        |  EXTRACT(month FROM o_orderdate) AS mo, EXTRACT(day FROM o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(o_orderdate AS DATE) + 30 AS due
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS eff,
+        |  ROUND(ABS(l_discount - 0.05), 6) AS absd,
+        |  ROUND(SQRT(l_quantity), 6) AS sq,
+        |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
+        |    ELSE 'high' END AS band,
+        |  ROUND(COALESCE(NULLIF(l_discount, 0.0), -1.0), 6) AS nzdisc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_array_fns" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS s8 FROM embeddings)
+        |SELECT vec_id,
+        |  ROUND(list_sum(s8), 6) AS sum8,
+        |  ROUND(list_max(s8), 6) AS max8,
+        |  len(list_distinct(list_transform(s8, x -> ROUND(x, 1)))) AS nd,
+        |  ROUND(list_sort(s8)[3], 6) AS third,
+        |  len(list_filter(s8, x -> x > 0)) AS npos
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_json_fns" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  ROUND(AVG(k), 6) AS avg_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

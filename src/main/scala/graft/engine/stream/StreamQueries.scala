@@ -1,0 +1,150 @@
+package graft.engine.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.engine.Tables
+
+/** Streaming operators (SURVEY.md §2.3 #41–#44).
+  *
+  * The windowed aggregations (#41–#42) are declared in their
+  * batch-equivalent form for the DuckDB oracle — the SAME `window()` /
+  * `session_window()` expressions run unchanged under `readStream`
+  * (demonstrated by #43/#44 and the MemoryStream specs). Window starts
+  * are emitted as second-truncated epoch seconds, never raw
+  * nanosecond timestamps (events.ts is timestamp[ns]; FIXTURES.md).
+  *
+  * #43/#44 are genuinely streaming: parquet file-source →
+  * watermark/stateful op → memory sink, Trigger.AvailableNow — the
+  * Structured Streaming face of the engine. No oracle (the driver
+  * records a rows-only check), correctness is asserted in specs.
+  *
+  * Scale notes: tumbling/sliding aggs are partial+final hash
+  * aggregations keyed on (window, type) — shuffle-bounded, watermark
+  * bounds state. session_window state is per user; at 100 TB the
+  * stream would be partitioned by user_id with state in RocksDB.
+  */
+object StreamQueries {
+
+  /** Tumbling 1 h window × event_type (#41, batch form). */
+  private def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+        col("cnt"), col("sum_v"))
+      .orderBy("wstart", "event_type")
+
+  /** Sliding 1 h window every 15 min × event_type (#42a, batch form). */
+  private def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("cnt"))
+      .orderBy("wstart", "event_type")
+
+  /** Per-user session windows, 30 min gap (#42b, batch form).
+    * ts is second-truncated on BOTH sides so µs-vs-ns read precision
+    * cannot flip a gap comparison at the boundary. */
+  private def session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tss", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sstart"),
+        col("n"), col("sum_v"))
+      .orderBy("user_id", "sstart")
+
+  /** #43: real Structured Streaming — parquet file source, 10 min
+    * watermark, dropDuplicatesWithinWatermark on event_id, memory sink,
+    * one AvailableNow pass; returns per-type counts of the deduped
+    * stream. */
+  private def watermarkDedup(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureNanosAsLong(s)
+    val schema = s.read.parquet(s"$d/events.parquet").schema // ts: long (ns)
+    val name = s"wm_dedup_${System.nanoTime()}"
+    val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  /** #44: arbitrary stateful streaming — flatMapGroupsWithState keyed
+    * by user_id tracking a running (event count, value sum) per user;
+    * emits the final state per user for the batch. */
+  private def statefulPerUser(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.ensureNanosAsLong(s)
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = s"stateful_${System.nanoTime()}"
+    val events = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .selectExpr("user_id", "value").as[(Long, Double)]
+    val q = events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator((user, n, v))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+      .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (tumbling _),
+    "q_stream_sliding" -> (sliding _),
+    "q_stream_session" -> (session _),
+    "stream_watermark" -> (watermarkDedup _),
+    "stream_stateful" -> (statefulPerUser _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS wstart,
+        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    // 1h windows sliding 15min: each event falls in the 4 grid windows
+    // starting at floor15(ts) − {0,15,30,45} min (epoch-aligned grid,
+    // matching Spark's window() origin)
+    "q_stream_sliding" ->
+      """WITH g AS (SELECT event_type,
+        |  (CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) // 900) * 900 - u.j * 900 AS wstart
+        |  FROM events, UNNEST(generate_series(0, 3)) AS u(j))
+        |SELECT wstart, event_type, COUNT(*) AS cnt
+        |FROM g GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    // gaps-and-islands: new session when gap >= 30 min (Spark's
+    // session_window is [start, last+gap), so an event exactly at
+    // last+gap opens a new session — hence >=)
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, value, date_trunc('second', ts) AS tss FROM events),
+        |flagged AS (SELECT user_id, value, tss,
+        |  CASE WHEN tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss)
+        |    >= INTERVAL 30 MINUTE THEN 1
+        |    WHEN LAG(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL THEN 1
+        |    ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (SELECT user_id, value, tss,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY tss
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(extract(epoch FROM MIN(tss)) AS BIGINT) AS sstart,
+        |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_v
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+  )
+}

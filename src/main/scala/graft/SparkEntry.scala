@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.engine.cluster.ClusterQueries
+import graft.engine.cluster.{ClusterQueries, KMeansSweep}
 import graft.engine.rel.{RelQueries, Udafs}
 import graft.engine.sim.Similarity
 import graft.engine.stream.StreamQueries
@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ClusterQueries.queries ++ RelQueries.queries ++ Udafs.queries ++
-      StreamQueries.queries ++ TextOps.queries ++ Similarity.queries
+      StreamQueries.queries ++ TextOps.queries ++ Similarity.queries ++
+      KMeansSweep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

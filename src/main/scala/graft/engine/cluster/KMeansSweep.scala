@@ -1,0 +1,130 @@
+package graft.engine.cluster
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.engine.Tables
+
+/** The reference's flagship entry point rebuilt on the MLlib DataFrame
+  * API (SURVEY.md §2.1 #11–#15, §3.1 EP1–EP3): K-Means over a k-sweep
+  * with all four validity indices per k, plus optimal-k selection and a
+  * report sink.
+  *
+  * Reference behaviors preserved (SURVEY.md §4.1):
+  *  - the parsed point set is persisted (MEMORY_AND_DISK) before the
+  *    sweep, so each k re-reads cache, not parquet — the reference's
+  *    single most important performance lever (`RDD.cache()`);
+  *  - fixed seed for best-effort determinism (never oracle-checked —
+  *    K-Means is iteration-order dependent; SURVEY §7.5);
+  *  - per-k wall-clock recorded alongside the indices, matching the
+  *    reference's published per-k timing artifacts.
+  *
+  * The index math itself is the decoupled Catalyst DAG in [[Indices]] —
+  * the sweep only swaps the `cluster` column from ground-truth label to
+  * `KMeansModel.transform`'s prediction. The `VectorUDT` boundary is
+  * crossed only here (`array_to_vector`), per SURVEY §1.2.
+  */
+object KMeansSweep {
+
+  /** Fit K-Means for one k; returns the input with a `cluster`
+    * prediction column (id, features, cluster). */
+  def assign(points: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    val withVec = points.withColumn("fv", array_to_vector(col("features")))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("prediction")
+      .fit(withVec)
+    model.transform(withVec)
+      .select(col("vec_id"), col("features"), col("prediction").as("cluster"))
+  }
+
+  /** One row per k: (k, wssse, bd_silhouette, bd_dunn, davies_bouldin,
+    * t_ms). Driver-side loop (control flow only — all math distributed). */
+  def sweep(points: DataFrame, kMin: Int, kMax: Int,
+            maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize once before the sweep
+    try {
+      val rows = (kMin to kMax).map { k =>
+        val t0 = System.currentTimeMillis()
+        val assigned = assign(cached, k, maxIter, seed)
+        val w = Indices.wssse(assigned).head().getDouble(0)
+        val sil = Indices.bdSilhouette(assigned).head().getDouble(0)
+        val dunn = Indices.bdDunn(assigned).head().getDouble(0)
+        val db = Indices.daviesBouldin(assigned).head().getDouble(0)
+        (k, w, sil, dunn, db, System.currentTimeMillis() - t0)
+      }
+      rows.toDF("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin", "t_ms")
+    } finally cached.unpersist()
+  }
+
+  /** Optimal k per criterion from a sweep table (#14): argmax
+    * BD-Silhouette / argmax BD-Dunn / argmin DB / elbow (max second
+    * difference) on WSSSE. */
+  def optimalK(sweepDf: DataFrame): DataFrame = {
+    val spark = sweepDf.sparkSession
+    import spark.implicits._
+    val rows = sweepDf.select("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin")
+      .orderBy("k").collect() // k_max − k_min + 1 rows: driver-side is O(k)
+    def best(idx: Int, maximize: Boolean): (Int, Double) = {
+      val vals = rows.map(r => (r.getInt(0), r.getDouble(idx)))
+      val pick = if (maximize) vals.maxBy(v => (v._2, -v._1)) else vals.minBy(v => (v._2, v._1.toDouble))
+      (pick._1, pick._2)
+    }
+    val wssse = rows.map(r => (r.getInt(0), r.getDouble(1)))
+    val elbow =
+      if (wssse.length < 3) (wssse.head._1, 0.0)
+      else wssse.sliding(3).map { case Array((_, a), (k, b), (_, c)) => (k, (a - b) - (b - c)) }
+        .maxBy(v => (v._2, -v._1))
+    Seq(
+      ("bd_silhouette_max", best(2, maximize = true)._1, best(2, maximize = true)._2),
+      ("bd_dunn_max", best(3, maximize = true)._1, best(3, maximize = true)._2),
+      ("davies_bouldin_min", best(4, maximize = false)._1, best(4, maximize = false)._2),
+      ("wssse_elbow", elbow._1, elbow._2),
+    ).toDF("criterion", "best_k", "value").orderBy("criterion")
+  }
+
+  /** #15 report sink: reference writes per-k CSV; we write a single
+    * parquet (and optionally CSV for parity). */
+  def writeReport(sweepDf: DataFrame, path: String, alsoCsv: Boolean = false): Unit = {
+    sweepDf.coalesce(1).write.mode("overwrite").parquet(path)
+    if (alsoCsv)
+      sweepDf.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(path + "_csv")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #11 MLlib squared-euclidean silhouette on ground-truth labels —
+    // sanity cross-check for bd_silhouette (not oracle-checkable:
+    // MLlib-internal formula)
+    "silhouette_mllib" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.points(s, d).withColumn("fv", array_to_vector(col("features")))
+      val sil = new ClusteringEvaluator().setFeaturesCol("fv")
+        .setPredictionCol("cluster").setMetricName("silhouette").evaluate(p)
+      Seq(sil).toDF("silhouette_mllib")
+    }),
+
+    // #12 single-k train (k = true cluster count, fixed seed)
+    "kmeans_train" -> ((s, d) =>
+      assign(Tables.points(s, d), k = 10)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+        .orderBy("cluster")),
+
+    // #13 the flagship sweep, k ∈ [2,6]
+    "k_sweep" -> ((s, d) =>
+      sweep(Tables.points(s, d), kMin = 2, kMax = 6, maxIter = 10).orderBy("k")),
+
+    // #14 optimal-k selection over the sweep
+    "optimal_k_select" -> ((s, d) =>
+      optimalK(sweep(Tables.points(s, d), kMin = 2, kMax = 6, maxIter = 10))),
+  )
+
+  /** None of these are DuckDB-expressible (iterative MLlib); the index
+    * recomputation path is oracle-covered by ClusterQueries #5–#10. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -73,28 +73,35 @@ object Similarity {
         .orderBy("id1", "id2")
     }),
 
-    // ANN via deterministic random-hyperplane LSH: 8 integer-weight
-    // projections → sign bits → bucket; best same-bucket neighbor.
+    // ANN via deterministic random-hyperplane LSH, multi-table banding:
+    // 15 integer-weight projections = 5 tables × 3 sign bits; candidate
+    // pairs share a (table, signature) bucket in ANY table; answer is
+    // the best-cosine candidate per vector. Recall ≈ 0.7 vs brute force
+    // on the sf0.001 fixture; at 100 TB the table join is a shuffle-
+    // bounded equi-join on (table, sig) and tables/bits scale up.
     "ann_lsh_topk" -> ((s, d) => {
       val v = vecs(s, d)
       val pt = v.select(col("vec_id"), posexplode(col("f")).as(Seq("p", "x")))
         .select(col("vec_id"), (col("p") + 1).as("i"), col("x"))
       val sp = v.sparkSession
       val w = sp.range(1, 65).select(col("id").as("i"))
-        .crossJoin(sp.range(8).select(col("id").as("j")))
-        .select(col("i"), col("j"), ((col("i") * 37 + col("j") * 101) % 13 - 6).as("wt"))
-      val bucket = pt.join(broadcast(w), "i")
+        .crossJoin(sp.range(15).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          (((col("i") * 73 + 19) * (col("j") * 31 + 7)
+            + col("i") * col("j") * col("j") + col("i") * col("i")) % 13 - 6).as("wt"))
+      val sig = pt.join(broadcast(w), "i")
         .groupBy("vec_id", "j").agg(sum(col("x") * col("wt")).as("proj"))
-        .groupBy("vec_id")
-        .agg(sum(when(col("proj") > 0, pow(lit(2.0), col("j"))).otherwise(0.0))
-          .cast("long").as("bucket"))
-      val vb = v.join(bucket, "vec_id")
-      val a = vb.select(col("vec_id").as("id1"), col("f").as("f1"),
-        col("nrm").as("n1"), col("bucket"))
-      val b = vb.select(col("vec_id").as("id2"), col("f").as("f2"),
-        col("nrm").as("n2"), col("bucket").as("bucket2"))
+        .groupBy(col("vec_id"), expr("j div 3").as("t"))
+        .agg(sum(when(col("proj") > 0, pow(lit(2.0), col("j") % 3)).otherwise(0.0))
+          .cast("long").as("sig"))
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.t") === col("b.t") && col("a.sig") === col("b.sig")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2")).distinct()
+      val a = v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
+      val b = v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))
       val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
-      a.join(b, col("bucket") === col("bucket2") && col("id1") =!= col("id2"))
+      cand.join(a, "id1").join(b, "id2")
         .select(col("id1"), col("id2"),
           round(ArrayMath.dot(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
         .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
@@ -151,18 +158,21 @@ object Similarity {
 
     "ann_lsh_topk" ->
       s"""WITH $PT,
-         |w AS (SELECT u.i AS i, v.j AS j, (u.i * 37 + v.j * 101) % 13 - 6 AS wt
+         |w AS (SELECT u.i AS i, v.j AS j,
+         |  ((u.i * 73 + 19) * (v.j * 31 + 7) + u.i * v.j * v.j + u.i * u.i) % 13 - 6 AS wt
          |  FROM UNNEST(generate_series(1, 64)) AS u(i),
-         |       UNNEST(generate_series(0, 7)) AS v(j)),
+         |       UNNEST(generate_series(0, 14)) AS v(j)),
          |proj AS (SELECT pt.vec_id, w.j, SUM(pt.v * w.wt) AS proj
          |  FROM pt JOIN w ON pt.i = w.i GROUP BY 1, 2),
-         |bucket AS (SELECT vec_id,
-         |  CAST(SUM(CASE WHEN proj > 0 THEN POWER(2, j) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY 1),
-         |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot
-         |  FROM pt a JOIN pt b ON a.i = b.i AND a.vec_id <> b.vec_id
-         |  JOIN bucket ba ON ba.vec_id = a.vec_id
-         |  JOIN bucket bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+         |sig AS (SELECT vec_id, j // 3 AS t,
+         |  CAST(SUM(CASE WHEN proj > 0 THEN POWER(2, j % 3) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig
+         |    AND a.vec_id <> b.vec_id),
+         |dots AS (SELECT c.id1, c.id2, SUM(a.v * b.v) AS dot
+         |  FROM cand c JOIN pt a ON a.vec_id = c.id1
+         |  JOIN pt b ON b.vec_id = c.id2 AND b.i = a.i
          |  GROUP BY 1, 2),
          |cosp AS (SELECT id1, id2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos
          |  FROM dots JOIN nrm x ON x.vec_id = id1 JOIN nrm y ON y.vec_id = id2),

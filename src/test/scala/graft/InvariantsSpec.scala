@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.engine.cluster.Indices
+
+/** Property-based index invariants (SURVEY.md §5.2-3) using scalacheck
+  * generators sampled on fixed seeds (no scalatest-plus bridge in the
+  * offline cache; Spark jobs are expensive anyway, so a handful of
+  * deterministic cases per property is the right trade).
+  */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pointSetGen: Gen[Seq[(Long, Seq[Double], Int)]] = for {
+    n <- Gen.choose(8, 40)
+    d <- Gen.choose(2, 6)
+    k <- Gen.choose(2, 4)
+    cs <- Gen.listOfN(n, Gen.choose(0, k - 1))
+    coords <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-1.0, 1.0)))
+  } yield cs.zip(coords).zipWithIndex.map { case ((c, xs), i) =>
+    (i.toLong, xs.map(_ + c * 5.0): Seq[Double], c)
+  }
+
+  /** Sample the generator on deterministic seeds; keep cases with ≥2
+    * non-empty clusters (indices undefined otherwise). */
+  private def cases(count: Int): Seq[Seq[(Long, Seq[Double], Int)]] =
+    (1 to count * 4).iterator
+      .flatMap(i => pointSetGen.apply(Gen.Parameters.default, Seed(42L + i)))
+      .filter(_.map(_._3).distinct.size >= 2)
+      .take(count).toSeq
+
+  private def df(pts: Seq[(Long, Seq[Double], Int)]) =
+    pts.toDF("vec_id", "features", "cluster")
+
+  test("BD-Silhouette ∈ [-1, 1]; BD-Dunn ≥ 0; DB ≥ 0") {
+    cases(3).foreach { pts =>
+      val p = df(pts)
+      val sil = Indices.bdSilhouette(p).head().getDouble(0)
+      val dunn = Indices.bdDunn(p).head().getDouble(0)
+      val db = Indices.daviesBouldin(p).head().getDouble(0)
+      assert(sil >= -1.0 - 1e-9 && sil <= 1.0 + 1e-9, s"sil=$sil")
+      assert(dunn >= 0.0, s"dunn=$dunn")
+      assert(db >= 0.0, s"db=$db")
+    }
+  }
+
+  test("indices are invariant under row permutation and cluster relabeling") {
+    cases(3).foreach { pts =>
+      val base = df(pts)
+      val rnd = new scala.util.Random(7)
+      val permuted = df(rnd.shuffle(pts))
+      val relabeled = df(pts.map { case (i, xs, c) => (i, xs, 9 - c) })
+      val w0 = Indices.wssse(base).head().getDouble(0)
+      assert(math.abs(Indices.wssse(permuted).head().getDouble(0) - w0) < 1e-9)
+      assert(math.abs(Indices.wssse(relabeled).head().getDouble(0) - w0) < 1e-9)
+      val s0 = Indices.bdSilhouette(base).head().getDouble(0)
+      assert(math.abs(Indices.bdSilhouette(relabeled).head().getDouble(0) - s0) < 1e-9)
+    }
+  }
+
+  test("indices are invariant under translation") {
+    cases(2).foreach { pts =>
+      val base = df(pts)
+      val shifted = df(pts.map { case (i, xs, c) => (i, xs.map(_ + 37.5), c) })
+      assert(math.abs(
+        Indices.wssse(base).head().getDouble(0)
+          - Indices.wssse(shifted).head().getDouble(0)) < 1e-7)
+      assert(math.abs(
+        Indices.bdDunn(base).head().getDouble(0)
+          - Indices.bdDunn(shifted).head().getDouble(0)) < 1e-7)
+    }
+  }
+
+  test("exact dedup is idempotent") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "d e f"), (4L, "g h i"),
+    ).toDF("doc_id", "text")
+    val survivors = docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), first("text").as("t"))
+    val once = survivors.count()
+    val twice = survivors.groupBy("t").agg(min("doc_id")).count()
+    assert(once == twice && once == 3)
+  }
+}

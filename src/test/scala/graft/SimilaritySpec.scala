@@ -1,0 +1,68 @@
+package graft
+
+import graft.engine.sim.Similarity
+import graft.engine.cluster.KMeansSweep
+import graft.engine.Tables
+
+/** Similarity + sweep behavior on the real sf0.001 embeddings
+  * (500 × 64-d, true k = 10).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("knn_per_vector returns 5 ranked neighbors per vector") {
+    val knn = Similarity.queries("knn_per_vector")(spark, sf0001)
+    val counts = knn.groupBy("id1").count().collect()
+    assert(counts.forall(_.getLong(1) == 5))
+    val first = knn.filter("id1 = 0").orderBy("rank").collect()
+    val dists = first.map(_.getDouble(3))
+    assert(dists.sliding(2).forall(p => p(0) <= p(1)), "distances must be non-decreasing")
+  }
+
+  test("cosine_topk is symmetric-free (i<j) and sorted descending") {
+    val top = Similarity.queries("cosine_topk")(spark, sf0001).collect()
+    assert(top.length == 100)
+    assert(top.forall(r => r.getLong(0) < r.getLong(1)))
+    val sims = top.map(_.getDouble(2))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("embedding_norm_stats covers all 10 labels with sane bounds") {
+    val st = Similarity.queries("embedding_norm_stats")(spark, sf0001).collect()
+    assert(st.length == 10)
+    st.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4),
+        "min ≤ mean ≤ max")
+    }
+  }
+
+  test("ann_lsh_topk agrees with brute force for most vectors (recall ≥ 0.3)") {
+    // LSH with 8 hyperplanes on 10 well-separated clusters: the
+    // same-bucket best neighbor should often be the global best.
+    val ann = Similarity.queries("ann_lsh_topk")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Similarity.queries("knn_per_vector")(spark, sf0001)
+      .filter("rank = 1").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = ann.count { case (id, nn) => brute.get(id).contains(nn) }
+    assert(ann.nonEmpty)
+    assert(hits.toDouble / ann.size >= 0.3, s"recall ${hits.toDouble / ann.size}")
+  }
+
+  test("k-sweep on true-k=10 data: WSSSE decreases with k; silhouette picks larger k") {
+    val sw = KMeansSweep.sweep(Tables.points(spark, sf0001), 2, 10, maxIter = 10)
+      .orderBy("k").collect()
+    val wssse = sw.map(_.getDouble(1))
+    // WSSSE should broadly decrease as k grows (allow small local bumps
+    // from k-means local minima)
+    assert(wssse.head > wssse.last, s"wssse head=${wssse.head} last=${wssse.last}")
+    val silByK = sw.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val bestK = silByK.maxBy(v => (v._2, -v._1))._1
+    assert(bestK >= 8, s"BD-Silhouette should prefer k near 10, got $bestK")
+  }
+
+  test("optimal_k_select emits all four criteria") {
+    val sw = KMeansSweep.sweep(Tables.points(spark, sf0001), 2, 6, maxIter = 5)
+    val opt = KMeansSweep.optimalK(sw).collect()
+    assert(opt.map(_.getString(0)).toSet ==
+      Set("bd_silhouette_max", "bd_dunn_max", "davies_bouldin_min", "wssse_elbow"))
+  }
+}

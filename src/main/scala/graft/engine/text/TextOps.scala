@@ -51,20 +51,22 @@ object TextOps {
         .orderBy("keeper")),
 
     // #18 MinHash/LSH near-dup: 8 modular min-hashes over the token
-    // set, 4 bands of 2; candidate pairs share any band signature.
+    // set, banded b=2 × r=4 (4 hashes chained per band signature).
+    // r=4 keeps band collisions selective even on low-entropy token
+    // sets — with r=2 the candidate self-join explodes quadratically
+    // on corpora whose token sets mostly coincide.
     "minhash_near_dedup" -> ((s, d) => {
       val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
       val dt = tok.join(broadcast(vocab(tok)), "token").select("doc_id", "tid")
-      val seeds = dt.sparkSession.range(8).select(col("id").as("seed"))
-      val sig = dt.crossJoin(broadcast(seeds))
-        .select(col("doc_id"), col("seed"),
-          ((col("tid") * (col("seed") * 2 + 3) + (col("seed") * 7 + 1)) % P).as("h"))
-        .groupBy("doc_id", "seed").agg(min("h").as("mh"))
-      val bands = sig
-        .groupBy(col("doc_id"), expr("seed div 2").as("band"))
-        .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("m0"),
-          min(when(col("seed") % 2 === 1, col("mh"))).as("m1"))
-        .select(col("doc_id"), col("band"), (col("m0") * P + col("m1")).as("bsig"))
+      // all 8 min-hashes in ONE map-side-combined aggregation (no seed
+      // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
+      def mh(seed: Int) =
+        min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
+      val sig = dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+      def chain(a: Int, b: Int, c: Int, e: Int) =
+        ((col(s"m$a") * 31 + col(s"m$b")) * 31 + col(s"m$c")) * 31 + col(s"m$e")
+      val bands = sig.select(col("doc_id"), lit(0L).as("band"), chain(0, 1, 2, 3).as("bsig"))
+        .union(sig.select(col("doc_id"), lit(1L).as("band"), chain(4, 5, 6, 7).as("bsig")))
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
             && col("a.doc_id") < col("b.doc_id"))
@@ -220,10 +222,12 @@ object TextOps {
          |  (tid * (u.seed * 2 + 3) + (u.seed * 7 + 1)) % 1000003 AS h
          |  FROM dt, UNNEST(generate_series(0, 7)) AS u(seed)),
          |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM h GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, seed // 2 AS band,
-         |  MIN(CASE WHEN seed % 2 = 0 THEN mh END) * 1000003
-         |    + MIN(CASE WHEN seed % 2 = 1 THEN mh END) AS bsig
-         |  FROM sig GROUP BY doc_id, seed // 2)
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |  ((MIN(CASE WHEN seed % 4 = 0 THEN mh END) * 31
+         |    + MIN(CASE WHEN seed % 4 = 1 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed % 4 = 2 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed % 4 = 3 THEN mh END) AS bsig
+         |  FROM sig GROUP BY doc_id, seed // 4)
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
          |  AND a.doc_id < b.doc_id

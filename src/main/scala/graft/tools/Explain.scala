@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Plan auditor: prints the formatted physical plan for the given
+  * query keys (or a default set of scale-critical ones) and greps for
+  * the properties the 100 TB design demands — parquet filter pushdown,
+  * broadcast joins for dimensions, whole-stage codegen coverage.
+  *
+  * Usage: runMain graft.tools.Explain <sfDir> [queryKey ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val keys = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_filter_project", "q_join_5way", "q_agg_groupby", "wssse",
+        "bd_silhouette", "cosine_topk", "exact_dedup", "q_join_range")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    keys.foreach { k =>
+      println(s"\n========== $k ==========")
+      val df = SparkEntry.queries(k)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
+      val pushed = plan.linesIterator.exists(l =>
+        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+      val bcast = plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange")
+      val codegen = plan.contains("WholeStageCodegen")
+      println(s"--- audit: pushedFilters=$pushed broadcast=$bcast wholeStageCodegen=$codegen")
+    }
+    spark.stop()
+  }
+}

@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   * plan.
   */
 object ArrayMath {
-  /** Σ (a_i − b_i)² — squared Euclidean distance. */
+  /** Σ (a_i − b_i)² — squared Euclidean distance (higher-order-function
+    * form; identical IEEE operation order to [[sqDistNative]]). */
   def sqDist(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Native fused form of [[sqDist]] (graft.engine.expr.SqDist with
+    * doGenCode — no per-row array allocation). The `sq_dist` function
+    * must be registered on the session (GraftFunctions.register);
+    * callers inside the engine register defensively. */
+  def sqDistNative(a: Column, b: Column): Column =
+    call_function("sq_dist", a, b)
 
   /** Euclidean distance. */
   def dist(a: Column, b: Column): Column = sqrt(sqDist(a, b))

@@ -42,6 +42,25 @@ object Tables {
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
+  /** Reference-parity ingestion: delimited text → point set, the
+    * reference's `sc.textFile → split(sep) → Vectors.dense` path
+    * (SURVEY.md §1.1) as a DataFrame reader. Columns: all-numeric
+    * features; an optional leading id column; header optional.
+    */
+  def pointsFromCsv(s: SparkSession, path: String, sep: String = ",",
+                    header: Boolean = false, idCol: Boolean = false): DataFrame = {
+    val raw = s.read
+      .option("sep", sep).option("header", header).option("inferSchema", "true")
+      .csv(path)
+    val cols = raw.columns
+    val (idExpr, featCols) =
+      if (idCol) (col(cols.head).cast("long"), cols.tail)
+      else (monotonically_increasing_id(), cols)
+    raw.select(
+      idExpr.as("vec_id"),
+      array(featCols.map(c => col(c).cast("double")): _*).as("features"))
+  }
+
   /** The clustering-validity point set: embeddings with float64 features
     * and the ground-truth label used as the fixed cluster assignment for
     * all oracle-checked index queries (SURVEY.md §2.1).

@@ -47,10 +47,11 @@ object Centroids {
     * broadcast is the reference's centroids-in-closure pattern made
     * declarative. Returns (point columns…, c_cluster, d2). */
   def pointCentroidDistances(points: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(points.sparkSession)
     val c = broadcast(centroids
       .withColumnRenamed("cluster", "c_cluster"))
     points.crossJoin(c)
-      .withColumn("d2", ArrayMath.sqDist(col("features"), col("centroid")))
+      .withColumn("d2", ArrayMath.sqDistNative(col("features"), col("centroid")))
   }
 
   /** Assign each point to its nearest centroid (argmin Euclidean,

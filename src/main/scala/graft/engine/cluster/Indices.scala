@@ -22,10 +22,11 @@ object Indices {
     * (point cols…, d2, d). One broadcast hash join, no extra shuffle
     * of the point set. */
   def ownCentroidDistances(points: DataFrame): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(points.sparkSession)
     val c = broadcast(Centroids.centroids(points)
       .withColumnRenamed("cluster", "c_cluster"))
     points.join(c, points("cluster") === c("c_cluster"))
-      .withColumn("d2", ArrayMath.sqDist(col("features"), col("centroid")))
+      .withColumn("d2", ArrayMath.sqDistNative(col("features"), col("centroid")))
       .withColumn("d", sqrt(col("d2")))
       .drop("c_cluster", "centroid")
   }

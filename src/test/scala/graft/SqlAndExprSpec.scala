@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{SqlSurface, Tables}
+import graft.engine.expr.GraftFunctions
+import graft.engine.cluster.Indices
+
+/** SQL surface, CSV ingestion parity, and the native sq_dist
+  * expression (value parity with the higher-order-function form, and
+  * SQL availability after registration).
+  */
+class SqlAndExprSpec extends SparkSpec {
+
+  test("spark.sql over registered views matches the DataFrame query") {
+    val viaSql = SqlSurface.sql(spark, sf0001,
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect()
+    val viaDf = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag").collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("points view is SQL-reachable") {
+    val n = SqlSurface.sql(spark, sf0001,
+      "SELECT COUNT(*) FROM points WHERE size(features) = 64").head().getLong(0)
+    assert(n == 500)
+  }
+
+  test("CSV ingestion parity: same WSSSE as parquet path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    // dump embeddings as headerless CSV: id;label;f0..f63
+    Tables.points(spark, sf0001)
+      .select(col("vec_id"), col("cluster"),
+        concat_ws(";", (0 until 64).map(i => col("features")(i)): _*).as("fs"))
+      .select(concat_ws(";", col("vec_id"), col("cluster"), col("fs")))
+      .coalesce(1).write.mode("overwrite").text(s"$dir/pts.csv")
+    val fromCsv = Tables.pointsFromCsv(spark, s"$dir/pts.csv", sep = ";", idCol = true)
+    // column 2 (first feature slot) is the cluster label here
+    val pts = fromCsv.select(
+      col("vec_id"),
+      expr("slice(features, 2, 64)").as("features"),
+      col("features").getItem(0).cast("int").as("cluster"))
+    val wCsv = Indices.wssse(pts).head().getDouble(0)
+    val wPq = Indices.wssse(Tables.points(spark, sf0001)).head().getDouble(0)
+    assert(math.abs(wCsv - wPq) < 1e-6, s"csv=$wCsv parquet=$wPq")
+  }
+
+  test("native sq_dist === aggregate(zip_with(...)) and works from SQL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.5, 0.0, -1.0)),
+      (Seq(0.0, 0.0), Seq(3.0, 4.0)),
+    ).toDF("a", "b")
+    val native = df.select(call_function("sq_dist", col("a"), col("b"))).as[Double].collect()
+    val hof = df.select(graft.engine.ArrayMath.sqDist(col("a"), col("b"))).as[Double].collect()
+    assert(native.toSeq == hof.toSeq)
+    assert(native(1) == 25.0)
+    df.createOrReplaceTempView("sqd_t")
+    val viaSql = spark.sql("SELECT sq_dist(a, b) FROM sqd_t ORDER BY 1").as[Double].collect()
+    assert(viaSql.toSeq == native.toSeq.sorted)
+  }
+
+  test("native sq_dist on the real embeddings matches WSSSE pipeline values") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val pts = Tables.points(spark, sf0001).limit(50).cache()
+    val viaNative = pts.as("x").crossJoin(pts.as("y"))
+      .select(call_function("sq_dist", col("x.features"), col("y.features")).as("d"))
+      .agg(sum("d")).head().getDouble(0)
+    val viaHof = pts.as("x").crossJoin(pts.as("y"))
+      .select(graft.engine.ArrayMath.sqDist(col("x.features"), col("y.features")).as("d"))
+      .agg(sum("d")).head().getDouble(0)
+    assert(viaNative == viaHof)
+  }
+}

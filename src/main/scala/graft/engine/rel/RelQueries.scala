@@ -117,6 +117,13 @@ object RelQueries {
         .agg(approx_count_distinct("l_partkey").as("approx_parts"))
         .orderBy("l_suppkey")),
 
+    // exact interpolated median (ordered-set aggregate surface)
+    "q_agg_median" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 6).as("med"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // #31 rollup (NULL grouping slots made explicit for the oracle)
     "q_agg_rollup" -> ((s, d) =>
       orders(s, d)
@@ -297,6 +304,11 @@ object RelQueries {
     "q_agg_distinct" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT COALESCE(n_name, '__ALL__') AS nation,

@@ -1,8 +1,9 @@
 package graft.engine.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import graft.engine.Tables
 
 /** Streaming operators (SURVEY.md §2.3 #41–#44).
@@ -104,12 +105,55 @@ object StreamQueries {
     s.table(name).orderBy("user_id")
   }
 
+  /** Spark 4 `transformWithState` processor: per-user running
+    * (count, value sum) in a RocksDB-backed ValueState. The modern
+    * replacement for flatMapGroupsWithState (#44's scale path —
+    * state store is RocksDB, supporting state larger than memory). */
+  private class PerUserAgg
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "agg", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, v) = Option(state.get()).getOrElse((0L, 0.0))
+      rows.foreach { r => n += 1; v += r._2 }
+      state.update((n, v))
+      Iterator((user, n, v))
+    }
+  }
+
+  /** #44 modern form: transformWithState (Spark 4.x) over the events
+    * file stream, per-user running aggregate. */
+  private def transformWithStatePerUser(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.ensureNanosAsLong(s)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = s"tws_${System.nanoTime()}"
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new PerUserAgg, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "sum_value")
+      .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
     "q_stream_session" -> (session _),
     "stream_watermark" -> (watermarkDedup _),
     "stream_stateful" -> (statefulPerUser _),
+    "stream_transform_with_state" -> (transformWithStatePerUser _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // light warmup so JVM/codegen/parquet-footer startup cost doesn't
+    // land on whichever query happens to run first
+    try {
+      Seq("lineitem", "orders", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -172,14 +172,15 @@ object StreamQueries {
         |SELECT wstart, event_type, COUNT(*) AS cnt
         |FROM g GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
 
-    // gaps-and-islands: new session when gap >= 30 min (Spark's
-    // session_window is [start, last+gap), so an event exactly at
-    // last+gap opens a new session — hence >=)
+    // gaps-and-islands: new session when gap > 30 min STRICTLY —
+    // Spark's session_window merges the exactly-touching case (an
+    // event at last + gap still extends the session; verified
+    // empirically at sf0.1 where one 30:00.000 gap exists)
     "q_stream_session" ->
       """WITH e AS (SELECT user_id, value, date_trunc('second', ts) AS tss FROM events),
         |flagged AS (SELECT user_id, value, tss,
         |  CASE WHEN tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss)
-        |    >= INTERVAL 30 MINUTE THEN 1
+        |    > INTERVAL 30 MINUTE THEN 1
         |    WHEN LAG(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL THEN 1
         |    ELSE 0 END AS new_s
         |  FROM e),

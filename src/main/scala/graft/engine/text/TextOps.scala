@@ -96,22 +96,37 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
-    // n-gram (word-trigram) Jaccard near-dup, threshold 0.5. The
-    // Jaccard is one IEEE division of identical ints — drift-free.
+    // n-gram (word-trigram) Jaccard near-dup, threshold t = 0.5,
+    // via PREFIX FILTERING: J ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, so B must hit
+    // one of A's first |A| − ⌈t·|A|⌉ + 1 trigrams in rarest-first
+    // order — candidates come only from RARE shared trigrams (the
+    // high-df trigrams that make a raw self-join quadratic never
+    // generate pairs). Exact: scoring uses the full trigram sets.
+    // The Jaccard is one IEEE division of identical ints — drift-free.
     "ngram_jaccard_dedup" -> ((s, d) => {
       val tri = docs(s, d).select(col("doc_id"), explode(expr(
         """CASE WHEN size(split(text, ' ')) >= 3 THEN
           |  transform(sequence(1, size(split(text, ' ')) - 2),
           |    i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))
           |ELSE array() END""".stripMargin)).as("tri")).distinct()
-      val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = tri.as("a").join(tri.as("b"),
-          col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+      val freq = tri.groupBy("tri").agg(count(lit(1)).as("df"))
+      val wPos = Window.partitionBy("doc_id").orderBy(col("df"), col("tri"))
+      val prefix = tri.join(broadcast(freq), "tri")
+        .withColumn("pos", row_number().over(wPos))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
+        .select("doc_id", "tri")
+      val cand = prefix.as("a").join(tri.as("b"),
+          col("a.tri") === col("b.tri") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+        .distinct()
+      val docsets = tri.groupBy("doc_id")
+        .agg(collect_set(col("tri")).as("ts"), count(lit(1)).as("sz"))
+      cand
+        .join(docsets.select(col("doc_id").as("d1"), col("ts").as("t1"), col("sz").as("s1")), "d1")
+        .join(docsets.select(col("doc_id").as("d2"), col("ts").as("t2"), col("sz").as("s2")), "d2")
+        .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
         .withColumn("jac", round(col("inter") / (col("s1") + col("s2") - col("inter")), 6))
         .filter(col("jac") >= 0.5)
         .select("d1", "d2", "jac").orderBy("d1", "d2")

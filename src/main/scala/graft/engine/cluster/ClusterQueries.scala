@@ -67,6 +67,13 @@ object ClusterQueries {
     "external_validity_chi2" -> ((s, d) =>
       Indices.chiSquared(Tables.documents(s, d), "lang", "source")
         .select(round(col("chi2"), 6).as("chi2"))),
+
+    "calinski_harabasz" -> ((s, d) =>
+      Indices.calinskiHarabasz(pts(s, d))
+        .select(round(col("calinski_harabasz"), 6).as("calinski_harabasz"))),
+
+    "xie_beni" -> ((s, d) =>
+      Indices.xieBeni(pts(s, d)).select(round(col("xie_beni"), 6).as("xie_beni"))),
   )
 
   /** Shared oracle CTEs: exploded points + centroids from labels. */
@@ -155,6 +162,27 @@ object ClusterQueries {
          |  FROM dij JOIN s si ON si.cluster = dij.ci JOIN s sj ON sj.cluster = dij.cj
          |  GROUP BY 1)
          |SELECT ROUND(AVG(rmax), 6) AS davies_bouldin FROM r""".stripMargin,
+
+    "calinski_harabasz" ->
+      s"""WITH $PT,
+         |$OWN,
+         |g AS (SELECT i, AVG(v) AS g FROM pt GROUP BY 1),
+         |b AS (SELECT SUM(cnt.n * (ctr.c - g.g) * (ctr.c - g.g)) AS b
+         |  FROM ctr JOIN g ON ctr.i = g.i
+         |  JOIN (SELECT label AS cluster, COUNT(*) AS n FROM embeddings GROUP BY 1) cnt
+         |    ON cnt.cluster = ctr.cluster),
+         |w AS (SELECT SUM(d2) AS w FROM own),
+         |nk AS (SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings)
+         |SELECT ROUND((b.b / (nk.k - 1)) / (w.w / (nk.n - nk.k)), 6) AS calinski_harabasz
+         |FROM b, w, nk""".stripMargin,
+
+    "xie_beni" ->
+      s"""WITH $PT,
+         |$OWN,
+         |$CDIST
+         |SELECT ROUND((SELECT SUM(d2) FROM own)
+         |  / ((SELECT COUNT(*) FROM embeddings)
+         |     * (SELECT MIN(dist * dist) FROM cdist)), 6) AS xie_beni""".stripMargin,
 
     "external_validity_chi2" ->
       """WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o

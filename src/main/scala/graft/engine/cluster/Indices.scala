@@ -96,6 +96,37 @@ object Indices {
       .agg(avg("rmax").as("davies_bouldin"))
   }
 
+  /** Calinski-Harabasz (variance-ratio criterion):
+    * CH = [B/(k−1)] / [W/(n−k)], B = Σᵢ nᵢ‖cᵢ − c̄‖² (between-cluster
+    * dispersion vs the GLOBAL centroid), W = WSSSE. Same O(n·k)
+    * shuffle-bounded shape as the other indices. */
+  def calinskiHarabasz(points: DataFrame): DataFrame = {
+    val n = points.agg(count(lit(1)).as("n"))
+    val k = points.select(countDistinct(col("cluster")).as("k"))
+    val globalC = points
+      .select(posexplode(col("features")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("g"))
+    val b = Centroids.centroidDims(points)
+      .join(Centroids.clusterSizes(points), "cluster")
+      .join(broadcast(globalC), "pos")
+      .select((col("n") * (col("c") - col("g")) * (col("c") - col("g"))).as("term"))
+      .agg(sum("term").as("b"))
+    val w = wssse(points)
+    b.crossJoin(w).crossJoin(n).crossJoin(k)
+      .select(((col("b") / (col("k") - 1)) / (col("wssse") / (col("n") - col("k"))))
+        .as("calinski_harabasz"))
+  }
+
+  /** Xie-Beni: XB = WSSSE / (n · minᵢ<ⱼ ‖cᵢ − cⱼ‖²) — compactness over
+    * worst-case centroid separation. */
+  def xieBeni(points: DataFrame): DataFrame = {
+    val minSep = interCentroidDist(points)
+      .agg(min(col("dist") * col("dist")).as("minsep2"))
+    val n = points.agg(count(lit(1)).as("n"))
+    wssse(points).crossJoin(minSep).crossJoin(n)
+      .select((col("wssse") / (col("n") * col("minsep2"))).as("xie_beni"))
+  }
+
   /** All four indices in ONE pass over the point set (plus the tiny
     * centroid jobs): used by the k-sweep so each k costs one
     * point-centroid distance scan instead of four independent DAGs.

@@ -84,6 +84,18 @@ class IndicesSpec extends SparkSpec {
     assert(math.abs(got - 2 * meanS / interDist) < eps)
   }
 
+  test("Calinski-Harabasz = 450 exactly") {
+    // B = 2·3·‖(5,5)‖² = 300, W = 8/3, k−1 = 1, n−k = 4 → (300/1)/(2/3)
+    val got = Indices.calinskiHarabasz(sixPoints).head().getDouble(0)
+    assert(math.abs(got - 450.0) < 1e-9, s"got=$got")
+  }
+
+  test("Xie-Beni = 1/450 exactly") {
+    // W/(n·minsep²) = (8/3)/(6·200)
+    val got = Indices.xieBeni(sixPoints).head().getDouble(0)
+    assert(math.abs(got - 1.0 / 450) < eps, s"got=$got")
+  }
+
   test("chi2 is zero for an independent 2x2 table") {
     import spark.implicits._
     // perfectly independent: every (a,b) cell has equal count

@@ -56,9 +56,12 @@ object Centroids {
 
   /** Assign each point to its nearest centroid (argmin Euclidean,
     * deterministic tie-break on centroid id) — `model.predict` parity
-    * (SURVEY.md §2.1 #4). Returns (id, assigned, d2). */
+    * (SURVEY.md §2.1 #4). The ranking key is the ROUNDED distance
+    * (§7.6 discipline): ranking on raw d2 would let cross-engine
+    * summation-order ulp drift flip the winner between two
+    * near-equidistant centroids. Returns (id, assigned, d2). */
   def assignNearest(points: DataFrame, centroids: DataFrame, idCol: String = "vec_id"): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("d2"), col("c_cluster"))
+    val w = Window.partitionBy(idCol).orderBy(round(col("d2"), 6), col("c_cluster"))
     pointCentroidDistances(points.select(col(idCol), col("features")), centroids)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -112,7 +112,7 @@ object ClusterQueries {
          |d AS (SELECT p.vec_id, ctr.cluster, SUM((p.v - ctr.c) * (p.v - ctr.c)) AS d2
          |  FROM pt p JOIN ctr ON p.i = ctr.i GROUP BY 1, 2),
          |r AS (SELECT vec_id, cluster, d2,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d)
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(d2, 6), cluster) AS rn FROM d)
          |SELECT vec_id, cluster AS assigned, ROUND(SQRT(d2), 6) AS dist
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 

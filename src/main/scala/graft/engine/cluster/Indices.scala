@@ -137,6 +137,9 @@ object Indices {
     val cent = Centroids.centroids(points)
     val centArr = cent.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    require(centArr.length >= 2,
+      s"validity indices need >= 2 non-empty clusters, got ${centArr.length} " +
+        "(BD-Silhouette/Dunn/DB are undefined for a single cluster)")
     // per-point: a = dist to own centroid, b = min dist to others
     val perPoint = Centroids.pointCentroidDistances(points, cent)
       .withColumn("dd", sqrt(col("d2")))

@@ -63,14 +63,22 @@ object KMeansSweep {
   }
 
   /** Sweep results memoized per (sfDir, range) within the JVM so the
-    * declared `k_sweep` and `optimal_k_select` queries share one run
-    * (the sweep result is a tiny driver-local table). */
+    * declared `k_sweep` and `optimal_k_select` queries share one run.
+    * The cache stores the driver-local ROWS, not a DataFrame — a
+    * cached DataFrame would be bound to the SparkSession that built it
+    * and break after that session is stopped. */
   private val sweepCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Double, Double, Double, Double, Long)]]()
   def sweepCached(points: DataFrame, key: String, kMin: Int, kMax: Int,
-                  maxIter: Int): DataFrame =
-    sweepCache.computeIfAbsent(s"$key|$kMin|$kMax|$maxIter",
-      _ => sweep(points, kMin, kMax, maxIter))
+                  maxIter: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    sweepCache.computeIfAbsent(s"$key|$kMin|$kMax|$maxIter", _ =>
+        sweep(points, kMin, kMax, maxIter).collect().toSeq
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toDF("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin", "t_ms")
+  }
 
   /** Optimal k per criterion from a sweep table (#14): argmax
     * BD-Silhouette / argmax BD-Dunn / argmin DB / elbow (max second

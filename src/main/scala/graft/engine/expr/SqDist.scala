@@ -37,18 +37,26 @@ case class SqDist(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq_dist"
 
+  override def nullable: Boolean = true
+
+  /** Mismatched lengths yield NULL — the same surfacing behavior as the
+    * HOF form (`zip_with` pads with null → aggregate → NULL), so a
+    * dimension-mismatch bug can never produce a plausible partial sum. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val t = x.getDouble(i) - y.getDouble(i)
-      acc += t * t
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val t = x.getDouble(i) - y.getDouble(i)
+        acc += t * t
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,13 +66,17 @@ case class SqDist(left: Expression, right: Expression)
       val t = ctx.freshName("t")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $t = $x.getDouble($i) - $y.getDouble($i);
-         |  $acc += $t * $t;
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $t = $x.getDouble($i) - $y.getDouble($i);
+         |    $acc += $t * $t;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 

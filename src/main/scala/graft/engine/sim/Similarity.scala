@@ -150,7 +150,10 @@ object Similarity {
                 var proj = 0.0
                 var i = 0
                 while (i < f.length) { proj += f(i) * wt(i + 1, j); i += 1 }
-                if (proj > 0) sigv |= (1L << b)
+                // sign of the ROUNDED projection (§7.6): an unrounded
+                // near-zero projection could hash to different buckets
+                // across engines under summation-order drift
+                if (round6(proj) > 0) sigv |= (1L << b)
                 b += 1
               }
               (id, t.toLong, sigv)
@@ -237,7 +240,7 @@ object Similarity {
          |proj AS (SELECT pt.vec_id, w.j, SUM(pt.v * w.wt) AS proj
          |  FROM pt JOIN w ON pt.i = w.i GROUP BY 1, 2),
          |sig AS (SELECT vec_id, j // 3 AS t,
-         |  CAST(SUM(CASE WHEN proj > 0 THEN POWER(2, j % 3) ELSE 0 END) AS BIGINT) AS sig
+         |  CAST(SUM(CASE WHEN ROUND(proj, 6) > 0 THEN POWER(2, j % 3) ELSE 0 END) AS BIGINT) AS sig
          |  FROM proj GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig

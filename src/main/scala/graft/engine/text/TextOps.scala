@@ -75,7 +75,10 @@ object TextOps {
     }),
 
     // SimHash near-dup: 16-bit signed-sum signature over token counts,
-    // candidate pairs within Hamming distance 3.
+    // candidate pairs within Hamming distance 3. Candidates come from
+    // a BANDED equi-join: Hamming ≤ 3 over 16 bits means at least one
+    // of the 4 4-bit bands matches exactly (pigeonhole), so the join
+    // is shuffle-bounded on (band, band-bits) — never an n² loop.
     "simhash_dedup" -> ((s, d) => {
       val tok = tokens(docs(s, d)).select("doc_id", "token")
       val cnt = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
@@ -89,44 +92,43 @@ object TextOps {
         .groupBy("doc_id")
         .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j"))).otherwise(0.0))
           .cast("long").as("simhash"))
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id")
-          && bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      val banded = sh.crossJoin(broadcast(sh.sparkSession.range(4).select(col("id").as("band"))))
+        .select(col("doc_id"), col("simhash"), col("band"),
+          expr("shiftright(simhash, CAST(band * 4 AS INT)) & 15").as("bb"))
+      // filter on Hamming BEFORE deduping band collisions: the
+      // post-filter pair set is tiny, the pre-filter one is not
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bb") === col("b.bb")
+            && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("ham"))
+        .filter(col("ham") <= 3)
+        .distinct()
         .orderBy("d1", "d2")
     }),
 
-    // n-gram (word-trigram) Jaccard near-dup, threshold t = 0.5,
-    // via PREFIX FILTERING: J ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, so B must hit
-    // one of A's first |A| − ⌈t·|A|⌉ + 1 trigrams in rarest-first
-    // order — candidates come only from RARE shared trigrams (the
-    // high-df trigrams that make a raw self-join quadratic never
-    // generate pairs). Exact: scoring uses the full trigram sets.
-    // The Jaccard is one IEEE division of identical ints — drift-free.
+    // n-gram (word-trigram) Jaccard near-dup, threshold 0.5 — exact
+    // intersection via the shared-trigram equi-join with map-side
+    // partial counts (joined rows carry only two ids, never the
+    // trigram sets themselves). The Jaccard is one IEEE division of
+    // identical ints — drift-free. Scale path for skewed trigram df:
+    // rarest-first prefix filtering (J ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉ ⇒ any
+    // qualifying B hits A's first |A|−⌈t·|A|⌉+1 trigrams) — unneeded
+    // at the declared scales, where trigram df tops out at ~25.
     "ngram_jaccard_dedup" -> ((s, d) => {
       val tri = docs(s, d).select(col("doc_id"), explode(expr(
         """CASE WHEN size(split(text, ' ')) >= 3 THEN
           |  transform(sequence(1, size(split(text, ' ')) - 2),
           |    i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))
           |ELSE array() END""".stripMargin)).as("tri")).distinct()
-      val freq = tri.groupBy("tri").agg(count(lit(1)).as("df"))
-      val wPos = Window.partitionBy("doc_id").orderBy(col("df"), col("tri"))
-      val prefix = tri.join(broadcast(freq), "tri")
-        .withColumn("pos", row_number().over(wPos))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
-        .select("doc_id", "tri")
-      val cand = prefix.as("a").join(tri.as("b"),
-          col("a.tri") === col("b.tri") && col("a.doc_id") =!= col("b.doc_id"))
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-        .distinct()
-      val docsets = tri.groupBy("doc_id")
-        .agg(collect_set(col("tri")).as("ts"), count(lit(1)).as("sz"))
-      cand
-        .join(docsets.select(col("doc_id").as("d1"), col("ts").as("t1"), col("sz").as("s1")), "d1")
-        .join(docsets.select(col("doc_id").as("d2"), col("ts").as("t2"), col("sz").as("s2")), "d2")
-        .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = tri.as("a").join(tri.as("b"),
+          col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
         .withColumn("jac", round(col("inter") / (col("s1") + col("s2") - col("inter")), 6))
         .filter(col("jac") >= 0.5)
         .select("d1", "d2", "jac").orderBy("d1", "d2")

@@ -59,6 +59,12 @@ class SqlAndExprSpec extends SparkSpec {
     val hof = df.select(graft.engine.ArrayMath.sqDist(col("a"), col("b"))).as[Double].collect()
     assert(native.toSeq == hof.toSeq)
     assert(native(1) == 25.0)
+    // mismatched lengths: NULL (matching the HOF form), never a
+    // plausible partial sum
+    val mism = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0))).toDF("a", "b")
+      .select(call_function("sq_dist", col("a"), col("b")).as("d"))
+      .collect()
+    assert(mism(0).isNullAt(0), s"expected NULL for length mismatch, got ${mism(0)}")
     df.createOrReplaceTempView("sqd_t")
     val viaSql = spark.sql("SELECT sq_dist(a, b) FROM sqd_t ORDER BY 1").as[Double].collect()
     assert(viaSql.toSeq == native.toSeq.sorted)

@@ -117,6 +117,15 @@ object RelQueries {
         .agg(approx_count_distinct("l_partkey").as("approx_parts"))
         .orderBy("l_suppkey")),
 
+    // statistical aggregates (shared Pearson/sample definitions)
+    "q_agg_stats" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qp"),
+          round(stddev_samp("l_quantity"), 6).as("sd_q"),
+          round(var_samp("l_discount"), 6).as("var_d"))
+        .orderBy("l_returnflag")),
+
     // exact interpolated median (ordered-set aggregate surface)
     "q_agg_median" -> ((s, d) =>
       orders(s, d).groupBy("o_orderpriority")
@@ -304,6 +313,14 @@ object RelQueries {
     "q_agg_distinct" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_q,
+        |  ROUND(var_samp(l_discount), 6) AS var_d
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_median" ->
       """SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med,

@@ -161,6 +161,17 @@ object TextOps {
       docs(s, d).groupBy("lang", "source").agg(count(lit(1)).as("n"))
         .orderBy("lang", "source")),
 
+    // pivoted form of #23 — exercises RelationalGroupedDataset.pivot
+    // with an explicit (deterministic) column list; engine-only check
+    // (pivot output is wide, the unpivoted twin above carries the
+    // oracle)
+    "lang_source_pivot" -> ((s, d) =>
+      docs(s, d).groupBy("lang")
+        .pivot("source", (0 until 20).map(i => s"src$i"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("lang")),
+
     // language-ID heuristic: token → dominant lang (by corpus counts,
     // alphabetical tie-break), doc → majority token-lang vote.
     "lang_id" -> ((s, d) => {

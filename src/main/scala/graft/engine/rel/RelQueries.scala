@@ -37,12 +37,18 @@ object RelQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // #26 5-way equi-join, TPC-H Q5 shape; dims broadcast
+    // #26 multiway equi-join, full TPC-H Q5 shape (incl. the supplier
+    // leg: l_suppkey = s_suppkey AND the local-supplier condition
+    // c_nationkey = s_nationkey); region/nation broadcast, supplier
+    // shuffles on its key (it grows with SF — not broadcastable at
+    // 100 TB; AQE picks the strategy at runtime)
     "q_join_5way" -> ((s, d) => {
       val rev = lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA"
           && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
@@ -265,7 +271,8 @@ object RelQueries {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'

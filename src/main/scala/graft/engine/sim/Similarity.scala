@@ -70,23 +70,53 @@ object Similarity {
     }),
 
     // #20 5 nearest neighbors per vector (Euclidean) — same kernel,
-    // bounded top-k selection per vector inside the task.
+    // bounded top-k selection per vector inside the task: a 16-slot
+    // insertion-sorted (unrounded d², id2) shortlist in primitive
+    // arrays (zero allocation / boxing / BigDecimal per candidate —
+    // the round-1 form sorted all 2 000 rounded candidates per row and
+    // regressed 7× at local[32]), then the 16 survivors are rounded
+    // and re-ranked by (round6(dist), id2) exactly like the oracle's
+    // ROW_NUMBER() OVER (ORDER BY dist, id2). Keeping 16 > 5 makes the
+    // shortlist safe against rounding collapsing distinct unrounded
+    // distances into a tie at the 5th-place boundary (would need 12+
+    // candidates inside the same 1e-6 bin to differ — continuous data).
     "knn_per_vector" -> ((s, d) => {
       import s.implicits._
-      val all = s.sparkContext.broadcast(collectVecs(s, d))
+      val triples = collectVecs(s, d)
+      val ids = triples.map(_._1)
+      val feats = triples.map(_._2)
+      val all = s.sparkContext.broadcast((ids, feats))
+      val K = 16
       vecs(s, d).select("vec_id", "f", "nrm").as[(Long, Array[Double], Double)]
         .mapPartitions { it =>
-          val vs = all.value
+          val (vid, vf) = all.value
+          val n = vid.length
           it.flatMap { case (id1, f1, _) =>
-            val cands = vs.iterator.filter(_._1 != id1).map { case (id2, f2, _) =>
-              var d2 = 0.0; var i = 0
-              while (i < f1.length) { val t = f1(i) - f2(i); d2 += t * t; i += 1 }
-              (round6(math.sqrt(d2)), id2)
-            }.toArray
-            // rank by (rounded dist, id2) — identical to the oracle's
-            // ROW_NUMBER() OVER (ORDER BY dist, id2)
-            cands.sortInPlaceBy(identity)
-            cands.iterator.take(5).zipWithIndex.map { case ((dist, id2), r) =>
+            val bd = new Array[Double](K) // shortlist distances (d²), ascending
+            val bi = new Array[Long](K)   // shortlist ids, tie-break ascending
+            var filled = 0
+            var c = 0
+            while (c < n) {
+              val id2 = vid(c)
+              if (id2 != id1) {
+                val f2 = vf(c)
+                var d2 = 0.0; var i = 0
+                while (i < f1.length) { val t = f1(i) - f2(i); d2 += t * t; i += 1 }
+                if (filled < K || d2 < bd(K - 1) || (d2 == bd(K - 1) && id2 < bi(K - 1))) {
+                  var p = math.min(filled, K - 1) - 1
+                  var j = math.min(filled, K - 1)
+                  while (p >= 0 && (bd(p) > d2 || (bd(p) == d2 && bi(p) > id2))) {
+                    bd(j) = bd(p); bi(j) = bi(p); p -= 1; j -= 1
+                  }
+                  bd(j) = d2; bi(j) = id2
+                  if (filled < K) filled += 1
+                }
+              }
+              c += 1
+            }
+            val ranked = Array.tabulate(filled)(i => (round6(math.sqrt(bd(i))), bi(i)))
+            ranked.sortInPlaceBy(identity)
+            ranked.iterator.take(5).zipWithIndex.map { case ((dist, id2), r) =>
               (id1, r + 1, id2, dist)
             }
           }
@@ -164,21 +194,19 @@ object Similarity {
           col("a.t") === col("b.t") && col("a.sig") === col("b.sig")
             && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2")).distinct()
-      import sp.implicits._
-      val byId = sp.sparkContext.broadcast(
-        collectVecs(sp, d).map(t => t._1 -> (t._2, t._3)).toMap)
+      // Scoring is SHUFFLE-BOUNDED: candidate pairs equi-join back to
+      // the vectors DF on each side (never a driver collect / broadcast
+      // of the whole table — that would cap the operator at driver
+      // memory). The dot product is a codegen'd higher-order-function
+      // fold in array-index order, so it is bit-identical to the
+      // kernel form and the oracle. At 100 TB both joins shuffle on
+      // vec_id; the pair table is ≪ corpus by LSH selectivity.
       val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
-      cand.as[(Long, Long)]
-        .mapPartitions { it =>
-          val m = byId.value
-          it.map { case (id1, id2) =>
-            val (f1, n1) = m(id1); val (f2, n2) = m(id2)
-            var dot = 0.0; var i = 0
-            while (i < f1.length) { dot += f1(i) * f2(i); i += 1 }
-            (id1, id2, round6(dot / (n1 * n2)))
-          }
-        }
-        .toDF("id1", "id2", "cos")
+      cand
+        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(ArrayMath.dot(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
         .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
         .select(col("id1"), col("id2").as("nn_id"), col("cos"))
         .orderBy("id1")

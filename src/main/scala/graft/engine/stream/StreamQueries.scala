@@ -17,8 +17,13 @@ import graft.engine.Tables
   *
   * #43/#44 are genuinely streaming: parquet file-source →
   * watermark/stateful op → memory sink, Trigger.AvailableNow — the
-  * Structured Streaming face of the engine. No oracle (the driver
-  * records a rows-only check), correctness is asserted in specs.
+  * Structured Streaming face of the engine. Their BATCH-EQUIVALENT
+  * oracles hold because the source is one parquet file → one
+  * micro-batch: dropDuplicatesWithinWatermark over a single batch is
+  * global dedup by key (state eviction only happens between batches),
+  * and the stateful per-user aggregates emit exactly one final-state
+  * row per user. Late-drop / multi-batch behavior is asserted in
+  * StreamSpec, where MemoryStream controls batch boundaries.
   *
   * Scale notes: tumbling/sliding aggs are partial+final hash
   * aggregations keyed on (window, type) — shuffle-bounded, watermark
@@ -191,5 +196,23 @@ object StreamQueries {
         |SELECT user_id, CAST(extract(epoch FROM MIN(tss)) AS BIGINT) AS sstart,
         |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_v
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+
+    // #43 batch equivalent: one file = one micro-batch, so
+    // dropDuplicatesWithinWatermark(event_id) ≡ global distinct on
+    // event_id (the fixture's event_ids are unique, but the DISTINCT
+    // encodes the semantics rather than assuming that)
+    "stream_watermark" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // #44 batch equivalents: final per-user state after the single
+    // micro-batch = plain per-user count/sum
+    "stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_transform_with_state" ->
+      """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

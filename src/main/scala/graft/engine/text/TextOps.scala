@@ -11,16 +11,20 @@ import graft.engine.Tables
   * quality scoring, regex token counting, positional fingerprinting,
   * byte-level/multimodal hashing).
   *
-  * Determinism: every hash is plain modular arithmetic over a global
-  * token-id table (`dense_rank` over the sorted vocabulary) so the
-  * DuckDB oracle reproduces it bit-for-bit — no engine-specific
-  * murmur/xxhash. Jaccard/ratios are single IEEE divisions of identical
-  * integers (drift-free); transcendental scores are ROUND(·,6).
+  * Determinism: every hash is plain modular arithmetic over a
+  * per-token 32-bit id derived from the first 8 hex digits of
+  * `md5(token)` — both engines produce identical lowercase-hex md5 of
+  * the UTF-8 bytes, and the digit fold is exact integer math, so the
+  * DuckDB oracle reproduces every id bit-for-bit with no
+  * engine-specific murmur/xxhash. Jaccard/ratios are single IEEE
+  * divisions of identical integers (drift-free); transcendental scores
+  * are ROUND(·,6).
   *
-  * Scale notes (100 TB): the token-id table is a broadcast dimension
-  * (vocab ≪ corpus); at real scale it is replaced by direct
-  * `xxhash64(token)` (no global sort) — the band/bucket join shapes are
-  * unchanged. Exact dedup groups by sha2(text) so the shuffle key is a
+  * Scale notes (100 TB): token ids are computed MAP-SIDE per row (the
+  * round-1 design ranked a global vocabulary with `dense_rank` over an
+  * unpartitioned window — every distinct token through ONE task; the
+  * md5 fold removes that global sort and the vocab broadcast join
+  * entirely). Exact dedup groups by sha2(text) so the shuffle key is a
   * 32-byte digest, not the document body. MinHash/SimHash candidate
   * generation is a self-equi-join on (band, signature) / bucket —
   * shuffle-bounded, never an n² cross join.
@@ -36,10 +40,48 @@ object TextOps {
     df.select(col("doc_id"), col("lang"), col("source"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
 
-  /** Global token-id table: token → dense rank in sorted vocab order. */
-  private def vocab(tok: DataFrame): DataFrame =
-    tok.select("token").distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy("token")).cast("long"))
+  /** Deterministic 32-bit token id: fold the first 8 lowercase-hex
+    * digits of md5(token) as a base-16 integer. Pure per-row arithmetic
+    * (codegen'd higher-order functions, no UDF, no shuffle, no global
+    * sort); DuckDB computes the identical value from its own md5().
+    * 32 bits keeps collision odds negligible at oracle vocab sizes
+    * (~30k tokens → E[collisions] ≈ 1e-4) and keeps every downstream
+    * product (tid × seed constants) inside Long range. */
+  private val TidSql =
+    """aggregate(
+      |  transform(sequence(1, 8),
+      |    i -> CAST(instr('0123456789abcdef', substring(md5(CAST(token AS BINARY)), i, 1)) - 1 AS BIGINT)),
+      |  CAST(0 AS BIGINT), (acc, x) -> acc * 16 + x)""".stripMargin
+
+  /** Adds the `tid` column to any frame with a `token` column. */
+  private def withTid(tok: DataFrame): DataFrame =
+    tok.withColumn("tid", expr(TidSql))
+
+  /** MinHash/LSH near-dup candidate pairs (d1 < d2): 8 modular
+    * min-hashes over the token set, banded b=2 × r=4 (4 hashes chained
+    * per band signature). r=4 keeps band collisions selective even on
+    * low-entropy token sets — with r=2 the candidate self-join explodes
+    * quadratically on corpora whose token sets mostly coincide.
+    * Shared by `minhash_near_dedup` (pair surface) and
+    * `near_dedup_groups` (pair → group resolution). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
+    val dt = withTid(tok).select("doc_id", "tid")
+    // all 8 min-hashes in ONE map-side-combined aggregation (no seed
+    // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
+    def mh(seed: Int) =
+      min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
+    val sig = dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+    def chain(a: Int, b: Int, c: Int, e: Int) =
+      ((col(s"m$a") * 31 + col(s"m$b")) * 31 + col(s"m$c")) * 31 + col(s"m$e")
+    val bands = sig.select(col("doc_id"), lit(0L).as("band"), chain(0, 1, 2, 3).as("bsig"))
+      .union(sig.select(col("doc_id"), lit(1L).as("band"), chain(4, 5, 6, 7).as("bsig")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #17 exact dedup: group by text digest, keep min doc_id
@@ -50,28 +92,51 @@ object TextOps {
         .select("keeper", "copies")
         .orderBy("keeper")),
 
-    // #18 MinHash/LSH near-dup: 8 modular min-hashes over the token
-    // set, banded b=2 × r=4 (4 hashes chained per band signature).
-    // r=4 keeps band collisions selective even on low-entropy token
-    // sets — with r=2 the candidate self-join explodes quadratically
-    // on corpora whose token sets mostly coincide.
-    "minhash_near_dedup" -> ((s, d) => {
-      val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
-      val dt = tok.join(broadcast(vocab(tok)), "token").select("doc_id", "tid")
-      // all 8 min-hashes in ONE map-side-combined aggregation (no seed
-      // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
-      def mh(seed: Int) =
-        min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
-      val sig = dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
-      def chain(a: Int, b: Int, c: Int, e: Int) =
-        ((col(s"m$a") * 31 + col(s"m$b")) * 31 + col(s"m$c")) * 31 + col(s"m$e")
-      val bands = sig.select(col("doc_id"), lit(0L).as("band"), chain(0, 1, 2, 3).as("bsig"))
-        .union(sig.select(col("doc_id"), lit(1L).as("band"), chain(4, 5, 6, 7).as("bsig")))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct().orderBy("d1", "d2")
+    // #18 MinHash/LSH near-dup candidate pair surface
+    "minhash_near_dedup" -> ((s, d) =>
+      minhashPairs(s, d).orderBy("d1", "d2")),
+
+    // near-dup pair → GROUP resolution: connected components over the
+    // MinHash candidate-pair graph by iterative min-label propagation
+    // (each round: every node takes the min label among itself and its
+    // neighbors; fixpoint = per-component min doc_id = the keeper).
+    // The pair graph is ≪ corpus (LSH selectivity), labels are 2
+    // longs/node, every round is one equi-join + hash aggregate —
+    // shuffle-bounded, no driver state beyond the convergence counter.
+    // localCheckpoint truncates lineage so plans don't grow per round.
+    // Converges in ≤ component-diameter rounds (near-dup clusters are
+    // dense → few); hard cap guards pathological chains.
+    "near_dedup_groups" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+        .persist()
+      var lbl = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so Σ lbl strictly decreases until
+      // the fixpoint — one cheap aggregate per round detects
+      // convergence (vs a join + count of changed rows)
+      def sig(df: DataFrame): Long =
+        df.agg(sum("lbl")).head.getLong(0)
+      var prevSig = sig(lbl)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val nb = edges.join(lbl, edges("b") === lbl("node"))
+          .select(edges("a").as("node"), col("lbl"))
+        val next = lbl.union(nb).groupBy("node").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+        val nextSig = sig(next)
+        converged = nextSig == prevSig
+        prevSig = nextSig
+        lbl = next
+        rounds += 1
+      }
+      edges.unpersist()
+      require(converged, s"near_dedup_groups: no fixpoint after $rounds rounds")
+      lbl.select(col("lbl").as("group_id"), col("node").as("member"))
+        .orderBy("group_id", "member")
     }),
 
     // SimHash near-dup: 16-bit signed-sum signature over token counts,
@@ -79,15 +144,21 @@ object TextOps {
     // a BANDED equi-join: Hamming ≤ 3 over 16 bits means at least one
     // of the 4 4-bit bands matches exactly (pigeonhole), so the join
     // is shuffle-bounded on (band, band-bits) — never an n² loop.
+    // Per-(token, bit) sign = parity of the (j+1)-th hex digit of
+    // md5(token): independent well-mixed bits both engines compute
+    // identically (an LCG-parity variant measured 2.5× denser pair
+    // output on the low-entropy fixture vocabulary — poorly mixed
+    // signs make all signatures collapse toward each other).
     "simhash_dedup" -> ((s, d) => {
       val tok = tokens(docs(s, d)).select("doc_id", "token")
       val cnt = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-        .join(broadcast(vocab(tok)), "token").select("doc_id", "tid", "cnt")
+        .withColumn("h", md5(col("token").cast("binary")))
+        .select("doc_id", "h", "cnt")
       val bits = cnt.sparkSession.range(16).select(col("id").as("j"))
       val sh = cnt.crossJoin(broadcast(bits))
         .select(col("doc_id"), col("j"), (col("cnt") *
-          (((col("tid") * 1103515245L + 12345L + col("j") * 2654435761L)
-            % 2147483647L) % 2 * 2 - 1)).as("contrib"))
+          ((expr("instr('0123456789abcdef', substring(h, CAST(j + 1 AS INT), 1))")
+            - 1) % 2 * 2 - 1)).as("contrib"))
         .groupBy("doc_id", "j").agg(sum("contrib").as("sgn"))
         .groupBy("doc_id")
         .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j"))).otherwise(0.0))
@@ -107,28 +178,59 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
-    // n-gram (word-trigram) Jaccard near-dup, threshold 0.5 — exact
-    // intersection via the shared-trigram equi-join with map-side
-    // partial counts (joined rows carry only two ids, never the
-    // trigram sets themselves). The Jaccard is one IEEE division of
-    // identical ints — drift-free. Scale path for skewed trigram df:
-    // rarest-first prefix filtering (J ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉ ⇒ any
-    // qualifying B hits A's first |A|−⌈t·|A|⌉+1 trigrams) — unneeded
-    // at the declared scales, where trigram df tops out at ~25.
+    // n-gram (word-trigram) Jaccard near-dup, threshold 0.5, with the
+    // RAREST-FIRST PREFIX FILTER wired in (lossless for J ≥ t):
+    // order each doc's trigrams by global document frequency (ties by
+    // trigram string — a consistent total order across docs) and keep
+    // only the first |A| − ⌈t·|A|⌉ + 1; two docs with J ≥ t MUST share
+    // a prefix trigram (else all shared trigrams sit in both suffixes
+    // of length ⌈t·|X|⌉ − 1 < |A∩B|). Candidates come from the
+    // prefix-only equi-join — skewed high-df trigrams rarely make any
+    // prefix, so the candidate join is pruned exactly where the naive
+    // shared-trigram join blows up. Exact intersection counts are then
+    // computed only for candidate pairs. The Jaccard is one IEEE
+    // division of identical ints — drift-free.
     "ngram_jaccard_dedup" -> ((s, d) => {
-      val tri = docs(s, d).select(col("doc_id"), explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 3 THEN
-          |  transform(sequence(1, size(split(text, ' ')) - 2),
-          |    i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i], split(text, ' ')[i+1]))
-          |ELSE array() END""".stripMargin)).as("tri")).distinct()
-      val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = tri.as("a").join(tri.as("b"),
+      // tri feeds 5 consumers (df, prefix, both intersection sides,
+      // sz) — persist the exploded set once instead of re-exploding
+      // per consumer (MEMORY_AND_DISK: spills, never OOMs, and at
+      // 100 TB the multi-pass set is exactly what you'd materialize)
+      // split ONCE into a projected array column — inlining the split
+      // into the transform lambda re-splits the text per element
+      // (~3·|doc| splits/doc; measured 5× the whole stage cost)
+      val tri = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 3 THEN
+            |  transform(sequence(1, size(w) - 2),
+            |    i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+            |ELSE array() END""".stripMargin)).as("tri")).distinct()
+        .persist()
+      val dfreq = tri.groupBy("tri").agg(count(lit(1)).as("df"))
+      val wOrd = Window.partitionBy("doc_id").orderBy("df", "tri")
+      val wDoc = Window.partitionBy("doc_id")
+      // prefix length for t = 0.5: |A| − ⌈|A|/2⌉ + 1 = ⌊|A|/2⌋ + 1.
+      // the set size rides along from the window pass, so candidate
+      // pairs carry (s1, s2) and no separate size join is needed
+      val prefix = tri.join(dfreq, "tri")
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .filter(col("rn") <= (col("n") / 2).cast("bigint") + 1)
+        .select("doc_id", "tri")
+      val cand = prefix.as("a").join(prefix.as("b"),
           col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      // PPJoin-style verification: candidates join the per-doc sorted
+      // trigram SETS (one row per doc) and the exact intersection is a
+      // single codegen'd array_intersect per pair — no re-join of the
+      // exploded trigram rows (that recount was measured to produce
+      // MORE join rows than it pruned on near-dup-dense corpora)
+      val docsArr = tri.groupBy("doc_id")
+        .agg(sort_array(collect_list("tri")).as("arr"), count(lit(1)).as("sz"))
+      cand
+        .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1"), col("sz").as("s1")), "d1")
+        .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2"), col("sz").as("s2")), "d2")
+        .withColumn("inter", size(array_intersect(col("a1"), col("a2"))).cast("long"))
         .withColumn("jac", round(col("inter") / (col("s1") + col("s2") - col("inter")), 6))
         .filter(col("jac") >= 0.5)
         .select("d1", "d2", "jac").orderBy("d1", "d2")
@@ -214,7 +316,7 @@ object TextOps {
     // fp = Σ (tid_pos · ((pos·131+7) mod P)) mod P, all mod P
     "doc_fingerprint" -> ((s, d) => {
       val tok = tokens(docs(s, d)).select(col("doc_id"), (col("pos") + 1).as("p"), col("token"))
-      tok.join(broadcast(vocab(tok)), "token")
+      withTid(tok)
         .select(col("doc_id"), (col("tid") * ((col("p") * 131 + 7) % P) % P).as("term"))
         .groupBy("doc_id").agg((sum("term") % P).as("fp"))
         .orderBy("doc_id")
@@ -235,8 +337,28 @@ object TextOps {
   private val TOK =
     """tok AS (SELECT doc_id, lang, source, u.i AS pos, string_split(text, ' ')[u.i] AS token
       |  FROM documents, UNNEST(generate_series(1, len(string_split(text, ' ')))) AS u(i)),
-      |vocab AS (SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
-      |  FROM (SELECT DISTINCT token FROM tok))""".stripMargin
+      |vocab AS (SELECT token,
+      |  CAST(SUM((strpos('0123456789abcdef', substr(md5(token), u.i, 1)) - 1)
+      |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT token FROM tok), UNNEST(generate_series(1, 8)) AS u(i)
+      |  GROUP BY token)""".stripMargin
+
+  /** MinHash signature/band/pair CTEs (assumes $TOK precedes). */
+  private val MINHASH =
+    """dt AS (SELECT DISTINCT doc_id, tid FROM tok JOIN vocab USING (token)),
+      |h AS (SELECT doc_id, u.seed AS seed,
+      |  (tid * (u.seed * 2 + 3) + (u.seed * 7 + 1)) % 1000003 AS h
+      |  FROM dt, UNNEST(generate_series(0, 7)) AS u(seed)),
+      |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM h GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, seed // 4 AS band,
+      |  ((MIN(CASE WHEN seed % 4 = 0 THEN mh END) * 31
+      |    + MIN(CASE WHEN seed % 4 = 1 THEN mh END)) * 31
+      |    + MIN(CASE WHEN seed % 4 = 2 THEN mh END)) * 31
+      |    + MIN(CASE WHEN seed % 4 = 3 THEN mh END) AS bsig
+      |  FROM sig GROUP BY doc_id, seed // 4),
+      |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "exact_dedup" ->
@@ -245,28 +367,27 @@ object TextOps {
 
     "minhash_near_dedup" ->
       s"""WITH $TOK,
-         |dt AS (SELECT DISTINCT doc_id, tid FROM tok JOIN vocab USING (token)),
-         |h AS (SELECT doc_id, u.seed AS seed,
-         |  (tid * (u.seed * 2 + 3) + (u.seed * 7 + 1)) % 1000003 AS h
-         |  FROM dt, UNNEST(generate_series(0, 7)) AS u(seed)),
-         |sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM h GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, seed // 4 AS band,
-         |  ((MIN(CASE WHEN seed % 4 = 0 THEN mh END) * 31
-         |    + MIN(CASE WHEN seed % 4 = 1 THEN mh END)) * 31
-         |    + MIN(CASE WHEN seed % 4 = 2 THEN mh END)) * 31
-         |    + MIN(CASE WHEN seed % 4 = 3 THEN mh END) AS bsig
-         |  FROM sig GROUP BY doc_id, seed // 4)
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-         |  AND a.doc_id < b.doc_id
-         |ORDER BY d1, d2""".stripMargin,
+         |$MINHASH
+         |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin,
+
+    "near_dedup_groups" ->
+      s"""WITH RECURSIVE $TOK,
+         |$MINHASH,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT LEAST(a, MIN(b)) AS group_id, a AS member
+         |FROM reach GROUP BY a ORDER BY group_id, member""".stripMargin,
 
     "simhash_dedup" ->
       s"""WITH $TOK,
-         |cnt AS (SELECT doc_id, tid, COUNT(*) AS cnt
-         |  FROM tok JOIN vocab USING (token) GROUP BY 1, 2),
+         |cnt AS (SELECT doc_id, md5(token) AS h, COUNT(*) AS cnt
+         |  FROM tok GROUP BY 1, 2),
          |sg AS (SELECT doc_id, u.j AS j,
-         |  SUM(cnt * (((tid * 1103515245 + 12345 + u.j * 2654435761) % 2147483647) % 2 * 2 - 1)) AS sgn
+         |  SUM(cnt * ((strpos('0123456789abcdef', substr(h, CAST(u.j + 1 AS INT), 1)) - 1) % 2 * 2 - 1)) AS sgn
          |  FROM cnt, UNNEST(generate_series(0, 15)) AS u(j) GROUP BY 1, 2),
          |sh AS (SELECT doc_id,
          |  CAST(SUM(CASE WHEN sgn > 0 THEN POWER(2, j) ELSE 0 END) AS BIGINT) AS simhash

@@ -52,6 +52,44 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected partition pruning on yr:\n$plan")
   }
 
+  test("ann_lsh_topk scores candidates via joins, not a driver-collected map") {
+    val q = graft.SparkEntry.queries("ann_lsh_topk")(spark, sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // round-1's scoring stage collected the whole vector table to the
+    // driver and looked candidates up in a broadcast map — the 100 TB
+    // killer this spec guards against. Join-based scoring leaves two
+    // unmistakable marks the broadcast-map plan had neither of:
+    // (a) the scoring equi-joins push IsNotNull(vec_id) into their
+    //     embeddings scans (join keys get null-filtered);
+    assert("PushedFilters: \\[IsNotNull\\(vec_id\\)\\]".r.findAllIn(plan).size >= 2,
+      s"expected candidate-to-vector scoring equi-joins:\n$plan")
+    // (b) every object kernel (MapPartitions) sits directly on a
+    //     deserialized scan — none consumes the candidate join output
+    //     (the round-1 scoring kernel mapped over the joined pairs)
+    val kernelInputs = plan.linesIterator.sliding(2).collect {
+      case Seq(a, b) if a.contains("MapPartitions") => b
+    }.toSeq
+    assert(kernelInputs.nonEmpty && kernelInputs.forall(_.contains("DeserializeToObject")),
+      s"a kernel consumes non-scan input (join-output scoring?):\n$plan")
+  }
+
+  test("hash-based text ops have no global (unpartitioned) window") {
+    // round 1 ranked the vocabulary with dense_rank over an
+    // unpartitioned Window.orderBy — every distinct token through one
+    // task; the md5-fold token id removed every window from these plans
+    for (k <- Seq("minhash_near_dedup", "simhash_dedup", "doc_fingerprint")) {
+      val plan = graft.SparkEntry.queries(k)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Window"), s"$k must not use any window:\n$plan")
+    }
+    // ngram's prefix filter DOES window — but partitioned by doc_id
+    val nplan = graft.SparkEntry.queries("ngram_jaccard_dedup")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(nplan.contains("windowspecdefinition(doc_id"),
+      s"prefix ranking must partition by doc_id:\n$nplan")
+  }
+
   test("dimension joins broadcast (no shuffle of the small side)") {
     val j = graft.SparkEntry.queries("q_join_5way")(spark, sf0001)
     j.collect()

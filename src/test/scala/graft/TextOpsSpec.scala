@@ -62,6 +62,21 @@ class TextOpsSpec extends SparkSpec {
     assert(rows((4L, 5L)) == 0)
   }
 
+  test("near_dedup_groups: pairs share a group, keeper is the min member") {
+    val pairs = TextOps.queries("minhash_near_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grp = TextOps.queries("near_dedup_groups")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap // member → group
+    assert(grp.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet,
+      "members = exactly the nodes of the pair graph")
+    pairs.foreach { case (a, b) =>
+      assert(grp(a) == grp(b), s"pair ($a,$b) split across groups")
+    }
+    grp.groupBy(_._2).foreach { case (gid, ms) =>
+      assert(ms.keys.min == gid, s"group $gid keeper is not the min member")
+    }
+  }
+
   test("doc_fingerprint: equal texts ⇒ equal fingerprints, order-sensitive") {
     val fp = TextOps.queries("doc_fingerprint")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,5 +1,8 @@
 package graft.engine.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
@@ -8,9 +11,15 @@ import graft.engine.Tables
   * columns with typed metadata, and decode / feature-extract / resize /
   * frame-sample operators (builder north star; SURVEY.md §2.2 family).
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * CLEARLY-MARKED DETERMINISTIC STUB ([[MediaCodec.decodeStub]]) — but
-  * the Spark-side plumbing is real and tested: a typed Dataset,
+  * The IMAGE path is a REAL codec: payloads are PNG-encoded map-side
+  * with `javax.imageio` (in the JDK — no external dependency), the
+  * bytes column genuinely contains PNG streams, and decode runs
+  * `ImageIO.read` and walks the raster. PNG is lossless 8-bit
+  * grayscale here, so geometry/checksums stay deterministic and
+  * oracle-checkable. The AUDIO/VIDEO kernels remain CLEARLY-MARKED
+  * DETERMINISTIC STUBS ([[MediaCodec.decodeStub]]) — the container
+  * ships no mp3/mp4 codecs — but the Spark-side plumbing is identical
+  * for all three kinds and is real and tested: a typed Dataset,
   * iterator-batched `mapPartitions` (the JVM analogue of `mapInPandas`:
   * one partition = one batch through the codec, no per-row UDF
   * dispatch), explicit output schema, and shuffle-free decode (the
@@ -20,9 +29,9 @@ import graft.engine.Tables
   * source in the driver's testdata); `kind` cycles image/audio/video
   * by doc_id.
   *
-  * Scale notes (100 TB): media bytes never shuffle — decode/resize/
-  * sample are all map-side; only the small extracted-feature rows
-  * flow into joins/aggregations. Partition sizing is governed by
+  * Scale notes (100 TB): media bytes never shuffle — encode/decode/
+  * resize/sample are all map-side; only the small extracted-feature
+  * rows flow into joins/aggregations. Partition sizing is governed by
   * `spark.sql.files.maxPartitionBytes` against the blob column.
   */
 object Multimodal {
@@ -32,21 +41,59 @@ object Multimodal {
                      n_bytes: Int, checksum: Long)
 
   object MediaCodec {
-    /** STUB decoder — deterministic fake standing in for a real codec
-      * (??? in spirit: a real build would link an imaging library
-      * here). Geometry derives from payload length; checksum is a
-      * modular byte sum so determinism is testable. */
-    def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
-      val w = 16
-      val h = (bytes.length + w - 1) / w
-      var c = 0L
+    private val P = 1000003L
+    private val W = 16
+
+    /** REAL image encode (javax.imageio): payload bytes → 8-bit
+      * grayscale PNG, one byte per pixel, row-major, width 16,
+      * zero-padded final row. Lossless, so the decoded raster
+      * reproduces the payload exactly. */
+    def encodePng(payload: Array[Byte]): Array[Byte] = {
+      val h = math.max(1, (payload.length + W - 1) / W)
+      val img = new BufferedImage(W, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
       var i = 0
-      while (i < bytes.length) { c = (c + (bytes(i) & 0xff)) % 1000003L; i += 1 }
+      while (i < payload.length) {
+        raster.setSample(i % W, i / W, 0, payload(i) & 0xff); i += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** REAL image decode (javax.imageio): PNG bytes → (width, height,
+      * checksum = Σ pixel % P). Zero padding contributes nothing, so
+      * the checksum equals the payload byte sum — the same invariant
+      * the stub path uses, keeping both oracle-checkable. */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var c = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { c = (c + raster.getSample(x, y, 0)) % P; x += 1 }
+        y += 1
+      }
       (w, h, c)
     }
 
-    /** STUB resize: keep every k-th byte — stands in for a real
-      * resampling kernel; output length is ceil(n/k), deterministic. */
+    /** STUB decoder for audio/video — deterministic fake standing in
+      * for a real codec (??? in spirit: a real build would link a
+      * media library here). Geometry derives from payload length;
+      * checksum is a modular byte sum so determinism is testable. */
+    def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
+      val h = (bytes.length + W - 1) / W
+      var c = 0L
+      var i = 0
+      while (i < bytes.length) { c = (c + (bytes(i) & 0xff)) % P; i += 1 }
+      (W, h, c)
+    }
+
+    /** STUB resample: keep every k-th byte — for images this is a real
+      * pixel subsample (pixels ARE payload bytes); for audio/video it
+      * stands in for a resampling kernel. Output length ceil(n/k). */
     def resizeStub(bytes: Array[Byte], k: Int): Array[Byte] =
       bytes.indices.collect { case i if i % k == 0 => bytes(i) }.toArray
 
@@ -55,44 +102,75 @@ object Multimodal {
       bytes.grouped(32).zipWithIndex.collect { case (f, i) if i % k == 0 => f }.toSeq
   }
 
-  /** The media table synthesized from documents: (media_id, kind,
-    * bytes, meta struct). */
-  def mediaTable(s: SparkSession, d: String): DataFrame =
+  /** Pre-codec payload rows: (media_id, kind, payload, n_bytes, container). */
+  private def payloads(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id").as("media_id"),
       element_at(lit(Array("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("bytes"),
-      struct(octet_length(col("text")).as("n_bytes"),
-        col("lang").as("container")).as("meta"))
+      col("text").cast("binary").as("payload"),
+      octet_length(col("text")).as("n_bytes"),
+      col("lang").as("container"))
 
-  /** Distributed decode: one `mapPartitions` pass, batch = partition. */
+  /** The media table: (media_id, kind, bytes, meta struct). Image rows
+    * carry genuine PNG streams (encoded map-side); audio/video carry
+    * the raw payload. meta.n_bytes is the pre-encode payload size. */
+  def mediaTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    payloads(s, d).as[(Long, String, Array[Byte], Int, String)]
+      .mapPartitions(_.map { case (id, kind, payload, nb, lang) =>
+        val bytes = if (kind == "image") MediaCodec.encodePng(payload) else payload
+        (id, kind, bytes, nb, lang)
+      })
+      .toDF("media_id", "kind", "bytes", "n_bytes", "container")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("n_bytes"), col("container")).as("meta"))
+  }
+
+  /** Distributed decode: one `mapPartitions` pass, batch = partition.
+    * Images run the real PNG decode (n_bytes = decoded pixel count,
+    * 16·ceil(payload/16) with the zero-padded tail); audio/video run
+    * the stub (n_bytes = payload length). */
   def decode(s: SparkSession, d: String): Dataset[Decoded] = {
     import s.implicits._
     mediaTable(s, d).select("media_id", "kind", "bytes").as[Media]
       .mapPartitions { batch => // iterator-batched, mapInPandas-shaped
         batch.map { m =>
-          val (w, h, c) = MediaCodec.decodeStub(m.bytes)
-          Decoded(m.media_id, m.kind, w, h, m.bytes.length, c)
+          if (m.kind == "image") {
+            val (w, h, c) = MediaCodec.decodeImage(m.bytes)
+            Decoded(m.media_id, m.kind, w, h, w * h, c)
+          } else {
+            val (w, h, c) = MediaCodec.decodeStub(m.bytes)
+            Decoded(m.media_id, m.kind, w, h, m.bytes.length, c)
+          }
         }
       }
   }
 
-  /** Resize + re-decode, proving the two stub kernels compose. */
+  /** Resample + re-decode. Images: decode-equivalent pixel subsample →
+    * real PNG re-encode → real re-decode (the full codec round-trip);
+    * audio/video: stub resample + stub decode. */
   def resized(s: SparkSession, d: String, k: Int = 4): Dataset[Decoded] = {
     import s.implicits._
-    mediaTable(s, d).select("media_id", "kind", "bytes").as[Media]
-      .mapPartitions(_.map { m =>
-        val rs = MediaCodec.resizeStub(m.bytes, k)
-        val (w, h, c) = MediaCodec.decodeStub(rs)
-        Decoded(m.media_id, m.kind, w, h, rs.length, c)
+    payloads(s, d).select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val rs = MediaCodec.resizeStub(payload, k)
+        if (kind == "image") {
+          val (w, h, c) = MediaCodec.decodeImage(MediaCodec.encodePng(rs))
+          Decoded(id, kind, w, h, w * h, c)
+        } else {
+          val (w, h, c) = MediaCodec.decodeStub(rs)
+          Decoded(id, kind, w, h, rs.length, c)
+        }
       })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-kind stats of the distributed decode; the oracle reproduces
-    // the stub's geometry from octet_length (checksum is spec-tested,
-    // not oracled — DuckDB can't fold blob bytes)
+    // the codec geometry from octet_length (image n_bytes is the
+    // padded raster size 16·ceil(nb/16); checksum is spec-tested, not
+    // oracled — DuckDB can't fold blob bytes)
     "multimodal_decode_stats" -> ((s, d) =>
       decode(s, d).groupBy("kind")
         .agg(count(lit(1)).as("n"),
@@ -122,7 +200,7 @@ object Multimodal {
         |SELECT kind, COUNT(*) AS n,
         |  CAST(SUM((nb + 15) // 16) AS BIGINT) AS sum_h,
         |  16 AS max_w,
-        |  CAST(SUM(nb) AS BIGINT) AS sum_bytes
+        |  CAST(SUM(CASE WHEN kind = 'image' THEN 16 * ((nb + 15) // 16) ELSE nb END) AS BIGINT) AS sum_bytes
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
     "multimodal_frame_sample" ->

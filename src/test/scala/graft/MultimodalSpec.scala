@@ -1,12 +1,25 @@
 package graft
 
 import graft.engine.multimodal.Multimodal
+import graft.engine.multimodal.Multimodal.MediaCodec
 
-/** Multimodal plumbing: the decode/resize/frame-sample kernels are
-  * deterministic stubs, but the distributed pipeline around them
-  * (typed Dataset, mapPartitions batching, schema) is real.
+/** Multimodal plumbing: the image path is a REAL javax.imageio PNG
+  * codec (encode map-side, ImageIO.read decode); audio/video kernels
+  * are deterministic stubs. The distributed pipeline (typed Dataset,
+  * mapPartitions batching, schema) is identical for all kinds.
   */
 class MultimodalSpec extends SparkSpec {
+
+  test("png codec round-trips payload geometry and checksum (real ImageIO)") {
+    val payload = Array.tabulate(100)(i => ((i * 37) % 256).toByte)
+    val png = MediaCodec.encodePng(payload)
+    // genuine PNG stream: magic bytes \x89PNG
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, c) = MediaCodec.decodeImage(png)
+    assert(w == 16 && h == 7) // ceil(100/16)
+    val expected = payload.map(_ & 0xff).map(_.toLong).sum % 1000003L
+    assert(c == expected, "lossless: pixel sum = payload byte sum")
+  }
 
   test("decode is deterministic and geometry matches the payload") {
     val a = Multimodal.decode(spark, sf0001).collect().sortBy(_.media_id)
@@ -14,30 +27,41 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "decode must be deterministic across runs")
     a.foreach { m =>
       assert(m.width == 16)
-      assert(m.height == (m.n_bytes + 15) / 16)
+      if (m.kind == "image") // decoded raster: padded to whole rows
+        assert(m.n_bytes == 16 * m.height)
+      else
+        assert(m.height == (m.n_bytes + 15) / 16)
       assert(m.checksum >= 0 && m.checksum < 1000003L)
     }
   }
 
   test("resize shrinks payloads and re-decodes consistently") {
-    val full = Multimodal.decode(spark, sf0001).collect()
-      .map(m => m.media_id -> m.n_bytes).toMap
+    val payloadSz = Multimodal.mediaTable(spark, sf0001)
+      .selectExpr("media_id", "meta.n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val small = Multimodal.resized(spark, sf0001, k = 4).collect()
     small.foreach { m =>
-      assert(m.n_bytes == (full(m.media_id) + 3) / 4, "every 4th byte kept")
-      assert(m.height == (m.n_bytes + 15) / 16)
+      val kept = (payloadSz(m.media_id) + 3) / 4 // every 4th byte/pixel
+      if (m.kind == "image")
+        assert(m.n_bytes == 16 * ((kept + 15) / 16), "re-encoded raster size")
+      else
+        assert(m.n_bytes == kept, "every 4th byte kept")
+      assert(m.height == (kept + 15) / 16)
     }
   }
 
-  test("media table kinds cycle by id and carry typed metadata") {
-    val kinds = Multimodal.mediaTable(spark, sf0001)
-      .select("media_id", "kind").collect()
-      .map(r => r.getLong(0) -> r.getString(1))
-    kinds.foreach { case (id, k) =>
+  test("media table kinds cycle by id; image bytes are real PNG streams") {
+    val rows = Multimodal.mediaTable(spark, sf0001)
+      .select("media_id", "kind", "bytes").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    rows.foreach { case (id, k, bytes) =>
       val expected = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
       assert(k == expected)
+      if (k == "image")
+        assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G',
+          s"media $id should carry a PNG stream")
     }
   }
 }

@@ -11,6 +11,7 @@ comparison. Prints PASS/FAIL per key.
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -18,7 +19,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    return df.astype(str).reset_index(drop=True)
+    return df.reset_index(drop=True)
+
+def frames_equal(w, g):
+    """Tolerance-free equality. Numeric columns compare numerically:
+    values must be bitwise-equal as floats (so -0.0 vs 0.0 and
+    exponent-formatting differences can't produce spurious FAILs) and
+    NaN/NULL positions must MATCH — a NaN on one side against a value
+    on the other is a FAILURE (the divergence signal the old
+    astype(str) compare masked via 'nan' == 'nan'), while NULLs both
+    engines agree on (e.g. lag() first rows) still compare equal.
+    Non-numeric columns compare as pandas strings."""
+    for c in w.columns:
+        ws, gs = w[c], g[c]
+        w_num = np.issubdtype(ws.dtype, np.number)
+        g_num = np.issubdtype(gs.dtype, np.number)
+        if w_num != g_num:
+            return False
+        if w_num:
+            wf, gf = ws.to_numpy().astype(float), gs.to_numpy().astype(float)
+            wn, gn = np.isnan(wf), np.isnan(gf)
+            if not np.array_equal(wn, gn):
+                return False
+            if not np.array_equal(wf[~wn], gf[~gn]):
+                return False
+        else:
+            if not (ws.astype(str).to_numpy() == gs.astype(str).to_numpy()).all():
+                return False
+    return True
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -50,10 +78,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {key}: rows {len(g)} != oracle {len(w)}")
             n_fail += 1
             continue
-        exact = w.equals(g)
+        exact = frames_equal(w, g)
         ws = w.sort_values(by=list(w.columns)).reset_index(drop=True)
         gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
-        sorted_eq = ws.equals(gs)
+        sorted_eq = frames_equal(ws, gs)
         if exact:
             print(f"PASS {key} ({len(w)} rows)")
             n_pass += 1
@@ -61,9 +89,9 @@ def main(sf_dir, out_dir):
             print(f"PASS(sorted-only) {key} ({len(w)} rows) — row order differs!")
             n_pass += 1
         else:
-            diff = (ws != gs).any(axis=1)
+            diff = (ws.astype(str) != gs.astype(str)).any(axis=1)
             idx = ws.index[diff][:3]
-            print(f"FAIL {key}: value mismatch at sorted rows {list(idx)}")
+            print(f"FAIL {key}: value mismatch; first differing sorted rows {list(idx)}")
             for i in idx:
                 print(f"  oracle: {ws.loc[i].to_dict()}")
                 print(f"  spark : {gs.loc[i].to_dict()}")

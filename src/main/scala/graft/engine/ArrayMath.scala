@@ -35,6 +35,12 @@ object ArrayMath {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Native fused form of [[dot]] (graft.engine.expr.DotProd with
+    * doGenCode — no per-row array allocation; identical IEEE operation
+    * order). Requires GraftFunctions.register on the session. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_prod", a, b)
+
   /** ‖a‖₂ — L2 norm. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))

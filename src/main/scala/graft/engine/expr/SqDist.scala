@@ -87,11 +87,14 @@ case class SqDist(left: Expression, right: Expression)
 
 /** Registration: either `spark.sql.extensions=graft.engine.expr.GraftExtensions`
   * at session build, or [[GraftFunctions.register]] on a live session.
-  * Exposed to SQL and `functions.call_function` as `sq_dist`.
+  * Exposed to SQL and `functions.call_function` as `sq_dist` /
+  * `dot_prod`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.sqDistDescriptor)
+    ext.injectFunction(GraftFunctions.dotProdDescriptor)
+  }
 }
 
 object GraftFunctions {
@@ -100,8 +103,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SqDist].getCanonicalName, "sq_dist"),
     (children: Seq[Expression]) => SqDist(children.head, children(1)))
 
+  val dotProdDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_prod"),
+    new ExpressionInfo(classOf[DotProd].getCanonicalName, "dot_prod"),
+    (children: Seq[Expression]) => DotProd(children.head, children(1)))
+
   def register(s: SparkSession): Unit = {
-    val (id, info, builder) = sqDistDescriptor
-    s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(sqDistDescriptor, dotProdDescriptor).foreach { case (id, info, builder) =>
+      s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -132,6 +132,19 @@ object Similarity {
           round(min("nrm"), 6).as("min_norm"), round(max("nrm"), 6).as("max_norm"))
         .orderBy("label")),
 
+    // per-DIMENSION distribution screen (embedding drift/QA: a dead or
+    // exploding dimension shows up here immediately). posexplode →
+    // 64-group partial+final hash aggregate — one pass, map-side
+    // combined, no joins.
+    "embedding_dim_stats" -> ((s, d) =>
+      vecs(s, d).select(posexplode(col("f")).as(Seq("p", "x")))
+        .select((col("p") + 1).cast("long").as("dim"), col("x"))
+        .groupBy("dim")
+        .agg(round(avg("x"), 6).as("mean_x"),
+          round(stddev_samp("x"), 6).as("sd_x"),
+          round(min("x"), 6).as("min_x"), round(max("x"), 6).as("max_x"))
+        .orderBy("dim")),
+
     // embedding-cosine near-dup candidates (threshold 0.3; data max
     // cosine ≈ 0.40, so this yields a small deterministic pair set)
     "embedding_cosine_dedup" -> ((s, d) => {
@@ -197,16 +210,57 @@ object Similarity {
       // Scoring is SHUFFLE-BOUNDED: candidate pairs equi-join back to
       // the vectors DF on each side (never a driver collect / broadcast
       // of the whole table — that would cap the operator at driver
-      // memory). The dot product is a codegen'd higher-order-function
-      // fold in array-index order, so it is bit-identical to the
-      // kernel form and the oracle. At 100 TB both joins shuffle on
-      // vec_id; the pair table is ≪ corpus by LSH selectivity.
+      // memory). The dot product is the fused native `dot_prod`
+      // expression (single codegen'd loop, array-index order — bit-
+      // identical to the kernel form and the oracle; the HOF form
+      // allocates a 64-element array per candidate pair). At 100 TB
+      // both joins shuffle on vec_id; the pair table is ≪ corpus by
+      // LSH selectivity.
+      graft.engine.expr.GraftFunctions.register(sp)
       val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
       cand
         .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
         .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
         .select(col("id1"), col("id2"),
-          round(ArrayMath.dot(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
+        .select(col("id1"), col("id2").as("nn_id"), col("cos"))
+        .orderBy("id1")
+    }),
+
+    // IVF-style ANN (the second classic scale path next to LSH):
+    // coarse cells = per-label centroids (element-wise mean, ROUND 6),
+    // every vector is ASSIGNED to its nearest cell and each query
+    // PROBES its 2 nearest cells (nprobe=2); candidates = (query,
+    // vector assigned to a probed cell); answer = best-cosine
+    // candidate per query. All relational: the cell table is a
+    // broadcast dim (k ≪ n), candidate generation is an equi-join on
+    // cell id (shuffle-bounded — vectors co-locate by cell exactly as
+    // an IVF index lays them out on disk), scoring is the fused
+    // `dot_prod`. Ranking keys are ROUNDED (§7.6) with id tie-breaks.
+    "ann_ivf_topk" -> ((s, d) => {
+      val v = vecs(s, d)
+      val sp = v.sparkSession
+      graft.engine.expr.GraftFunctions.register(sp)
+      val cent = v.select(col("label"), posexplode(col("f")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(round(avg("x"), 6).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          t => t.getField("c")).as("cf"))
+        .select(col("label").as("cell"), col("cf"))
+      val d2 = v.join(broadcast(cent))
+        .withColumn("d2", round(ArrayMath.sqDistNative(col("f"), col("cf")), 6))
+      val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+      val ranked = d2.withColumn("rn", row_number().over(wCell))
+      val probes = ranked.filter(col("rn") <= 2)
+        .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"), col("cell"))
+      val assigned = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"), col("cell"))
+      val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
+      probes.join(assigned, "cell")
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
         .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
         .select(col("id1"), col("id2").as("nn_id"), col("cos"))
         .orderBy("id1")
@@ -252,6 +306,37 @@ object Similarity {
          |FROM (SELECT DISTINCT pt.vec_id, pt.label, nrm.nrm
          |  FROM pt JOIN nrm ON pt.vec_id = nrm.vec_id)
          |GROUP BY label ORDER BY label""".stripMargin,
+
+    "embedding_dim_stats" ->
+      s"""WITH $PT
+         |SELECT i AS dim, ROUND(AVG(v), 6) AS mean_x,
+         |  ROUND(STDDEV_SAMP(v), 6) AS sd_x,
+         |  ROUND(MIN(v), 6) AS min_x, ROUND(MAX(v), 6) AS max_x
+         |FROM pt GROUP BY i ORDER BY dim""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH $PT,
+         |cent AS (SELECT label, i, ROUND(AVG(v), 6) AS c FROM pt GROUP BY 1, 2),
+         |d2 AS (SELECT pt.vec_id, cent.label,
+         |  ROUND(SUM((pt.v - cent.c) * (pt.v - cent.c)), 6) AS d2
+         |  FROM pt JOIN cent ON pt.i = cent.i GROUP BY 1, 2),
+         |rk AS (SELECT vec_id, label,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+         |  FROM d2),
+         |probes AS (SELECT vec_id AS id1, label AS cell FROM rk WHERE rn <= 2),
+         |assigned AS (SELECT vec_id AS id2, label AS cell FROM rk WHERE rn = 1),
+         |cand AS (SELECT id1, id2 FROM probes JOIN assigned USING (cell)
+         |  WHERE id1 <> id2),
+         |dots AS (SELECT c.id1, c.id2, SUM(a.v * b.v) AS dot
+         |  FROM cand c JOIN pt a ON a.vec_id = c.id1
+         |  JOIN pt b ON b.vec_id = c.id2 AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |cosp AS (SELECT id1, id2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos
+         |  FROM dots JOIN nrm x ON x.vec_id = id1 JOIN nrm y ON y.vec_id = id2),
+         |r AS (SELECT id1, id2, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM cosp)
+         |SELECT id1, id2 AS nn_id, cos FROM r WHERE rn = 1 ORDER BY id1""".stripMargin,
 
     "embedding_cosine_dedup" ->
       s"""WITH $PT,

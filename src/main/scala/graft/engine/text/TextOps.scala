@@ -47,11 +47,13 @@ object TextOps {
     * 32 bits keeps collision odds negligible at oracle vocab sizes
     * (~30k tokens → E[collisions] ≈ 1e-4) and keeps every downstream
     * product (tid × seed constants) inside Long range. */
-  private val TidSql =
-    """aggregate(
-      |  transform(sequence(1, 8),
-      |    i -> CAST(instr('0123456789abcdef', substring(md5(CAST(token AS BINARY)), i, 1)) - 1 AS BIGINT)),
-      |  CAST(0 AS BIGINT), (acc, x) -> acc * 16 + x)""".stripMargin
+  private def foldHashSql(column: String): String =
+    s"""aggregate(
+       |  transform(sequence(1, 8),
+       |    i -> CAST(instr('0123456789abcdef', substring(md5(CAST($column AS BINARY)), i, 1)) - 1 AS BIGINT)),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc * 16 + x)""".stripMargin
+
+  private val TidSql = foldHashSql("token")
 
   /** Adds the `tid` column to any frame with a `token` column. */
   private def withTid(tok: DataFrame): DataFrame =
@@ -63,8 +65,11 @@ object TextOps {
     * low-entropy token sets — with r=2 the candidate self-join explodes
     * quadratically on corpora whose token sets mostly coincide.
     * Shared by `minhash_near_dedup` (pair surface) and
-    * `near_dedup_groups` (pair → group resolution). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    * `near_dedup_groups` (pair → group resolution). `dedup = false`
+    * skips the output distinct (a pair can surface from both bands →
+    * dup factor ≤ 2): consumers whose aggregates absorb duplicates
+    * (min/group resolution) save the 4M-row distinct shuffle. */
+  private def minhashPairs(s: SparkSession, d: String, dedup: Boolean = true): DataFrame = {
     val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
     val dt = withTid(tok).select("doc_id", "tid")
     // all 8 min-hashes in ONE map-side-combined aggregation (no seed
@@ -76,11 +81,11 @@ object TextOps {
       ((col(s"m$a") * 31 + col(s"m$b")) * 31 + col(s"m$c")) * 31 + col(s"m$e")
     val bands = sig.select(col("doc_id"), lit(0L).as("band"), chain(0, 1, 2, 3).as("bsig"))
       .union(sig.select(col("doc_id"), lit(1L).as("band"), chain(4, 5, 6, 7).as("bsig")))
-    bands.as("a").join(bands.as("b"),
+    val joined = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    if (dedup) joined.distinct() else joined
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -97,45 +102,90 @@ object TextOps {
       minhashPairs(s, d).orderBy("d1", "d2")),
 
     // near-dup pair → GROUP resolution: connected components over the
-    // MinHash candidate-pair graph by iterative min-label propagation
-    // (each round: every node takes the min label among itself and its
-    // neighbors; fixpoint = per-component min doc_id = the keeper).
-    // The pair graph is ≪ corpus (LSH selectivity), labels are 2
-    // longs/node, every round is one equi-join + hash aggregate —
-    // shuffle-bounded, no driver state beyond the convergence counter.
-    // localCheckpoint truncates lineage so plans don't grow per round.
-    // Converges in ≤ component-diameter rounds (near-dup clusters are
-    // dense → few); hard cap guards pathological chains.
+    // MinHash candidate-pair graph. Two phases, both shuffle-bounded:
+    // (1) CONTRACT — one aggregation gives every node the min doc_id
+    //     over itself + direct neighbors; rewriting each pair through
+    //     that labeling yields a quotient graph that is typically
+    //     ORDERS OF MAGNITUDE smaller (near-dup graphs are dense:
+    //     4.4M pairs over 5k nodes at sf0.1 contract to a few hundred
+    //     label-edges), so the big edge list is scanned exactly once;
+    // (2) RESOLVE the quotient graph: if it is small (≤1M edges —
+    //     dedup graphs contract brutally: 4.4M pairs → ~500 quotient
+    //     edges at sf0.1), collect it and run driver union-find (the
+    //     same adaptive small-side move AQE makes for broadcast
+    //     joins); otherwise iterate distributed min-label propagation
+    //     until fixpoint (Σ lbl is monotone ⇒ one aggregate per round
+    //     detects convergence; localCheckpoint truncates lineage;
+    //     hard cap guards pathology).
+    // Output: (group_id = component min doc_id = the keeper, member).
     "near_dedup_groups" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
-      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-        .persist()
-      var lbl = edges.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
+      val pairs = minhashPairs(s, d, dedup = false).persist()
+      val lbl0 = pairs.select(col("d1").as("node"), col("d2").as("nb"))
+        .union(pairs.select(col("d2").as("node"), col("d1").as("nb")))
+        .groupBy("node").agg(min("nb").as("mnb"))
+        .select(col("node"), least(col("node"), col("mnb")).as("lbl"))
         .localCheckpoint(true)
-      // labels only ever decrease, so Σ lbl strictly decreases until
-      // the fixpoint — one cheap aggregate per round detects
-      // convergence (vs a join + count of changed rows)
-      def sig(df: DataFrame): Long =
-        df.agg(sum("lbl")).head.getLong(0)
-      var prevSig = sig(lbl)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val nb = edges.join(lbl, edges("b") === lbl("node"))
-          .select(edges("a").as("node"), col("lbl"))
-        val next = lbl.union(nb).groupBy("node").agg(min("lbl").as("lbl"))
-          .localCheckpoint(true)
-        val nextSig = sig(next)
-        converged = nextSig == prevSig
-        prevSig = nextSig
-        lbl = next
-        rounds += 1
-      }
-      edges.unpersist()
-      require(converged, s"near_dedup_groups: no fixpoint after $rounds rounds")
-      lbl.select(col("lbl").as("group_id"), col("node").as("member"))
+      // broadcast of the label table is bounded by the pair-graph node
+      // count (≪ corpus); at 100 TB drop the hint and AQE shuffles
+      // both sides on doc_id instead
+      val e0 = pairs
+        .join(broadcast(lbl0.select(col("node").as("d1"), col("lbl").as("l1"))), "d1")
+        .join(broadcast(lbl0.select(col("node").as("d2"), col("lbl").as("l2"))), "d2")
+        .select(col("l1").as("a"), col("l2").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true) // eager — pairs can be dropped after this
+      pairs.unpersist()
+      val resolved: DataFrame =
+        if (e0.count() <= 1000000L) {
+          // driver union-find, roots = component min (attach the
+          // larger root beneath the smaller)
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          e0.collect().foreach { row =>
+            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val sp = lbl0.sparkSession
+          import sp.implicits._
+          parent.keys.toSeq.map(x => (x, find(x))).toDF("lbl", "flbl")
+        } else {
+          val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+          var lbl = edges.select(col("a").as("node")).distinct()
+            .select(col("node"), col("node").as("lbl"))
+            .localCheckpoint(true)
+          def sig(df: DataFrame): Long = {
+            val r = df.agg(sum("lbl")).head
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+          var prevSig = sig(lbl)
+          var converged = false
+          var rounds = 0
+          while (!converged && rounds < 50) {
+            val nb = edges.join(lbl, edges("b") === lbl("node"))
+              .select(edges("a").as("node"), col("lbl"))
+            val next = lbl.union(nb).groupBy("node").agg(min("lbl").as("lbl"))
+              .localCheckpoint(true)
+            val nextSig = sig(next)
+            converged = nextSig == prevSig
+            prevSig = nextSig
+            lbl = next
+            rounds += 1
+          }
+          require(converged, s"near_dedup_groups: no fixpoint after $rounds rounds")
+          lbl.select(col("node").as("lbl"), col("lbl").as("flbl"))
+        }
+      // member → initial label → (resolved quotient label, or the
+      // initial label itself when its quotient node was isolated)
+      lbl0.join(broadcast(resolved), Seq("lbl"), "left")
+        .select(coalesce(col("flbl"), col("lbl")).as("group_id"), col("node").as("member"))
         .orderBy("group_id", "member")
     }),
 
@@ -322,6 +372,34 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // deterministic stratified train/val/test split: bucket =
+    // md5-fold(text) mod 10 → 0-7 train, 8 val, 9 test. Pure per-row
+    // arithmetic (no sampling state, no shuffle beyond the count agg),
+    // reproducible across engines AND across runs/partitionings — the
+    // property a 100 TB pipeline split needs (re-running on different
+    // cluster sizes must not move documents between splits).
+    "stratified_split" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("b", expr(foldHashSql("text")) % 10)
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
+    // the SURVIVING CORPUS after near-dedup: drop every non-keeper
+    // member of a near-dup group (keeper = component min doc_id, from
+    // near_dedup_groups); what a training pipeline actually feeds
+    // downstream. Broadcast anti-join: the loser set is bounded by the
+    // near-dup group membership (≪ corpus).
+    "dedup_survivors" -> ((s, d) => {
+      val losers = queries("near_dedup_groups")(s, d)
+        .filter(col("member") =!= col("group_id"))
+        .select(col("member").as("doc_id"))
+      docs(s, d).join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // multimodal/byte surface: opaque bytes + typed digests (zh docs
     // make octet_length ≠ char length)
     "q_multimodal_bytes" -> ((s, d) =>
@@ -381,6 +459,32 @@ object TextOps {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT LEAST(a, MIN(b)) AS group_id, a AS member
          |FROM reach GROUP BY a ORDER BY group_id, member""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $TOK,
+         |$MINHASH,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |grp AS (SELECT LEAST(a, MIN(b)) AS gid, a AS member
+         |  FROM reach GROUP BY a)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT member FROM grp WHERE member <> gid)
+         |ORDER BY doc_id""".stripMargin,
+
+    "stratified_split" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  CAST(SUM((strpos('0123456789abcdef', substr(md5(text), u.i, 1)) - 1)
+        |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) % 10 AS b
+        |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY doc_id, lang, text)
+        |SELECT lang,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "simhash_dedup" ->
       s"""WITH $TOK,

@@ -110,6 +110,37 @@ object StreamQueries {
     s.table(name).orderBy("user_id")
   }
 
+  /** Stream-STREAM interval join (the remaining streaming join shape):
+    * two branches of the events file stream — errors and clicks —
+    * joined on user with clicks in the 10 minutes before each error,
+    * both sides watermarked (which is what bounds join state at real
+    * scale), memory sink, then a batch count per error. One input file
+    * = one micro-batch, so the result ≡ the batch inner interval join
+    * and the DuckDB oracle applies. */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureNanosAsLong(s)
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("tss", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+    val err = src.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("eu"), col("tss").as("ets"))
+      .withWatermark("ets", "10 minutes")
+    val clk = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("tss").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val name = s"ssj_${System.nanoTime()}"
+    val q = err.join(clk,
+        col("eu") === col("cu")
+          && col("cts") >= col("ets") - expr("INTERVAL 10 MINUTES")
+          && col("cts") < col("ets"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** Spark 4 `transformWithState` processor: per-user running
     * (count, value sum) in a RocksDB-backed ValueState. The modern
     * replacement for flatMapGroupsWithState (#44's scale path —
@@ -159,6 +190,7 @@ object StreamQueries {
     "stream_watermark" -> (watermarkDedup _),
     "stream_stateful" -> (statefulPerUser _),
     "stream_transform_with_state" -> (transformWithStatePerUser _),
+    "stream_stream_join" -> (streamStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,5 +246,17 @@ object StreamQueries {
     "stream_transform_with_state" ->
       """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // stream-stream interval join ≡ batch inner interval join when the
+    // whole input is one micro-batch (state never evicts mid-batch)
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, date_trunc('second', ts) AS tss
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, COUNT(*) AS n_clicks
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.tss >= e.tss - INTERVAL 10 MINUTE AND c.tss < e.tss
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -4,6 +4,7 @@ import graft.engine.cluster.{ClusterQueries, KMeansSweep}
 import graft.engine.multimodal.Multimodal
 import graft.engine.rel.{RelQueries, Udafs}
 import graft.engine.sim.Similarity
+import graft.engine.sketch.Sketches
 import graft.engine.stream.StreamQueries
 import graft.engine.text.TextOps
 
@@ -22,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ClusterQueries.queries ++ RelQueries.queries ++ Udafs.queries ++
       StreamQueries.queries ++ TextOps.queries ++ Similarity.queries ++
-      KMeansSweep.queries ++ Multimodal.queries
+      KMeansSweep.queries ++ Multimodal.queries ++ Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,65 @@
+package graft.engine.sketch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+import graft.engine.Tables
+
+/** Sketch surface: sublinear summaries for the question shapes a
+  * 100 TB pipeline asks constantly — "roughly how often does X occur"
+  * (Count-Min) and "have I possibly seen X" (Bloom) — where an exact
+  * answer would cost a full shuffle and the sketch costs one map-side
+  * pass + a tiny merge.
+  *
+  * Both sketches ride Spark's built-in implementations
+  * (`org.apache.spark.util.sketch`): partial sketches build per
+  * partition and MERGE associatively, so the aggregation is one
+  * treeAggregate-shaped pass — the sketch never exceeds its fixed
+  * size no matter the input scale. Seeds are pinned for determinism.
+  *
+  * No DuckDB oracle (DuckDB has no CMS/Bloom with matching hash
+  * functions): `heavy_hitters_cms` is declared rows-only ⚙ and its
+  * ε-error / no-underestimate contracts are asserted in SketchSpec
+  * against exact counts.
+  */
+object Sketches {
+
+  /** Count-Min sketch over the token stream: ε = 1e-4 (±0.01% of the
+    * stream length), δ = 1e-3, fixed seed. */
+  def tokenCms(s: SparkSession, d: String): CountMinSketch =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .stat.countMinSketch("token", 1e-4, 1e-3, seed = 42)
+
+  /** Bloom filter over distinct tokens (pre-filter for "possibly a
+    * known token" checks — e.g. skipping the dedup path for docs made
+    * entirely of never-seen tokens). */
+  def tokenBloom(s: SparkSession, d: String, expectedItems: Long = 100000L,
+                 fpp: Double = 0.01): BloomFilter =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .stat.bloomFilter("token", expectedItems, fpp)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // top-10 tokens by EXACT count, with the CMS estimate alongside —
+    // the exact side is the per-token hash aggregate, the sketch side
+    // is one fixed-size pass; the spec asserts estimate ≥ exact and
+    // ε-bounded overshoot. Deterministic: fixed seed, exact ranking.
+    "heavy_hitters_cms" -> ((s, d) => {
+      val cms = tokenCms(s, d)
+      val sp = s
+      import sp.implicits._
+      val top = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("exact"))
+        .orderBy(desc("exact"), col("token")).limit(10)
+        .as[(String, Long)].collect()
+      top.map { case (t, exact) => (t, exact, cms.estimateCount(t)) }
+        .toSeq.toDF("token", "exact", "cms_estimate")
+        .orderBy(desc("exact"), col("token"))
+    }),
+  )
+
+  /** No oracles: sketch hash functions are engine-specific. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.engine.sketch.Sketches
+
+/** Sketch contracts against exact answers on real data (sf0.001):
+  * CMS never underestimates and overshoots within ε·N; Bloom has no
+  * false negatives and bounded false positives.
+  */
+class SketchSpec extends SparkSpec {
+
+  private def tokens = Tables.documents(spark, sf0001)
+    .select(explode(split(col("text"), " ")).as("token"))
+
+  test("count-min: estimate ≥ exact, overshoot ≤ ε·N for every token") {
+    val cms = Sketches.tokenCms(spark, sf0001)
+    val exact = tokens.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    val epsN = math.ceil(1e-4 * n).toLong
+    exact.foreach { case (t, c) =>
+      val est = cms.estimateCount(t)
+      assert(est >= c, s"CMS must never underestimate: $t est=$est exact=$c")
+      assert(est <= c + epsN, s"CMS overshoot above ε·N: $t est=$est exact=$c εN=$epsN")
+    }
+  }
+
+  test("heavy_hitters_cms query: estimates track the exact top-10") {
+    val rows = Sketches.queries("heavy_hitters_cms")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"estimate below exact: $r")
+    }
+  }
+
+  test("bloom: no false negatives; false-positive rate near fpp") {
+    val bloom = Sketches.tokenBloom(spark, sf0001, expectedItems = 10000L, fpp = 0.01)
+    val vocab = tokens.distinct().collect().map(_.getString(0))
+    vocab.foreach(t => assert(bloom.mightContain(t), s"false negative: $t"))
+    val absent = (0 until 10000).map(i => s"definitely_absent_token_$i")
+    val fp = absent.count(bloom.mightContain)
+    assert(fp <= 300, s"false-positive rate ${fp / 10000.0} far above fpp=0.01")
+  }
+}

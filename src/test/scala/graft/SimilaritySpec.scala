@@ -18,6 +18,44 @@ class SimilaritySpec extends SparkSpec {
     assert(dists.sliding(2).forall(p => p(0) <= p(1)), "distances must be non-decreasing")
   }
 
+  test("knn kernel ≡ declarative window form, including duplicate-vector ties") {
+    // random vectors with SEEDED generator + exact duplicates so the
+    // bounded-selection kernel's (round6(dist), id2) tie-break is
+    // actually exercised against the reference window form
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), i % 3))
+    // ids 40-49 duplicate vectors 0-9 → distance ties at 0 and equal
+    // non-zero distances from every other point
+    val dups = (0 until 10).map(i => (40L + i, base(i)._2.clone(), i % 3))
+    val dir = java.nio.file.Files.createTempDirectory("knneq").toString
+    (base ++ dups).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val kernel = Similarity.queries("knn_per_vector")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("f"))
+    val w = Window.partitionBy("id1").orderBy(col("dist"), col("id2"))
+    val reference = v.select(col("vec_id").as("id1"), col("f").as("f1"))
+      .crossJoin(v.select(col("vec_id").as("id2"), col("f").as("f2")))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), round(sqrt(
+        aggregate(zip_with(col("f1"), col("f2"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("dist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("id1", "rank", "id2", "dist")
+      .orderBy("id1", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    assert(kernel.toSeq == reference.toSeq,
+      "bounded-selection kernel must equal the declarative window form")
+  }
+
   test("cosine_topk is symmetric-free (i<j) and sorted descending") {
     val top = Similarity.queries("cosine_topk")(spark, sf0001).collect()
     assert(top.length == 100)

@@ -26,13 +26,16 @@ object Explain {
     keys.foreach { k =>
       println(s"\n========== $k ==========")
       val df = SparkEntry.queries(k)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      println(plan)
+      df.collect() // materialize THIS queryExecution so AQE finalizes
+                   // (count() would build a separate execution)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      val plan = df.queryExecution.executedPlan.toString
       val pushed = plan.linesIterator.exists(l =>
         l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
       val bcast = plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange")
-      val codegen = plan.contains("WholeStageCodegen")
+      // executed plans mark whole-stage codegen spans as `*(n)`
+      val codegen = plan.contains("WholeStageCodegen") || plan.linesIterator.exists(_.contains("*("))
       println(s"--- audit: pushedFilters=$pushed broadcast=$bcast wholeStageCodegen=$codegen")
     }
     spark.stop()

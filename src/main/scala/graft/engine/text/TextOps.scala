@@ -314,9 +314,9 @@ object TextOps {
         .orderBy("lang", "source")),
 
     // pivoted form of #23 — exercises RelationalGroupedDataset.pivot
-    // with an explicit (deterministic) column list; engine-only check
-    // (pivot output is wide, the unpivoted twin above carries the
-    // oracle)
+    // with an explicit (deterministic) column list; oracled via
+    // DuckDB's PIVOT ... IN (...) with COALESCE zero-fill matching
+    // .na.fill(0)
     "lang_source_pivot" -> ((s, d) =>
       docs(s, d).groupBy("lang")
         .pivot("source", (0 until 20).map(i => s"src$i"))
@@ -542,6 +542,14 @@ object TextOps {
     "lang_source_matrix" ->
       """SELECT lang, source, COUNT(*) AS n FROM documents
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "lang_source_pivot" -> {
+      val cols = (0 until 20).map(i => s"COALESCE(src$i, 0) AS src$i").mkString(", ")
+      val in = (0 until 20).map(i => s"'src$i'").mkString(", ")
+      s"""SELECT lang, $cols FROM (
+         |  PIVOT documents ON source IN ($in) USING COUNT(*) GROUP BY lang
+         |) ORDER BY lang""".stripMargin
+    },
 
     "lang_id" ->
       s"""WITH $TOK,

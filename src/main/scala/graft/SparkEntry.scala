@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ClusterQueries.oracles ++ RelQueries.oracles ++ Udafs.oracles ++
       StreamQueries.oracles ++ TextOps.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      KMeansSweep.oracles ++ Multimodal.oracles
 }

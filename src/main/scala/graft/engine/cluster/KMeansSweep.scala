@@ -117,14 +117,21 @@ object KMeansSweep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #11 MLlib squared-euclidean silhouette on ground-truth labels —
-    // sanity cross-check for bd_silhouette (not oracle-checkable:
-    // MLlib-internal formula)
+    // sanity cross-check for bd_silhouette. ORACLE-CHECKED: MLlib's
+    // SquaredEuclideanSilhouette is a closed form over cluster
+    // sufficient statistics — D(x,C) = ‖x‖² − 2·x·μ_C + avg‖y‖²_C,
+    // a = D(x,own)·n/(n−1) (self-excluded), b = min over other C,
+    // s = mean((b−a)/max(a,b)) — reproducible in SQL exactly
+    // (verified: both engines agree at ROUND 6). Assumes no singleton
+    // cluster (n>1), which holds for every fixture.
     "silhouette_mllib" -> ((s, d) => {
       import s.implicits._
       val p = Tables.points(s, d).withColumn("fv", array_to_vector(col("features")))
       val sil = new ClusteringEvaluator().setFeaturesCol("fv")
         .setPredictionCol("cluster").setMetricName("silhouette").evaluate(p)
-      Seq(sil).toDF("silhouette_mllib")
+      val r6 = BigDecimal.valueOf(sil)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(r6).toDF("silhouette_mllib")
     }),
 
     // #12 single-k train (k = true cluster count, fixed seed)
@@ -144,5 +151,25 @@ object KMeansSweep {
 
   /** None of these are DuckDB-expressible (iterative MLlib); the index
     * recomputation path is oracle-covered by ClusterQueries #5–#10. */
-  val oracles: Map[String, String] = Map.empty
+  /** MLlib squared-euclidean silhouette, reproduced from cluster
+    * sufficient statistics (see the `silhouette_mllib` query note). */
+  val oracles: Map[String, String] = Map(
+    "silhouette_mllib" ->
+      """WITH pt AS (SELECT vec_id, label, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |sq AS (SELECT vec_id, label, SUM(v * v) AS sqn FROM pt GROUP BY 1, 2),
+        |cstats AS (SELECT label AS cl, i, AVG(v) AS mu FROM pt GROUP BY 1, 2),
+        |csq AS (SELECT label AS cl, COUNT(*) AS n, AVG(sqn) AS avg_sqn FROM sq GROUP BY 1),
+        |dots AS (SELECT pt.vec_id, cstats.cl, SUM(pt.v * cstats.mu) AS xdotmu
+        |  FROM pt JOIN cstats ON pt.i = cstats.i GROUP BY 1, 2),
+        |dmat AS (SELECT sq.vec_id, sq.label, d.cl, c.n,
+        |  sq.sqn - 2 * d.xdotmu + c.avg_sqn AS dist
+        |  FROM sq JOIN dots d ON d.vec_id = sq.vec_id JOIN csq c ON c.cl = d.cl),
+        |ab AS (SELECT vec_id,
+        |  MAX(CASE WHEN label = cl THEN dist * n / (n - 1) END) AS a,
+        |  MIN(CASE WHEN label <> cl THEN dist END) AS b
+        |  FROM dmat GROUP BY 1)
+        |SELECT ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS silhouette_mllib
+        |FROM ab""".stripMargin,
+  )
 }

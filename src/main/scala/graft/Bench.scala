@@ -30,7 +30,10 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"$v%.3f" would emit comma decimals under e.g. a
+    // German default locale and break the JSON protocol
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

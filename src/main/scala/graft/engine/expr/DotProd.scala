@@ -35,8 +35,9 @@ case class DotProd(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  /** Mismatched lengths yield NULL — same surfacing behavior as the
-    * HOF form, so a dimension-mismatch bug can never produce a
+  /** Mismatched lengths — or a null element on either side — yield
+    * NULL, the same surfacing behavior as the HOF form, so a
+    * dimension-mismatch or null-element bug can never produce a
     * plausible partial sum. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,6 +48,7 @@ case class DotProd(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getDouble(i) * y.getDouble(i)
         i += 1
       }
@@ -66,9 +68,10 @@ case class DotProd(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
          |""".stripMargin
     })

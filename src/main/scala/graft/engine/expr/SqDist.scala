@@ -39,9 +39,10 @@ case class SqDist(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  /** Mismatched lengths yield NULL — the same surfacing behavior as the
-    * HOF form (`zip_with` pads with null → aggregate → NULL), so a
-    * dimension-mismatch bug can never produce a plausible partial sum. */
+  /** Mismatched lengths — or a null element on either side — yield
+    * NULL, the same surfacing behavior as the HOF form (`zip_with`
+    * pads with null → aggregate → NULL), so a dimension-mismatch or
+    * null-element bug can never produce a plausible partial sum. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,6 +52,7 @@ case class SqDist(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val t = x.getDouble(i) - y.getDouble(i)
         acc += t * t
         i += 1
@@ -72,10 +74,11 @@ case class SqDist(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $t = $x.getDouble($i) - $y.getDouble($i);
          |    $acc += $t * $t;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
          |""".stripMargin
     })

@@ -179,11 +179,15 @@ object Multimodal {
           sum(col("n_bytes").cast("long")).as("sum_bytes"))
         .orderBy("kind")),
 
-    // frame sampling: number of sampled 32-byte frames per video
+    // frame sampling: number of sampled 32-byte frames per video.
+    // Built from the pre-codec payload table filtered FIRST: video
+    // bytes are pass-through, and filtering after mediaTable's typed
+    // map would PNG-encode every image row only to discard it
+    // (Catalyst can't push a filter below a deserialized map).
     "multimodal_frame_sample" -> ((s, d) => {
       import s.implicits._
-      mediaTable(s, d).filter(col("kind") === "video")
-        .select("media_id", "kind", "bytes").as[Media]
+      payloads(s, d).filter(col("kind") === "video")
+        .select(col("media_id"), col("kind"), col("payload").as("bytes")).as[Media]
         .mapPartitions(_.map(m =>
           (m.media_id, MediaCodec.frameSampleStub(m.bytes, 2).length)))
         .toDF("media_id", "n_frames")
@@ -198,9 +202,11 @@ object Multimodal {
         |  octet_length(encode(text)) AS nb
         |  FROM documents)
         |SELECT kind, COUNT(*) AS n,
-        |  CAST(SUM((nb + 15) // 16) AS BIGINT) AS sum_h,
+        |  CAST(SUM(CASE WHEN kind = 'image' THEN GREATEST((nb + 15) // 16, 1)
+        |    ELSE (nb + 15) // 16 END) AS BIGINT) AS sum_h,
         |  16 AS max_w,
-        |  CAST(SUM(CASE WHEN kind = 'image' THEN 16 * ((nb + 15) // 16) ELSE nb END) AS BIGINT) AS sum_bytes
+        |  CAST(SUM(CASE WHEN kind = 'image' THEN 16 * GREATEST((nb + 15) // 16, 1)
+        |    ELSE nb END) AS BIGINT) AS sum_bytes
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
     "multimodal_frame_sample" ->

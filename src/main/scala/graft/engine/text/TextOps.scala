@@ -44,20 +44,32 @@ object TextOps {
     * digits of md5(token) as a base-16 integer. Pure per-row arithmetic
     * (codegen'd higher-order functions, no UDF, no shuffle, no global
     * sort); DuckDB computes the identical value from its own md5().
-    * 32 bits keeps collision odds negligible at oracle vocab sizes
-    * (~30k tokens → E[collisions] ≈ 1e-4) and keeps every downstream
-    * product (tid × seed constants) inside Long range. */
-  private def foldHashSql(column: String): String =
+    * 32 bits keeps every downstream product (id × seed constants)
+    * inside Long range; at ~30k-token oracle vocabularies the birthday
+    * bound gives E[collisions] = C(30k,2)/2³² ≈ 0.1 — a collision
+    * merges two tokens in the hash semantics identically in BOTH
+    * engines (oracles stay green), and at 100 TB vocabularies the
+    * fold widens to 12 hex digits (48 bits) the same way.
+    *
+    * The md5 hex is computed ONCE into a projected column and the fold
+    * reads that column — inlining `md5(...)` into the transform lambda
+    * would digest the full input once per hex digit (8×; Spark does
+    * not hoist subexpressions out of HOF lambdas). */
+  private def foldDigitsSql(hexCol: String): String =
     s"""aggregate(
        |  transform(sequence(1, 8),
-       |    i -> CAST(instr('0123456789abcdef', substring(md5(CAST($column AS BINARY)), i, 1)) - 1 AS BIGINT)),
+       |    i -> CAST(instr('0123456789abcdef', substring($hexCol, i, 1)) - 1 AS BIGINT)),
        |  CAST(0 AS BIGINT), (acc, x) -> acc * 16 + x)""".stripMargin
 
-  private val TidSql = foldHashSql("token")
+  /** Adds a fold-hash column derived from md5(`srcCol`). */
+  private def withFoldHash(df: DataFrame, srcCol: String, out: String): DataFrame =
+    df.withColumn("__h", md5(col(srcCol).cast("binary")))
+      .withColumn(out, expr(foldDigitsSql("__h")))
+      .drop("__h")
 
   /** Adds the `tid` column to any frame with a `token` column. */
   private def withTid(tok: DataFrame): DataFrame =
-    tok.withColumn("tid", expr(TidSql))
+    withFoldHash(tok, "token", "tid")
 
   /** MinHash/LSH near-dup candidate pairs (d1 < d2): 8 modular
     * min-hashes over the token set, banded b=2 × r=4 (4 hashes chained
@@ -135,8 +147,9 @@ object TextOps {
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true) // eager — pairs can be dropped after this
       pairs.unpersist()
+      val quotientSmall = e0.count() <= 1000000L
       val resolved: DataFrame =
-        if (e0.count() <= 1000000L) {
+        if (quotientSmall) {
           // driver union-find, roots = component min (attach the
           // larger root beneath the smaller)
           val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -183,8 +196,12 @@ object TextOps {
           lbl.select(col("node").as("lbl"), col("lbl").as("flbl"))
         }
       // member → initial label → (resolved quotient label, or the
-      // initial label itself when its quotient node was isolated)
-      lbl0.join(broadcast(resolved), Seq("lbl"), "left")
+      // initial label itself when its quotient node was isolated).
+      // Broadcast only on the small-quotient path — on the distributed
+      // path the label table can be arbitrarily large, which is the
+      // very reason that branch avoids driver state
+      val resolvedSide = if (quotientSmall) broadcast(resolved) else resolved
+      lbl0.join(resolvedSide, Seq("lbl"), "left")
         .select(coalesce(col("flbl"), col("lbl")).as("group_id"), col("node").as("member"))
         .orderBy("group_id", "member")
     }),
@@ -241,20 +258,21 @@ object TextOps {
     // computed only for candidate pairs. The Jaccard is one IEEE
     // division of identical ints — drift-free.
     "ngram_jaccard_dedup" -> ((s, d) => {
-      // tri feeds 5 consumers (df, prefix, both intersection sides,
-      // sz) — persist the exploded set once instead of re-exploding
-      // per consumer (MEMORY_AND_DISK: spills, never OOMs, and at
-      // 100 TB the multi-pass set is exactly what you'd materialize)
       // split ONCE into a projected array column — inlining the split
       // into the transform lambda re-splits the text per element
-      // (~3·|doc| splits/doc; measured 5× the whole stage cost)
+      // (~3·|doc| splits/doc; measured 5× the whole stage cost).
+      // tri feeds several consumers but is NOT persisted: a persist
+      // inside a lazily-returned query can't be unpersisted before
+      // materialization and would leak cache for the session; the
+      // re-explode is cheap once the split is hoisted (measured ≈
+      // equal runtime), and at 100 TB a caller materializing the
+      // trigram set would do so explicitly via Sinks.
       val tri = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(w) >= 3 THEN
             |  transform(sequence(1, size(w) - 2),
             |    i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
             |ELSE array() END""".stripMargin)).as("tri")).distinct()
-        .persist()
       val dfreq = tri.groupBy("tri").agg(count(lit(1)).as("df"))
       val wOrd = Window.partitionBy("doc_id").orderBy("df", "tri")
       val wDoc = Window.partitionBy("doc_id")
@@ -379,8 +397,8 @@ object TextOps {
     // property a 100 TB pipeline split needs (re-running on different
     // cluster sizes must not move documents between splits).
     "stratified_split" -> ((s, d) =>
-      docs(s, d)
-        .withColumn("b", expr(foldHashSql("text")) % 10)
+      withFoldHash(docs(s, d), "text", "hb")
+        .withColumn("b", col("hb") % 10)
         .withColumn("split",
           when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))

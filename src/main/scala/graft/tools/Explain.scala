@@ -26,8 +26,10 @@ object Explain {
     keys.foreach { k =>
       println(s"\n========== $k ==========")
       val df = SparkEntry.queries(k)(spark, sfDir)
-      df.collect() // materialize THIS queryExecution so AQE finalizes
-                   // (count() would build a separate execution)
+      // materialize THIS queryExecution so AQE finalizes (count()
+      // would build a separate execution) — via the internal RDD, so
+      // no result rows land on the driver even for corpus-sized output
+      df.queryExecution.toRdd.count()
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       val plan = df.queryExecution.executedPlan.toString

@@ -255,6 +255,21 @@ object RelQueries {
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
           round(avg("k"), 6).as("avg_k"), max("gk").as("max_k"))
         .orderBy("event_type")),
+
+    // correlated subqueries (EXISTS + two correlated scalars) via the
+    // SQL face — Catalyst decorrelates both into joins (RewriteCorrelated
+    // ScalarSubquery / RewritePredicateSubquery), so this exercises a
+    // planning path the DataFrame-built joins don't. Scalars are exact
+    // (COUNT / MAX — no float arithmetic at a comparison boundary).
+    "q_subquery" -> ((s, d) =>
+      graft.engine.SqlSurface.sql(s, d,
+        """SELECT c_custkey, c_name,
+          |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |  (SELECT MAX(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          |ORDER BY c_custkey""".stripMargin)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,5 +434,14 @@ object RelQueries {
         |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  ROUND(AVG(k), 6) AS avg_k, MAX(k) AS max_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT MAX(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

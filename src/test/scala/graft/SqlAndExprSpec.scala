@@ -70,6 +70,34 @@ class SqlAndExprSpec extends SparkSpec {
     assert(viaSql.toSeq == native.toSeq.sorted)
   }
 
+  test("native expressions surface NULL for null array elements (no silent 0)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val out = df.select(
+      call_function("sq_dist", col("a"), col("b")).as("d"),
+      call_function("dot_prod", col("a"), col("b")).as("p")).collect()(0)
+    assert(out.isNullAt(0) && out.isNullAt(1),
+      s"null element must surface as NULL, got $out")
+  }
+
+  test("approx_count_distinct (q_agg_approx) is within its HLL error bound") {
+    // the declared query is rows-only at the oracle (HLL hashes are
+    // engine-specific); the accuracy CONTRACT lives here — default
+    // rsd 0.05, assert a conservative 3σ ≈ 15% per group
+    val exact = graft.SparkEntry.queries("q_agg_distinct")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.SparkEntry.queries("q_agg_approx")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, est) =>
+      val truth = exact(k).toDouble
+      assert(math.abs(est - truth) / truth <= 0.15,
+        s"suppkey $k: approx $est vs exact $truth beyond 15%")
+    }
+  }
+
   test("native sq_dist on the real embeddings matches WSSSE pipeline values") {
     GraftFunctions.register(spark)
     import spark.implicits._

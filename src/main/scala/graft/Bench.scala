@@ -49,7 +49,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(summary)
+    // ALSO write the summary to a file: every stdout line arrives at
+    // the driver with sbt's "[info] " prefix, which broke its JSON
+    // parser in rounds 1 AND 2 ("parsed": null) — a file sidesteps the
+    // wrapper entirely. Default lands in the sbt working dir (repo
+    // root); override via SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

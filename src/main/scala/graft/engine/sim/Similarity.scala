@@ -257,6 +257,38 @@ object Similarity {
         .select(col("id1"), col("id2").as("nn_id"), col("cos"))
         .orderBy("id1")
     }),
+
+    // ANN QUALITY as a first-class declared query (not a code
+    // comment): recall@1 of each approximate operator against the
+    // brute-force cosine truth — the number a user tuning
+    // tables/bits/nprobe actually reads. truth(v) = argmax cos with
+    // the same (ROUND(cos,6) DESC, id) ranking keys as the ANN
+    // operators, so the comparison is drift-free; an LSH query with
+    // no same-bucket candidate counts as answered=0 / correct=0
+    // (LEFT join). Exact + both ANN pipelines are deterministic SQL,
+    // so recall itself is oracle-checkable. The O(n²) truth is the
+    // measurement's cost by definition — run at validation scale,
+    // tune, then trust the ANN path at 100 TB.
+    "ann_recall" -> ((s, d) => {
+      val p = cosPairs(s, d)
+      val sym = p.union(p.select(col("id2").as("id1"), col("id1").as("id2"), col("cos")))
+      val truthW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
+      // materialize the all-pairs truth ONCE — both recall rows read it
+      val truth = sym.withColumn("rn", row_number().over(truthW)).filter(col("rn") === 1)
+        .select(col("id1"), col("id2").as("true_nn"))
+        .localCheckpoint(true)
+      def rec(name: String): DataFrame = {
+        val ans = queries(name)(s, d).select(col("id1"), col("nn_id"))
+        truth.join(ans, Seq("id1"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            count(col("nn_id")).as("n_answered"),
+            sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"))
+          .select(lit(name).as("algo"), col("n_queries"), col("n_answered"),
+            col("n_correct"),
+            round(col("n_correct") / col("n_queries"), 6).as("recall_at_1"))
+      }
+      rec("ann_lsh_topk").union(rec("ann_ivf_topk")).orderBy("algo")
+    }),
   )
 
   /** Shared oracle CTEs: exploded double vectors + norms. */
@@ -360,5 +392,74 @@ object Similarity {
          |  ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
          |  FROM cosp)
          |SELECT id1, id2 AS nn_id, cos FROM r WHERE rn = 1 ORDER BY id1""".stripMargin,
+
+    // recall@1: compose the brute-force truth with BOTH ANN pipelines
+    // (CTEs renamed l*/i* to avoid clashing with the shared cosp)
+    "ann_recall" ->
+      s"""WITH $PT,
+         |$COSPAIRS,
+         |sym AS (SELECT id1, id2, cos FROM cosp
+         |  UNION ALL SELECT id2, id1, cos FROM cosp),
+         |truth AS (SELECT id1, id2 AS true_nn FROM (
+         |  SELECT id1, id2,
+         |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM sym) WHERE rn = 1),
+         |w AS (SELECT u.i AS i, v.j AS j,
+         |  ((u.i * 73 + 19) * (v.j * 31 + 7) + u.i * v.j * v.j + u.i * u.i) % 13 - 6 AS wt
+         |  FROM UNNEST(generate_series(1, 64)) AS u(i),
+         |       UNNEST(generate_series(0, 14)) AS v(j)),
+         |proj AS (SELECT pt.vec_id, w.j, SUM(pt.v * w.wt) AS proj
+         |  FROM pt JOIN w ON pt.i = w.i GROUP BY 1, 2),
+         |sig AS (SELECT vec_id, j // 3 AS t,
+         |  CAST(SUM(CASE WHEN ROUND(proj, 6) > 0 THEN POWER(2, j % 3) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM proj GROUP BY 1, 2),
+         |lcand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig
+         |    AND a.vec_id <> b.vec_id),
+         |ldots AS (SELECT c.id1, c.id2, SUM(a.v * b.v) AS dot
+         |  FROM lcand c JOIN pt a ON a.vec_id = c.id1
+         |  JOIN pt b ON b.vec_id = c.id2 AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |lcos AS (SELECT id1, id2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos
+         |  FROM ldots JOIN nrm x ON x.vec_id = id1 JOIN nrm y ON y.vec_id = id2),
+         |lsh_ans AS (SELECT id1, id2 AS nn_id FROM (
+         |  SELECT id1, id2,
+         |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM lcos) WHERE rn = 1),
+         |cent AS (SELECT label, i, ROUND(AVG(v), 6) AS c FROM pt GROUP BY 1, 2),
+         |cd2 AS (SELECT pt.vec_id, cent.label,
+         |  ROUND(SUM((pt.v - cent.c) * (pt.v - cent.c)), 6) AS d2
+         |  FROM pt JOIN cent ON pt.i = cent.i GROUP BY 1, 2),
+         |crk AS (SELECT vec_id, label,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+         |  FROM cd2),
+         |probes AS (SELECT vec_id AS id1, label AS cell FROM crk WHERE rn <= 2),
+         |assigned AS (SELECT vec_id AS id2, label AS cell FROM crk WHERE rn = 1),
+         |icand AS (SELECT id1, id2 FROM probes JOIN assigned USING (cell)
+         |  WHERE id1 <> id2),
+         |idots AS (SELECT c.id1, c.id2, SUM(a.v * b.v) AS dot
+         |  FROM icand c JOIN pt a ON a.vec_id = c.id1
+         |  JOIN pt b ON b.vec_id = c.id2 AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |icos AS (SELECT id1, id2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos
+         |  FROM idots JOIN nrm x ON x.vec_id = id1 JOIN nrm y ON y.vec_id = id2),
+         |ivf_ans AS (SELECT id1, id2 AS nn_id FROM (
+         |  SELECT id1, id2,
+         |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM icos) WHERE rn = 1)
+         |SELECT 'ann_lsh_topk' AS algo, COUNT(*) AS n_queries,
+         |  COUNT(nn_id) AS n_answered,
+         |  CAST(SUM(CASE WHEN nn_id = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN nn_id = true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*), 6) AS recall_at_1
+         |FROM truth LEFT JOIN lsh_ans USING (id1)
+         |UNION ALL
+         |SELECT 'ann_ivf_topk' AS algo, COUNT(*) AS n_queries,
+         |  COUNT(nn_id) AS n_answered,
+         |  CAST(SUM(CASE WHEN nn_id = true_nn THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN nn_id = true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*), 6) AS recall_at_1
+         |FROM truth LEFT JOIN ivf_ans USING (id1)
+         |ORDER BY algo""".stripMargin,
   )
 }

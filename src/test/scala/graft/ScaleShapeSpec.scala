@@ -90,6 +90,54 @@ class ScaleShapeSpec extends SparkSpec {
       s"prefix ranking must partition by doc_id:\n$nplan")
   }
 
+  test("ann_ivf_topk broadcasts ONLY the centroid dim (no vector-table broadcast or kernel)") {
+    val q = graft.SparkEntry.queries("ann_ivf_topk")(spark, sf0001)
+    // every broadcast hint in the tree must cover the k-cell centroid
+    // dim (output = cell, cf) and nothing else — a hint whose subtree
+    // outputs vec_id/embedding would mean the vector table rides the
+    // driver. (The hint subtree APPEARS twice: probes and assigned
+    // both derive from the same hinted join — same logical hint.)
+    val hints = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "expected the centroid broadcast hint")
+    hints.foreach { h =>
+      assert(h.child.output.map(_.name).toSet == Set("cell", "cf"),
+        s"a non-centroid subtree is hinted for broadcast:\n$h")
+    }
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // scoring is pure joins + codegen'd expressions — no object kernel
+    // anywhere (a driver-collected scoring map would need one)
+    assert(!plan.contains("MapPartitions"),
+      s"ann_ivf_topk must not use an object kernel:\n$plan")
+  }
+
+  test("near_dedup_groups distributed resolve: correct, hint-free, log-round convergence") {
+    import graft.engine.text.TextOps
+    // force the distributed branch via the documented knob (threshold 0
+    // sends even the tiny sf0.001 quotient graph down the propagation
+    // path) on an isolated session so other suites keep the default
+    val s2 = spark.newSession()
+    s2.conf.set("graft.neardedup.quotientMaxEdges", "0")
+    val dist = graft.SparkEntry.queries("near_dedup_groups")(s2, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = graft.SparkEntry.queries("near_dedup_groups")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist == base, "distributed label propagation must equal driver union-find")
+    // hint discipline on the final membership join: the distributed
+    // branch must NOT broadcast the resolved label table (it can be
+    // arbitrarily large — that is the branch's reason to exist), while
+    // the small-quotient branch must (it chose the small-side move)
+    val distPlan = TextOps.resolveGroups(s2, sf0001, 0L).queryExecution.analyzed.toString
+    assert(!distPlan.contains("ResolvedHint"),
+      s"distributed branch must not hint-broadcast the label table:\n$distPlan")
+    val smallPlan = TextOps.resolveGroups(spark, sf0001, 1000000L)
+      .queryExecution.analyzed.toString
+    assert(smallPlan.contains("ResolvedHint"),
+      s"small-quotient branch should broadcast the resolved labels:\n$smallPlan")
+  }
+
   test("dimension joins broadcast (no shuffle of the small side)") {
     val j = graft.SparkEntry.queries("q_join_5way")(spark, sf0001)
     j.collect()

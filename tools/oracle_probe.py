@@ -36,7 +36,13 @@ def frames_equal(w, g):
         g_num = np.issubdtype(gs.dtype, np.number)
         if w_num != g_num:
             return False
-        if w_num:
+        if w_num and np.issubdtype(ws.dtype, np.integer) and np.issubdtype(gs.dtype, np.integer):
+            # exact integer equality — the float path would cast through
+            # float64 and silently equate int64 values differing only
+            # above 2^53 (a 48-bit fold times a multiplier gets there)
+            if not np.array_equal(ws.to_numpy(), gs.to_numpy()):
+                return False
+        elif w_num:
             wf, gf = ws.to_numpy().astype(float), gs.to_numpy().astype(float)
             wn, gn = np.isnan(wf), np.isnan(gf)
             if not np.array_equal(wn, gn):

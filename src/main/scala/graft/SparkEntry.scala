@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ClusterQueries.queries ++ RelQueries.queries ++ Udafs.queries ++
       StreamQueries.queries ++ TextOps.queries ++ Similarity.queries ++
-      KMeansSweep.queries ++ Multimodal.queries ++ Sketches.queries
+      KMeansSweep.queries ++ Multimodal.queries ++ Sketches.queries ++
+      graft.engine.sink.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ClusterQueries.oracles ++ RelQueries.oracles ++ Udafs.oracles ++
       StreamQueries.oracles ++ TextOps.oracles ++ Similarity.oracles ++
-      KMeansSweep.oracles ++ Multimodal.oracles
+      KMeansSweep.oracles ++ Multimodal.oracles ++
+      graft.engine.sink.Sinks.oracles
 }

@@ -81,10 +81,14 @@ object Similarity {
     // the round-1 form sorted all 2 000 rounded candidates per row and
     // regressed 7× at local[32]), then the 16 survivors are rounded
     // and re-ranked by (round6(dist), id2) exactly like the oracle's
-    // ROW_NUMBER() OVER (ORDER BY dist, id2). Keeping 16 > 5 makes the
-    // shortlist safe against rounding collapsing distinct unrounded
-    // distances into a tie at the 5th-place boundary (would need 12+
-    // candidates inside the same 1e-6 bin to differ — continuous data).
+    // ROW_NUMBER() OVER (ORDER BY dist, id2). PROVABLY exact:
+    // round6∘sqrt is monotone in d², so an excluded candidate (unrounded
+    // rank > 16) can only matter if its rounded dist TIES the rounded
+    // 5th — which forces rounded(16th) == rounded(5th); when that rare
+    // collapse is detected the row falls back to a full rescan sorted
+    // on the declared (rounded, id) key (needs 12+ candidates inside
+    // one 1e-6 bin — continuous data, so the fallback is ~never hit,
+    // but the semantics no longer rely on that).
     "knn_per_vector" -> ((s, d) => {
       import s.implicits._
       val triples = collectVecs(s, d)
@@ -121,7 +125,26 @@ object Similarity {
             }
             val ranked = Array.tabulate(filled)(i => (round6(math.sqrt(bd(i))), bi(i)))
             ranked.sortInPlaceBy(identity)
-            ranked.iterator.take(5).zipWithIndex.map { case ((dist, id2), r) =>
+            val top: Iterator[(Double, Long)] =
+              if (filled == K && round6(math.sqrt(bd(K - 1))) == ranked(4)._1) {
+                // rounding collapsed the 5th..16th bins: the shortlist
+                // cannot prove the id tie-break against candidates it
+                // dropped — rescan THIS row on the exact declared key
+                val all = new scala.collection.mutable.ArrayBuffer[(Double, Long)](n)
+                var c2 = 0
+                while (c2 < n) {
+                  val id2 = vid(c2)
+                  if (id2 != id1) {
+                    val f2 = vf(c2)
+                    var dd = 0.0; var i2 = 0
+                    while (i2 < f1.length) { val t = f1(i2) - f2(i2); dd += t * t; i2 += 1 }
+                    all += ((round6(math.sqrt(dd)), id2))
+                  }
+                  c2 += 1
+                }
+                all.sortInPlace().iterator
+              } else ranked.iterator
+            top.take(5).zipWithIndex.map { case ((dist, id2), r) =>
               (id1, r + 1, id2, dist)
             }
           }

@@ -62,4 +62,41 @@ object Sinks {
     * pruning comes from the layout, not special read code). */
   def readLayout(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** The write surface as a DRIVER-EXERCISED query (round-2 verdict,
+    * "What's missing" #4): write `documents` hive-partitioned on
+    * `lang`, read the layout back, and answer a partition-filtered
+    * aggregate from it. The oracle runs the same aggregate on the
+    * ORIGINAL table, so a round-trip that drops rows, mangles the
+    * partition column, or misreads types hash-mismatches — the
+    * pruning/bucketing PLAN guarantees stay asserted in SinksSpec.
+    * One write per (session, sfDir), memoized like the other shared
+    * intermediates. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_partitioned_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = layoutCache.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$d", _ => {
+          val p = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/docs"
+          writePartitioned(graft.engine.Tables.documents(s, d), p, "lang")
+          p
+        })
+      readLayout(s, path)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
+        .orderBy("source")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sink_partitioned_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+  )
 }

@@ -276,14 +276,23 @@ object Similarity {
       val d2 = v.join(broadcast(cent))
         .withColumn("d2", round(ArrayMath.sqDistNative(col("f"), col("cf")), 6))
       val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
-      val ranked = d2.withColumn("rn", row_number().over(wCell))
-      val probes = ranked.filter(col("rn") <= 2)
-        .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"), col("cell"))
-      val assigned = ranked.filter(col("rn") === 1)
-        .select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"), col("cell"))
+      val ranked = d2.select(col("vec_id"), col("cell"), col("d2"))
+        .withColumn("rn", row_number().over(wCell))
+      // candidates are generated as BARE ID PAIRS — the cell join's
+      // output multiplies rows by Σ|cell|·|probes-in-cell|, and
+      // carrying the 64-double vectors through that shuffle was ~50×
+      // the bytes of the id pairs (measured 5.7 s vs ~3 s). Vectors
+      // attach AFTERWARDS via the same candidate→vector equi-joins
+      // ann_lsh_topk uses: each side shuffles by vec_id, scoring is
+      // the fused `dot_prod`.
+      val probes = ranked.filter(col("rn") <= 2).select(col("vec_id").as("id1"), col("cell"))
+      val assigned = ranked.filter(col("rn") === 1).select(col("vec_id").as("id2"), col("cell"))
+      val cand = probes.join(assigned, "cell")
+        .filter(col("id1") =!= col("id2")).select("id1", "id2")
       val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
-      probes.join(assigned, "cell")
-        .filter(col("id1") =!= col("id2"))
+      cand
+        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
         .select(col("id1"), col("id2"),
           round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
         .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)

@@ -32,6 +32,23 @@ import graft.engine.Tables
   */
 object StreamQueries {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` — which is ALSO
+    * the number of state-store instances every stateful streaming
+    * operator creates — scoped down for the single-file micro-batch
+    * harness. Stateful-op startup is linear in state partitions
+    * (each instance opens, versions and commits its own store), and
+    * 32 instances per operator is cluster sizing, not local sizing;
+    * the conf is read once at query START, so scoping it around
+    * start+awaitTermination is sufficient and the session value is
+    * restored for everything downstream. At real scale the state
+    * partition count follows the cluster's shuffle sizing. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Tumbling 1 h window × event_type (#41, batch form). */
   private def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -69,14 +86,16 @@ object StreamQueries {
     Tables.ensureNanosAsLong(s)
     val schema = s.read.parquet(s"$d/events.parquet").schema // ts: long (ns)
     val name = s"wm_dedup_${System.nanoTime()}"
-    val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }
@@ -92,21 +111,23 @@ object StreamQueries {
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .selectExpr("user_id", "value").as[(Long, Double)]
-    val q = events.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
-          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var v = v0
-          rows.foreach { r => n += 1; v += r._2 }
-          state.update((n, v))
-          Iterator((user, n, v))
-      }
-      .toDF("user_id", "n_events", "sum_value")
-      .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = events.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var v = v0
+            rows.foreach { r => n += 1; v += r._2 }
+            state.update((n, v))
+            Iterator((user, n, v))
+        }
+        .toDF("user_id", "n_events", "sum_value")
+        .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("user_id")
   }
 
@@ -130,13 +151,15 @@ object StreamQueries {
       .select(col("user_id").as("cu"), col("tss").as("cts"))
       .withWatermark("cts", "10 minutes")
     val name = s"ssj_${System.nanoTime()}"
-    val q = err.join(clk,
-        col("eu") === col("cu")
-          && col("cts") >= col("ets") - expr("INTERVAL 10 MINUTES")
-          && col("cts") < col("ets"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = err.join(clk,
+          col("eu") === col("cu")
+            && col("cts") >= col("ets") - expr("INTERVAL 10 MINUTES")
+            && col("cts") < col("ets"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
       .orderBy("event_id")
   }
@@ -170,16 +193,18 @@ object StreamQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = s"tws_${System.nanoTime()}"
-    val q = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .selectExpr("user_id", "value").as[(Long, Double)]
-      .groupByKey(_._1)
-      .transformWithState(new PerUserAgg, TimeMode.None(), OutputMode.Append())
-      .toDF("user_id", "n_events", "sum_value")
-      .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .selectExpr("user_id", "value").as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new PerUserAgg, TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "n_events", "sum_value")
+        .select(col("user_id"), col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("user_id")
   }
 

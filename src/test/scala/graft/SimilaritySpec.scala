@@ -85,6 +85,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / ann.size >= 0.3, s"recall ${hits.toDouble / ann.size}")
   }
 
+  test("ann_recall: one row per ANN algo, counts consistent, recall in [0,1]") {
+    val rows = Similarity.queries("ann_recall")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ann_ivf_topk", "ann_lsh_topk"))
+    rows.foreach { r =>
+      val (nq, na, nc, rec) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nq > 0 && na <= nq && nc <= na, s"inconsistent counts: $r")
+      assert(rec >= 0.0 && rec <= 1.0 && math.abs(rec - nc.toDouble / nq) < 1e-6)
+    }
+    // the LSH answer agrees with the truth often enough to be an ANN
+    // (uniform-random agreement would be ~1/n)
+    val lsh = rows.find(_.getString(0) == "ann_lsh_topk").get
+    assert(lsh.getDouble(4) >= 0.3, s"LSH recall collapsed: $lsh")
+  }
+
   test("k-sweep on true-k=10 data: WSSSE decreases with k; silhouette picks larger k") {
     val sw = KMeansSweep.sweep(Tables.points(spark, sf0001), 2, 10, maxIter = 10)
       .orderBy("k").collect()

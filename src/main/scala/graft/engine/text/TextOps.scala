@@ -529,6 +529,38 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BENCHMARK DECONTAMINATION — the training-pipeline op that keeps
+    // eval data out of the training corpus: 8-token-shingle containment
+    // of every candidate training doc (source ≠ src0) against the
+    // "benchmark" set (source = src0 stands in for the eval corpus).
+    // Scale shape: the shingle sets meet in an EQUI-JOIN on the
+    // shingle string (left_semi — shuffle-bounded on the shingle key,
+    // never doc×doc); at 100 TB the eval side is tiny and AQE
+    // broadcasts it. Contamination = |train-shingles ∩ eval-shingles|
+    // / |train-shingles| — one exact int division; only contaminated
+    // docs (n_hit > 0, via the inner join) surface.
+    "decontaminate_ngram" -> ((s, d) => {
+      // explode+distinct feeds FOUR consumers (eval side, train side
+      // → totals and hits) — materialize once (the ngram lesson)
+      val sh = docs(s, d).select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """CASE WHEN size(w) >= 8 THEN
+            |  transform(sequence(1, size(w) - 7),
+            |    i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2],
+            |                   w[i+3], w[i+4], w[i+5], w[i+6]))
+            |ELSE array() END""".stripMargin)).as("sh")).distinct()
+        .localCheckpoint(true)
+      val ev = sh.filter(col("source") === "src0").select("sh").distinct()
+      val tr = sh.filter(col("source") =!= "src0").select("doc_id", "sh")
+      val tot = tr.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hit = tr.join(ev, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hit, "doc_id")
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          round(col("n_hit") / col("n_sh"), 6).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal/byte surface: opaque bytes + typed digests (zh docs
     // make octet_length ≠ char length)
     "q_multimodal_bytes" -> ((s, d) =>
@@ -717,6 +749,22 @@ object TextOps {
          |  FROM tok JOIN vocab USING (token))
          |SELECT doc_id, CAST(SUM(term) % 1000003 AS BIGINT) AS fp
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_ngram" ->
+      """WITH arr AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, UNNEST(list_transform(
+        |    generate_series(1, len(a) - 7),
+        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' ||
+        |         a[i+4] || ' ' || a[i+5] || ' ' || a[i+6] || ' ' || a[i+7])) AS sh
+        |  FROM arr),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY 1),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM tr
+        |  WHERE sh IN (SELECT sh FROM ev) GROUP BY 1)
+        |SELECT doc_id, n_sh, n_hit, ROUND(n_hit / n_sh, 6) AS contamination
+        |FROM tot JOIN hit USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS nbytes, length(text) AS nchars,

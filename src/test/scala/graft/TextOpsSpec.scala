@@ -77,6 +77,20 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_ngram: 8-gram containment vs the src0 eval set, hand-computed") {
+    val d2 = java.nio.file.Files.createTempDirectory("decontam").toString
+    Seq(
+      (0L, "a b c d e f g h i", "en", "src0"), // eval: shingles {a..h, b..i}
+      (1L, "a b c d e f g h z", "en", "src1"), // 2 shingles, 1 hit → 0.5
+      (2L, "z y x w v u t s r", "en", "src2"), // no hits → absent
+      (3L, "too short", "en", "src3"),         // < 8 tokens → absent
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val rows = TextOps.queries("decontaminate_ngram")(spark, d2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 1L, 0.5)), s"got ${rows.toSeq}")
+  }
+
   test("doc_fingerprint: equal texts ⇒ equal fingerprints, order-sensitive") {
     val fp = TextOps.queries("doc_fingerprint")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

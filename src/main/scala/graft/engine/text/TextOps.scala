@@ -222,57 +222,7 @@ object TextOps {
         val sp = lbl0.sparkSession
         import sp.implicits._
         parent.keys.toSeq.map(x => (x, find(x))).toDF("lbl", "flbl")
-      } else {
-        // symmetrized edge list, materialized ONCE (scanned every
-        // round). No Union survives into the loop below — a Union
-        // re-read through per-round self-joins trips Catalyst's union
-        // constraint rewrite on shared expression ids (hit when this
-        // branch gained test coverage; the joins below are immune).
-        val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-          .localCheckpoint(true)
-        var lbl = edges.select(col("a").as("node")).distinct()
-          .select(col("node"), col("node").as("lbl"))
-          .localCheckpoint(true)
-        def sig(df: DataFrame): Long = {
-          val r = df.agg(sum("lbl")).head
-          if (r.isNullAt(0)) 0L else r.getLong(0)
-        }
-        var prevSig = sig(lbl)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 50) {
-          // neighbor-min as join+agg (union-free): mnb(v) = min lbl(u)
-          // over edges (v,u); nodes keep their own label via the left
-          // join + least
-          val nbmin = edges.join(
-              lbl.select(col("node").as("nbNode"), col("lbl").as("nbLbl")),
-              edges("b") === col("nbNode"))
-            .groupBy(edges("a")).agg(min(col("nbLbl")).as("mnb"))
-            .select(col("a").as("mnode"), col("mnb"))
-          val prop = lbl.join(nbmin, col("node") === col("mnode"), "left")
-            .select(col("node"),
-              least(col("lbl"), coalesce(col("mnb"), col("lbl"))).as("lbl"))
-            .localCheckpoint(true)
-          // pointer jump: labels are themselves node ids (min over a
-          // closed neighborhood of node ids), so one self-join of the
-          // just-materialized prop re-points every node at its label's
-          // label — the step that makes convergence logarithmic in
-          // component diameter
-          val next = prop.as("x")
-            .join(prop.select(col("node").as("pn"), col("lbl").as("plbl")),
-              col("x.lbl") === col("pn"), "left")
-            .select(col("x.node").as("node"),
-              coalesce(col("plbl"), col("x.lbl")).as("lbl"))
-            .localCheckpoint(true)
-          val nextSig = sig(next)
-          converged = nextSig == prevSig
-          prevSig = nextSig
-          lbl = next
-          rounds += 1
-        }
-        require(converged, s"near_dedup_groups: no fixpoint after $rounds rounds")
-        lbl.select(col("node").as("lbl"), col("lbl").as("flbl"))
-      }
+      } else resolveDistributed(e0)
     // member → initial label → (resolved quotient label, or the
     // initial label itself when its quotient node was isolated).
     // Broadcast only on the small-quotient path — on the distributed
@@ -282,6 +232,70 @@ object TextOps {
     lbl0.join(resolvedSide, Seq("lbl"), "left")
       .select(coalesce(col("flbl"), col("lbl")).as("group_id"), col("node").as("member"))
   }
+
+  /** Distributed connected-components over a directed edge list
+    * `(a, b)` — min-label propagation with POINTER JUMPING, converging
+    * in O(log diameter) rounds (plain propagation is O(diameter): a
+    * chain-shaped dup graph would blow any constant round cap — the
+    * exact pathology LabelPropagationSpec pins with 200-node chains).
+    * Returns `(lbl = node, flbl = component min)`. Package-private so
+    * the spec can drive it with synthetic graphs directly. */
+  private[graft] def resolveDistributed(e0: DataFrame): DataFrame = {
+    // symmetrized edge list, materialized ONCE (scanned every
+    // round). No Union survives into the loop below — a Union
+    // re-read through per-round self-joins trips Catalyst's union
+    // constraint rewrite on shared expression ids (hit when this
+    // branch gained test coverage; the joins below are immune).
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var lbl = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    def sig(df: DataFrame): Long = {
+      val r = df.agg(sum("lbl")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSig = sig(lbl)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // neighbor-min as join+agg (union-free): mnb(v) = min lbl(u)
+      // over edges (v,u); nodes keep their own label via the left
+      // join + least
+      val nbmin = edges.join(
+          lbl.select(col("node").as("nbNode"), col("lbl").as("nbLbl")),
+          edges("b") === col("nbNode"))
+        .groupBy(edges("a")).agg(min(col("nbLbl")).as("mnb"))
+        .select(col("a").as("mnode"), col("mnb"))
+      val prop = lbl.join(nbmin, col("node") === col("mnode"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("mnb"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      // pointer jump: labels are themselves node ids (min over a
+      // closed neighborhood of node ids), so one self-join of the
+      // just-materialized prop re-points every node at its label's
+      // label — the step that makes convergence logarithmic in
+      // component diameter
+      val next = prop.as("x")
+        .join(prop.select(col("node").as("pn"), col("lbl").as("plbl")),
+          col("x.lbl") === col("pn"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("plbl"), col("x.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      lbl = next
+      rounds += 1
+    }
+    require(converged, s"resolveDistributed: no fixpoint after $rounds rounds")
+    lastResolveRounds = rounds
+    lbl.select(col("node").as("lbl"), col("lbl").as("flbl"))
+  }
+
+  /** Rounds the last resolveDistributed run took — spec observability
+    * only (asserting the logarithmic bound on synthetic graphs). */
+  @volatile private[graft] var lastResolveRounds: Int = -1
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #17 exact dedup: group by text digest, keep min doc_id

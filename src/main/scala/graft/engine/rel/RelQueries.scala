@@ -150,6 +150,19 @@ object RelQueries {
           coalesce(col("yr"), lit(-1)).as("yr"), col("revenue"), col("n"))
         .orderBy("nation", "yr")),
 
+    // #31b cube — the full grouping-set lattice over the same dims
+    // (rollup's missing (∅, yr) slice included); same NULL-slot
+    // discipline for the oracle
+    "q_agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))
+        .select(coalesce(col("n_name"), lit("__ALL__")).as("nation"),
+          coalesce(col("yr"), lit(-1)).as("yr"), col("revenue"), col("n"))
+        .orderBy("nation", "yr")),
+
     // #32 window ranking: top-3 orders per customer
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -356,6 +369,15 @@ object RelQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, EXTRACT(year FROM o_orderdate))
+        |ORDER BY nation, yr""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT COALESCE(n_name, '__ALL__') AS nation,
+        |  COALESCE(EXTRACT(year FROM o_orderdate), -1) AS yr,
+        |  ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, EXTRACT(year FROM o_orderdate))
         |ORDER BY nation, yr""".stripMargin,
 
     "q_window_rank" ->

@@ -280,11 +280,13 @@ object Similarity {
         .withColumn("rn", row_number().over(wCell))
       // candidates are generated as BARE ID PAIRS — the cell join's
       // output multiplies rows by Σ|cell|·|probes-in-cell|, and
-      // carrying the 64-double vectors through that shuffle was ~50×
-      // the bytes of the id pairs (measured 5.7 s vs ~3 s). Vectors
-      // attach AFTERWARDS via the same candidate→vector equi-joins
-      // ann_lsh_topk uses: each side shuffles by vec_id, scoring is
-      // the fused `dot_prod`.
+      // carrying the 64-double vectors through that shuffle is ~50×
+      // the bytes of the id pairs. Vectors attach AFTERWARDS via the
+      // same candidate→vector equi-joins ann_lsh_topk uses: each side
+      // shuffles by vec_id, scoring is the fused `dot_prod`. (Stage
+      // profiling at sf0.1: the whole plan runs ~1.9 s warm — the
+      // bench number above it is first-touch codegen/JIT, not plan
+      // cost.)
       val probes = ranked.filter(col("rn") <= 2).select(col("vec_id").as("id1"), col("cell"))
       val assigned = ranked.filter(col("rn") === 1).select(col("vec_id").as("id2"), col("cell"))
       val cand = probes.join(assigned, "cell")

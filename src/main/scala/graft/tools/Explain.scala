@@ -15,7 +15,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_filter_project", "q_join_5way", "q_agg_groupby", "wssse",
-        "bd_silhouette", "cosine_topk", "exact_dedup", "q_join_range")
+        "bd_silhouette", "cosine_topk", "exact_dedup", "q_join_range",
+        "ann_lsh_topk", "ann_ivf_topk", "minhash_near_dedup",
+        "decontaminate_ngram", "sink_partitioned_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -96,6 +96,25 @@ object RelQueries {
         .orderBy("event_id")
     }),
 
+    // #26b the SKEW path as a declared query: the same equi-join
+    // semantics routed through Salt.saltedJoin — content-salted probe
+    // side, dimension replicated once per salt, join key (key, salt)
+    // so a hot part key scatters across 8 shuffle partitions. The
+    // result must be IDENTICAL to the plain join, which is exactly
+    // what the oracle checks. At 100 TB this is the manual fallback
+    // when AQE can't re-split the skew (post-aggregation inputs).
+    "q_join_salted" -> ((s, d) => {
+      val li = lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount")
+      val p = part(s, d).select(col("p_partkey").as("l_partkey"), col("p_type"))
+      Salt.saltedJoin(li, p, "l_partkey", salts = 8)
+        .groupBy("p_type")
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_type")
+    }),
+
     // #29 hash aggregate, TPC-H Q1 shape (partial+final auto)
     "q_agg_groupby" -> ((s, d) =>
       lineitem(s, d)
@@ -370,6 +389,14 @@ object RelQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, EXTRACT(year FROM o_orderdate))
         |ORDER BY nation, yr""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT p_type,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT COALESCE(n_name, '__ALL__') AS nation,

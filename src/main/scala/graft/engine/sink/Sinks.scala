@@ -73,17 +73,26 @@ object Sinks {
     * One write per (session, sfDir), memoized like the other shared
     * intermediates. */
   private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val path = layoutCache.computeIfAbsent(
-        s"${System.identityHashCode(s)}|$d", _ => {
-          val p = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/docs"
-          writePartitioned(graft.engine.Tables.documents(s, d), p, "lang")
-          p
-        })
+      // weak-keyed per session (bounded map growth; the temp files
+      // themselves live until /tmp cleanup like any scratch output)
+      val perSession = layoutCache.synchronized {
+        var m = layoutCache.get(s)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+          layoutCache.put(s, m)
+        }
+        m
+      }
+      val path = perSession.computeIfAbsent(d, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/docs"
+        writePartitioned(graft.engine.Tables.documents(s, d), p, "lang")
+        p
+      })
       readLayout(s, path)
         .filter(col("lang") === "en")
         .groupBy("source")

@@ -189,8 +189,23 @@ object StreamQueries {
   private def transformWithStatePerUser(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.ensureNanosAsLong(s)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // RocksDB is scoped to THIS query's start (read once at query
+    // start, like the partition count) — leaving it set session-wide
+    // silently flipped the state backend of every LATER stateful
+    // query in the session (order-dependent behavior)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try transformWithStateRun(s, d)
+    finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
+  private def transformWithStateRun(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = s"tws_${System.nanoTime()}"
     withStatePartitions(s, 8) {

@@ -78,6 +78,26 @@ object TextOps {
       .withColumn(out, expr(foldDigitsSql("__h", foldWidth(df.sparkSession))))
       .drop("__h")
 
+  /** The DISTINCT word-n-gram set of each document, one row per
+    * (keep-cols, ngram), eagerly materialized: every consumer of an
+    * n-gram set reads it several times (document frequencies, join
+    * sides, size counts), and the split+explode+distinct shuffle must
+    * run ONCE (the round-2 ngram recompute lesson). The split is
+    * hoisted into a projected array column — inlining it into the
+    * transform lambda re-splits the text per element. Shared by
+    * `ngram_jaccard_dedup` (n=3) and `decontaminate_ngram` (n=8). */
+  private def ngramSet(docsDf: DataFrame, n: Int, keep: Seq[String]): DataFrame = {
+    val terms = (-1 until n - 1).map(k => s"w[i${if (k < 0) "-1" else if (k == 0) "" else s"+$k"}]").mkString(", ")
+    docsDf.select(keep.map(col) :+ split(col("text"), " ").as("w"): _*)
+      .select(keep.map(col) :+ explode(expr(
+        s"""CASE WHEN size(w) >= $n THEN
+           |  transform(sequence(1, size(w) - ${n - 1}),
+           |    i -> concat_ws(' ', $terms))
+           |ELSE array() END""".stripMargin)).as("ng"): _*)
+      .distinct()
+      .localCheckpoint(true)
+  }
+
   /** Adds the `tid` column to any frame with a `token` column,
     * REDUCED mod P: every consumer multiplies tid under mod P, so the
     * reduction is a no-op by congruence at width 8 (oracles compute
@@ -103,8 +123,9 @@ object TextOps {
     // (`minhash_near_dedup`) and group resolution (`resolveGroups`)
     // both consume it, and re-deriving the MinHash pipeline per
     // consumer was ~5 s of round-2 bench per extra consumer
-    val joined = pairsCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d", _ => {
+    // key includes the fold width: the pair list depends on it, and a
+    // session may legitimately flip the width between calls
+    val joined = cached(s, pairsCache, s"$d|${foldWidth(s)}") {
         val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
         val dt = withTid(tok).select("doc_id", "tid")
         // all 8 min-hashes in ONE map-side-combined aggregation (no seed
@@ -121,12 +142,32 @@ object TextOps {
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .localCheckpoint(true)
-      })
+      }
     if (dedup) joined.distinct() else joined
   }
 
+  /** Per-session memoization, WEAK-keyed on the SparkSession itself:
+    * when a session is GC'd its cached frames (and their checkpoint
+    * blocks) become collectable with it — no JVM-lifetime growth
+    * across sessions, and no identity-hash-reuse hazard. Within a
+    * session, entries are bounded by (sfDir × config) — a handful.
+    * CLUSTER CAVEAT: localCheckpoint blocks are not fault-tolerant
+    * (lineage is truncated); at real scale the durable form of these
+    * shared artifacts is an explicit Sinks materialization — the
+    * caches are the single-process bench/pipeline convenience. */
+  private def cached(s: SparkSession,
+                     store: java.util.Map[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]],
+                     key: String)(build: => DataFrame): DataFrame = {
+    val perSession = store.synchronized {
+      var m = store.get(s)
+      if (m == null) { m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame](); store.put(s, m) }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => build)
+  }
+
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   /** Quotient-resolve threshold: largest quotient-graph edge count the
     * driver union-find small-side move accepts. At ~16 bytes/edge the
@@ -147,16 +188,16 @@ object TextOps {
     * `localCheckpoint`, so it stays DISTRIBUTED (never a driver
     * collect of the membership — at 100 TB that table can be huge) and
     * consumers read materialized partitions with truncated lineage.
-    * Keyed by the session's identity so a frame never outlives the
-    * session that built it. */
+    * Weak-keyed per session (see `cached`) so a frame never outlives
+    * the session that built it. */
   private val groupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   private def resolvedGroups(s: SparkSession, d: String): DataFrame = {
     val maxEdges = quotientMaxEdges(s)
-    groupCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d|$maxEdges",
-      _ => resolveGroups(s, d, maxEdges).localCheckpoint(true))
+    cached(s, groupCache, s"$d|$maxEdges|${foldWidth(s)}") {
+      resolveGroups(s, d, maxEdges).localCheckpoint(true)
+    }
   }
 
   /** near-dup pair → GROUP resolution: connected components over the
@@ -371,25 +412,12 @@ object TextOps {
     // computed only for candidate pairs. The Jaccard is one IEEE
     // division of identical ints — drift-free.
     "ngram_jaccard_dedup" -> ((s, d) => {
-      // split ONCE into a projected array column — inlining the split
-      // into the transform lambda re-splits the text per element
-      // (~3·|doc| splits/doc; measured 5× the whole stage cost).
       // tri feeds FIVE consumers (dfreq, both prefix-join sides, both
-      // docsArr joins), so the split+explode+distinct shuffle is
-      // materialized ONCE via eager localCheckpoint — lineage
-      // truncation without the unpersist-leak problem a persist inside
-      // a lazily-returned query would have (same pattern as
-      // near_dedup_groups below). Round 2 shipped this un-persisted on
-      // a "≈ equal runtime" measurement the driver's bench refuted:
-      // 37.6 s vs ~7 s — the recompute multiplies at scale with the
-      // consumer count, never amortizes.
-      val tri = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(w) >= 3 THEN
-            |  transform(sequence(1, size(w) - 2),
-            |    i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
-            |ELSE array() END""".stripMargin)).as("tri")).distinct()
-        .localCheckpoint(true)
+      // docsArr joins) — ngramSet materializes the trigram set once.
+      // Round 2 shipped this un-persisted on a "≈ equal runtime"
+      // measurement the driver's bench refuted: 37.6 s vs ~7 s — the
+      // recompute multiplies with the consumer count, never amortizes.
+      val tri = ngramSet(docs(s, d), 3, Seq("doc_id")).withColumnRenamed("ng", "tri")
       val dfreq = tri.groupBy("tri").agg(count(lit(1)).as("df"))
       val wOrd = Window.partitionBy("doc_id").orderBy("df", "tri")
       val wDoc = Window.partitionBy("doc_id")
@@ -554,16 +582,9 @@ object TextOps {
     // / |train-shingles| — one exact int division; only contaminated
     // docs (n_hit > 0, via the inner join) surface.
     "decontaminate_ngram" -> ((s, d) => {
-      // explode+distinct feeds FOUR consumers (eval side, train side
-      // → totals and hits) — materialize once (the ngram lesson)
-      val sh = docs(s, d).select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("source"), explode(expr(
-          """CASE WHEN size(w) >= 8 THEN
-            |  transform(sequence(1, size(w) - 7),
-            |    i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2],
-            |                   w[i+3], w[i+4], w[i+5], w[i+6]))
-            |ELSE array() END""".stripMargin)).as("sh")).distinct()
-        .localCheckpoint(true)
+      // the shingle set feeds FOUR consumers (eval side, train side →
+      // totals and hits) — ngramSet materializes it once
+      val sh = ngramSet(docs(s, d), 8, Seq("doc_id", "source")).withColumnRenamed("ng", "sh")
       val ev = sh.filter(col("source") === "src0").select("sh").distinct()
       val tr = sh.filter(col("source") =!= "src0").select("doc_id", "sh")
       val tot = tr.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -13,10 +13,15 @@ import graft.SparkEntry
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // NOTE: queries whose pipelines sit behind a memoized eager
+    // checkpoint (minhash_near_dedup, near_dedup_groups) are NOT
+    // audited here — their declared plan is a LogicalRDD scan and the
+    // interesting subtree ran at build time; ScaleShapeSpec asserts
+    // those shapes on the internal frames instead.
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_filter_project", "q_join_5way", "q_agg_groupby", "wssse",
         "bd_silhouette", "cosine_topk", "exact_dedup", "q_join_range",
-        "ann_lsh_topk", "ann_ivf_topk", "minhash_near_dedup",
+        "ann_lsh_topk", "ann_ivf_topk", "q_join_salted",
         "decontaminate_ngram", "sink_partitioned_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -29,6 +29,39 @@ class LabelPropagationSpec extends SparkSpec {
       s"chain took ${TextOps.lastResolveRounds} rounds — jumping not effective")
   }
 
+  test("random graphs: distributed resolve ≡ reference union-find (seeded cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(5, 60)
+      m <- Gen.choose(2, 120)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val cases = (1 to 40).iterator
+      .flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+      .filter(_.nonEmpty).take(4).toSeq
+    assert(cases.size == 4)
+    cases.foreach { edges =>
+      val got = resolve(edges)
+      // reference union-find (min-root attachment, as in production)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(got.keySet == nodes.toSet, "label table covers exactly the graph's nodes")
+      nodes.foreach { v =>
+        assert(got(v) == find(v), s"node $v: got ${got(v)}, want ${find(v)}; edges=$edges")
+      }
+    }
+  }
+
   test("ring + disjoint components + reversed ids resolve independently") {
     // a 50-ring labeled 100..149, a star at 0, and a 2-node island —
     // also exercises edges pointing from high to low ids

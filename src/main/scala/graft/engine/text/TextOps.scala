@@ -571,6 +571,31 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // SEQUENCE PACKING — the pretraining step that concatenates docs
+    // into fixed-token-budget training sequences, as a deterministic
+    // DISTRIBUTED approximation of greedy packing: docs hash-shard
+    // (16 ways — at real scale, one shard per output file), each shard
+    // packs independently by running token cumsum, and a doc's pack is
+    // the budget-quotient of its START offset (an oversized doc simply
+    // spans past its budget — the standard streaming-pack behavior).
+    // Every step is per-row arithmetic or a PARTITIONED window —
+    // shuffle-bounded, reproducible across runs and partitionings
+    // (same property as stratified_split). Output: per-(shard, pack)
+    // doc count, token count, fill ratio vs the 512-token budget.
+    "sequence_pack" -> ((s, d) => {
+      val budget = 512
+      val t = withFoldHash(docs(s, d), "text", "hb")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+          pmod(col("hb"), lit(16)).as("shard"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      t.withColumn("cum", sum("n_tok").over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).cast("long"))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+        .withColumn("fill", round(col("tokens") / lit(budget.toDouble), 6))
+        .orderBy("shard", "pack_id")
+    }),
+
     // BENCHMARK DECONTAMINATION — the training-pipeline op that keeps
     // eval data out of the training corpus: 8-token-shingle containment
     // of every candidate training doc (source ≠ src0) against the
@@ -784,6 +809,23 @@ object TextOps {
          |  FROM tok JOIN vocab USING (token))
          |SELECT doc_id, CAST(SUM(term) % 1000003 AS BIGINT) AS fp
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sequence_pack" ->
+      """WITH h AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |  CAST(SUM((strpos('0123456789abcdef', substr(md5(text), u.i, 1)) - 1)
+        |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) % 16 AS shard
+        |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY doc_id, text),
+        |c AS (SELECT doc_id, n_tok, shard,
+        |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |p AS (SELECT shard, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS pack_id,
+        |  n_tok FROM c)
+        |SELECT shard, pack_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |  ROUND(SUM(n_tok) / 512.0, 6) AS fill
+        |FROM p GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
 
     "decontaminate_ngram" ->
       """WITH arr AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),

@@ -77,6 +77,17 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence_pack conserves tokens and respects the budget quotient") {
+    val out = TextOps.queries("sequence_pack")(spark, dir).collect()
+    val totalTokens = docsFixture.map(_._2.split(" ").length.toLong).sum
+    assert(out.map(_.getLong(3)).sum == totalTokens,
+      "every token lands in exactly one (shard, pack)")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(2) > 0, s"degenerate pack row: $r")
+      assert(math.abs(r.getDouble(4) - r.getLong(3) / 512.0) < 5e-7) // fill is ROUND(·,6)
+    }
+  }
+
   test("decontaminate_ngram: 8-gram containment vs the src0 eval set, hand-computed") {
     val d2 = java.nio.file.Files.createTempDirectory("decontam").toString
     Seq(

@@ -3,6 +3,7 @@ package graft.engine.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
@@ -11,15 +12,17 @@ import graft.engine.Tables
   * columns with typed metadata, and decode / feature-extract / resize /
   * frame-sample operators (builder north star; SURVEY.md §2.2 family).
   *
-  * The IMAGE path is a REAL codec: payloads are PNG-encoded map-side
-  * with `javax.imageio` (in the JDK — no external dependency), the
-  * bytes column genuinely contains PNG streams, and decode runs
-  * `ImageIO.read` and walks the raster. PNG is lossless 8-bit
-  * grayscale here, so geometry/checksums stay deterministic and
-  * oracle-checkable. The AUDIO/VIDEO kernels remain CLEARLY-MARKED
-  * DETERMINISTIC STUBS ([[MediaCodec.decodeStub]]) — the container
-  * ships no mp3/mp4 codecs — but the Spark-side plumbing is identical
-  * for all three kinds and is real and tested: a typed Dataset,
+  * The IMAGE and AUDIO paths are REAL codecs, both from the JDK (no
+  * external dependency): images are PNG-encoded/decoded map-side with
+  * `javax.imageio` (lossless 8-bit grayscale — `ImageIO.read` walks
+  * the raster), audio is PCM WAV encoded/decoded with
+  * `javax.sound.sampled` (8-bit unsigned mono — samples store payload
+  * bytes verbatim, so the codec is lossless too). Geometry/checksums
+  * therefore stay deterministic and oracle-checkable. The VIDEO kernel
+  * remains a CLEARLY-MARKED DETERMINISTIC STUB
+  * ([[MediaCodec.decodeStub]]) — the container ships no mp4 codec —
+  * but the Spark-side plumbing is identical for all three kinds and
+  * is real and tested: a typed Dataset,
   * iterator-batched `mapPartitions` (the JVM analogue of `mapInPandas`:
   * one partition = one batch through the codec, no per-row UDF
   * dispatch), explicit output schema, and shuffle-free decode (the
@@ -79,10 +82,46 @@ object Multimodal {
       (w, h, c)
     }
 
-    /** STUB decoder for audio/video — deterministic fake standing in
-      * for a real codec (??? in spirit: a real build would link a
-      * media library here). Geometry derives from payload length;
-      * checksum is a modular byte sum so determinism is testable. */
+    /** REAL audio encode (javax.sound.sampled, in the JDK): payload
+      * bytes → PCM WAV, 8-bit unsigned mono @8 kHz — one sample per
+      * payload byte, stored verbatim (no quantization), so the codec
+      * is lossless and the decoded sample sum equals the payload byte
+      * sum, keeping the oracle's geometry/checksum invariants. */
+    private val wavFmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+
+    def encodeWav(payload: Array[Byte]): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(payload), wavFmt, payload.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** REAL audio decode: WAV bytes → (width=16, height=⌈samples/16⌉,
+      * n_samples, checksum = Σ sample % P) — the same virtual-frame
+      * geometry the byte-stub used, now computed from genuinely
+      * decoded PCM samples. */
+    def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](4096)
+      var c = 0L
+      var n = 0
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) { c = (c + (buf(i) & 0xff)) % P; i += 1 }
+        n += read
+        read = ais.read(buf)
+      }
+      (W, (n + W - 1) / W, n, c)
+    }
+
+    /** STUB decoder for video — deterministic fake standing in for a
+      * real codec (??? in spirit: a real build would link a media
+      * library; the container ships no mp4 decoder). Geometry derives
+      * from payload length; checksum is a modular byte sum so
+      * determinism is testable. */
     def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
       val h = (bytes.length + W - 1) / W
       var c = 0L
@@ -113,13 +152,18 @@ object Multimodal {
       col("lang").as("container"))
 
   /** The media table: (media_id, kind, bytes, meta struct). Image rows
-    * carry genuine PNG streams (encoded map-side); audio/video carry
-    * the raw payload. meta.n_bytes is the pre-encode payload size. */
+    * carry genuine PNG streams, audio rows genuine PCM WAV streams
+    * (both encoded map-side with JDK codecs); video carries the raw
+    * payload. meta.n_bytes is the pre-encode payload size. */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     payloads(s, d).as[(Long, String, Array[Byte], Int, String)]
       .mapPartitions(_.map { case (id, kind, payload, nb, lang) =>
-        val bytes = if (kind == "image") MediaCodec.encodePng(payload) else payload
+        val bytes = kind match {
+          case "image" => MediaCodec.encodePng(payload)
+          case "audio" => MediaCodec.encodeWav(payload)
+          case _ => payload
+        }
         (id, kind, bytes, nb, lang)
       })
       .toDF("media_id", "kind", "bytes", "n_bytes", "container")
@@ -129,39 +173,50 @@ object Multimodal {
 
   /** Distributed decode: one `mapPartitions` pass, batch = partition.
     * Images run the real PNG decode (n_bytes = decoded pixel count,
-    * 16·ceil(payload/16) with the zero-padded tail); audio/video run
-    * the stub (n_bytes = payload length). */
+    * 16·ceil(payload/16) with the zero-padded tail); audio runs the
+    * real WAV decode (n_bytes = decoded sample count = payload
+    * length — PCM is lossless); video runs the stub (n_bytes =
+    * payload length). */
   def decode(s: SparkSession, d: String): Dataset[Decoded] = {
     import s.implicits._
     mediaTable(s, d).select("media_id", "kind", "bytes").as[Media]
       .mapPartitions { batch => // iterator-batched, mapInPandas-shaped
         batch.map { m =>
-          if (m.kind == "image") {
-            val (w, h, c) = MediaCodec.decodeImage(m.bytes)
-            Decoded(m.media_id, m.kind, w, h, w * h, c)
-          } else {
-            val (w, h, c) = MediaCodec.decodeStub(m.bytes)
-            Decoded(m.media_id, m.kind, w, h, m.bytes.length, c)
+          m.kind match {
+            case "image" =>
+              val (w, h, c) = MediaCodec.decodeImage(m.bytes)
+              Decoded(m.media_id, m.kind, w, h, w * h, c)
+            case "audio" =>
+              val (w, h, n, c) = MediaCodec.decodeWav(m.bytes)
+              Decoded(m.media_id, m.kind, w, h, n, c)
+            case _ =>
+              val (w, h, c) = MediaCodec.decodeStub(m.bytes)
+              Decoded(m.media_id, m.kind, w, h, m.bytes.length, c)
           }
         }
       }
   }
 
   /** Resample + re-decode. Images: decode-equivalent pixel subsample →
-    * real PNG re-encode → real re-decode (the full codec round-trip);
-    * audio/video: stub resample + stub decode. */
+    * real PNG re-encode → real re-decode; audio: every-k-th-sample
+    * decimation (a genuine sample-rate reduction for PCM) → real WAV
+    * re-encode → real re-decode; video: stub resample + stub decode. */
   def resized(s: SparkSession, d: String, k: Int = 4): Dataset[Decoded] = {
     import s.implicits._
     payloads(s, d).select("media_id", "kind", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
         val rs = MediaCodec.resizeStub(payload, k)
-        if (kind == "image") {
-          val (w, h, c) = MediaCodec.decodeImage(MediaCodec.encodePng(rs))
-          Decoded(id, kind, w, h, w * h, c)
-        } else {
-          val (w, h, c) = MediaCodec.decodeStub(rs)
-          Decoded(id, kind, w, h, rs.length, c)
+        kind match {
+          case "image" =>
+            val (w, h, c) = MediaCodec.decodeImage(MediaCodec.encodePng(rs))
+            Decoded(id, kind, w, h, w * h, c)
+          case "audio" =>
+            val (w, h, n, c) = MediaCodec.decodeWav(MediaCodec.encodeWav(rs))
+            Decoded(id, kind, w, h, n, c)
+          case _ =>
+            val (w, h, c) = MediaCodec.decodeStub(rs)
+            Decoded(id, kind, w, h, rs.length, c)
         }
       })
   }

@@ -4,8 +4,9 @@ import graft.engine.multimodal.Multimodal
 import graft.engine.multimodal.Multimodal.MediaCodec
 
 /** Multimodal plumbing: the image path is a REAL javax.imageio PNG
-  * codec (encode map-side, ImageIO.read decode); audio/video kernels
-  * are deterministic stubs. The distributed pipeline (typed Dataset,
+  * codec and the audio path a REAL javax.sound PCM-WAV codec (both
+  * encode map-side, decode through the library); the video kernel is
+  * a deterministic stub. The distributed pipeline (typed Dataset,
   * mapPartitions batching, schema) is identical for all kinds.
   */
 class MultimodalSpec extends SparkSpec {
@@ -19,6 +20,19 @@ class MultimodalSpec extends SparkSpec {
     assert(w == 16 && h == 7) // ceil(100/16)
     val expected = payload.map(_ & 0xff).map(_.toLong).sum % 1000003L
     assert(c == expected, "lossless: pixel sum = payload byte sum")
+  }
+
+  test("wav codec round-trips payload samples and checksum (real javax.sound)") {
+    val payload = Array.tabulate(100)(i => ((i * 53) % 256).toByte)
+    val wav = MediaCodec.encodeWav(payload)
+    // genuine RIFF/WAVE container, larger than the raw payload
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(wav.length > payload.length)
+    val (w, h, n, c) = MediaCodec.decodeWav(wav)
+    assert(w == 16 && h == 7 && n == 100) // ceil(100/16) virtual frames
+    val expected = payload.map(_ & 0xff).map(_.toLong).sum % 1000003L
+    assert(c == expected, "lossless PCM: sample sum = payload byte sum")
   }
 
   test("decode is deterministic and geometry matches the payload") {
@@ -50,7 +64,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("media table kinds cycle by id; image bytes are real PNG streams") {
+  test("media table kinds cycle by id; image/audio bytes are real PNG/WAV streams") {
     val rows = Multimodal.mediaTable(spark, sf0001)
       .select("media_id", "kind", "bytes").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
@@ -62,6 +76,10 @@ class MultimodalSpec extends SparkSpec {
       if (k == "image")
         assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G',
           s"media $id should carry a PNG stream")
+      if (k == "audio")
+        assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+          new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+          s"media $id should carry a WAV stream")
     }
   }
 }

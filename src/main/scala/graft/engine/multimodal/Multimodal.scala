@@ -12,17 +12,19 @@ import graft.engine.Tables
   * columns with typed metadata, and decode / feature-extract / resize /
   * frame-sample operators (builder north star; SURVEY.md §2.2 family).
   *
-  * The IMAGE and AUDIO paths are REAL codecs, both from the JDK (no
-  * external dependency): images are PNG-encoded/decoded map-side with
+  * ALL THREE kinds run REAL codecs built on the JDK (no external
+  * dependency): images are PNG-encoded/decoded map-side with
   * `javax.imageio` (lossless 8-bit grayscale — `ImageIO.read` walks
-  * the raster), audio is PCM WAV encoded/decoded with
+  * the raster); audio is PCM WAV encoded/decoded with
   * `javax.sound.sampled` (8-bit unsigned mono — samples store payload
-  * bytes verbatim, so the codec is lossless too). Geometry/checksums
-  * therefore stay deterministic and oracle-checkable. The VIDEO kernel
-  * remains a CLEARLY-MARKED DETERMINISTIC STUB
-  * ([[MediaCodec.decodeStub]]) — the container ships no mp4 codec —
-  * but the Spark-side plumbing is identical for all three kinds and
-  * is real and tested: a typed Dataset,
+  * bytes verbatim, lossless); video is a Motion-PNG container
+  * ("GVID": length-prefixed true PNG frames — the MJPEG idea; mp4 is
+  * unavailable in this environment, so the DECLARED video format is
+  * this custom-but-genuine one, and every frame decode is a real
+  * `ImageIO.read`). Geometry/checksums therefore stay deterministic
+  * and oracle-checkable for every kind. The Spark-side plumbing is
+  * identical for all three kinds and is real and tested: a typed
+  * Dataset,
   * iterator-batched `mapPartitions` (the JVM analogue of `mapInPandas`:
   * one partition = one batch through the codec, no per-row UDF
   * dispatch), explicit output schema, and shuffle-free decode (the
@@ -117,28 +119,67 @@ object Multimodal {
       (W, (n + W - 1) / W, n, c)
     }
 
-    /** STUB decoder for video — deterministic fake standing in for a
-      * real codec (??? in spirit: a real build would link a media
-      * library; the container ships no mp4 decoder). Geometry derives
-      * from payload length; checksum is a modular byte sum so
-      * determinism is testable. */
-    def decodeStub(bytes: Array[Byte]): (Int, Int, Long) = {
-      val h = (bytes.length + W - 1) / W
-      var c = 0L
-      var i = 0
-      while (i < bytes.length) { c = (c + (bytes(i) & 0xff)) % P; i += 1 }
-      (W, h, c)
+    /** REAL video encode: Motion-PNG (MJPEG-style) container — magic
+      * "GVID", big-endian frame count, then length-prefixed PNG frames
+      * of 128 payload bytes each (16×8 grayscale; short final frame
+      * keeps its own geometry — 128 amortizes ImageIO's per-stream
+      * overhead while keeping frames plural per clip). The environment
+      * ships no mp4 codec, so the declared video format is this
+      * custom-but-genuine one: every frame is a true PNG stream
+      * decoded through javax.imageio. */
+    private[multimodal] val FRAME = 128
+
+    def encodeVideo(payload: Array[Byte]): Array[Byte] = {
+      val frames = payload.grouped(FRAME).toArray
+      val bos = new ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeBytes("GVID")
+      out.writeInt(frames.length)
+      frames.foreach { f =>
+        val png = encodePng(f)
+        out.writeInt(png.length)
+        out.write(png)
+      }
+      out.flush()
+      bos.toByteArray
     }
 
-    /** STUB resample: keep every k-th byte — for images this is a real
-      * pixel subsample (pixels ARE payload bytes); for audio/video it
-      * stands in for a resampling kernel. Output length ceil(n/k). */
-    def resizeStub(bytes: Array[Byte], k: Int): Array[Byte] =
-      bytes.indices.collect { case i if i % k == 0 => bytes(i) }.toArray
+    /** REAL video decode: walks the container, ImageIO-decodes every
+      * frame (or every `stride`-th frame — frame sampling IS a decode
+      * stride), returns (width=16, Σ frame heights, Σ frame pixels,
+      * n frames decoded, checksum = Σ pixel % P). Zero padding in the
+      * final short frame contributes nothing, so a full-stride decode
+      * checksum equals the payload byte sum — the same oracle-checkable
+      * invariant as the image/audio codecs. */
+    def decodeVideo(bytes: Array[Byte], stride: Int = 1): (Int, Int, Int, Int, Long) = {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GVID", "not a GVID stream")
+      val nFrames = in.readInt()
+      var (h, px, decoded, c) = (0, 0, 0, 0L)
+      var i = 0
+      while (i < nFrames) {
+        val len = in.readInt()
+        val png = new Array[Byte](len)
+        in.readFully(png)
+        if (i % stride == 0) {
+          val (fw, fh, fc) = decodeImage(png)
+          require(fw == W)
+          h += fh; px += fw * fh; decoded += 1
+          c = (c + fc) % P
+        }
+        i += 1
+      }
+      (W, h, px, decoded, c)
+    }
 
-    /** STUB frame sampler: fixed 32-byte "frames", every k-th frame. */
-    def frameSampleStub(bytes: Array[Byte], k: Int): Seq[Array[Byte]] =
-      bytes.grouped(32).zipWithIndex.collect { case (f, i) if i % k == 0 => f }.toSeq
+    /** Every-k-th-byte decimation of the raw payload: a real pixel
+      * subsample for images (pixels ARE payload bytes), a real
+      * sample-rate reduction for PCM audio, a real per-frame content
+      * reduction for Motion-PNG video. Output length ceil(n/k). */
+    def decimate(bytes: Array[Byte], k: Int): Array[Byte] =
+      bytes.indices.collect { case i if i % k == 0 => bytes(i) }.toArray
   }
 
   /** Pre-codec payload rows: (media_id, kind, payload, n_bytes, container). */
@@ -151,10 +192,10 @@ object Multimodal {
       octet_length(col("text")).as("n_bytes"),
       col("lang").as("container"))
 
-  /** The media table: (media_id, kind, bytes, meta struct). Image rows
-    * carry genuine PNG streams, audio rows genuine PCM WAV streams
-    * (both encoded map-side with JDK codecs); video carries the raw
-    * payload. meta.n_bytes is the pre-encode payload size. */
+  /** The media table: (media_id, kind, bytes, meta struct). Every row
+    * carries a genuine encoded stream — PNG (image), PCM WAV (audio),
+    * Motion-PNG GVID (video) — all encoded map-side with JDK codecs.
+    * meta.n_bytes is the pre-encode payload size. */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     payloads(s, d).as[(Long, String, Array[Byte], Int, String)]
@@ -162,7 +203,7 @@ object Multimodal {
         val bytes = kind match {
           case "image" => MediaCodec.encodePng(payload)
           case "audio" => MediaCodec.encodeWav(payload)
-          case _ => payload
+          case _ => MediaCodec.encodeVideo(payload)
         }
         (id, kind, bytes, nb, lang)
       })
@@ -173,10 +214,10 @@ object Multimodal {
 
   /** Distributed decode: one `mapPartitions` pass, batch = partition.
     * Images run the real PNG decode (n_bytes = decoded pixel count,
-    * 16·ceil(payload/16) with the zero-padded tail); audio runs the
-    * real WAV decode (n_bytes = decoded sample count = payload
-    * length — PCM is lossless); video runs the stub (n_bytes =
-    * payload length). */
+    * 16·ceil(payload/16) with the zero-padded tail); audio the real
+    * WAV decode (n_bytes = decoded sample count = payload length —
+    * PCM is lossless); video the real Motion-PNG decode (n_bytes =
+    * Σ frame pixel counts, padded like the image raster). */
   def decode(s: SparkSession, d: String): Dataset[Decoded] = {
     import s.implicits._
     mediaTable(s, d).select("media_id", "kind", "bytes").as[Media]
@@ -190,23 +231,22 @@ object Multimodal {
               val (w, h, n, c) = MediaCodec.decodeWav(m.bytes)
               Decoded(m.media_id, m.kind, w, h, n, c)
             case _ =>
-              val (w, h, c) = MediaCodec.decodeStub(m.bytes)
-              Decoded(m.media_id, m.kind, w, h, m.bytes.length, c)
+              val (w, h, px, _, c) = MediaCodec.decodeVideo(m.bytes)
+              Decoded(m.media_id, m.kind, w, h, px, c)
           }
         }
       }
   }
 
-  /** Resample + re-decode. Images: decode-equivalent pixel subsample →
-    * real PNG re-encode → real re-decode; audio: every-k-th-sample
-    * decimation (a genuine sample-rate reduction for PCM) → real WAV
-    * re-encode → real re-decode; video: stub resample + stub decode. */
+  /** Resample + re-decode — the full codec round trip for every kind:
+    * decimate the payload, re-encode with the kind's real codec,
+    * re-decode through the library. */
   def resized(s: SparkSession, d: String, k: Int = 4): Dataset[Decoded] = {
     import s.implicits._
     payloads(s, d).select("media_id", "kind", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, kind, payload) =>
-        val rs = MediaCodec.resizeStub(payload, k)
+        val rs = MediaCodec.decimate(payload, k)
         kind match {
           case "image" =>
             val (w, h, c) = MediaCodec.decodeImage(MediaCodec.encodePng(rs))
@@ -215,8 +255,8 @@ object Multimodal {
             val (w, h, n, c) = MediaCodec.decodeWav(MediaCodec.encodeWav(rs))
             Decoded(id, kind, w, h, n, c)
           case _ =>
-            val (w, h, c) = MediaCodec.decodeStub(rs)
-            Decoded(id, kind, w, h, rs.length, c)
+            val (w, h, px, _, c) = MediaCodec.decodeVideo(MediaCodec.encodeVideo(rs))
+            Decoded(id, kind, w, h, px, c)
         }
       })
   }
@@ -234,17 +274,22 @@ object Multimodal {
           sum(col("n_bytes").cast("long")).as("sum_bytes"))
         .orderBy("kind")),
 
-    // frame sampling: number of sampled 32-byte frames per video.
-    // Built from the pre-codec payload table filtered FIRST: video
-    // bytes are pass-through, and filtering after mediaTable's typed
-    // map would PNG-encode every image row only to discard it
-    // (Catalyst can't push a filter below a deserialized map).
+    // frame sampling: every 2nd Motion-PNG frame per video, GENUINELY
+    // decoded (the stride-2 decode walks the container and
+    // ImageIO-reads only sampled frames — frame sampling IS a decode
+    // stride). Built from the pre-codec payload table filtered FIRST:
+    // filtering after mediaTable's typed map would PNG/WAV-encode
+    // every non-video row only to discard it (Catalyst can't push a
+    // filter below a deserialized map).
     "multimodal_frame_sample" -> ((s, d) => {
       import s.implicits._
       payloads(s, d).filter(col("kind") === "video")
         .select(col("media_id"), col("kind"), col("payload").as("bytes")).as[Media]
-        .mapPartitions(_.map(m =>
-          (m.media_id, MediaCodec.frameSampleStub(m.bytes, 2).length)))
+        .mapPartitions(_.map { m =>
+          val (_, _, _, nSampled, _) =
+            MediaCodec.decodeVideo(MediaCodec.encodeVideo(m.bytes), stride = 2)
+          (m.media_id, nSampled)
+        })
         .toDF("media_id", "n_frames")
         .orderBy("media_id")
     }),
@@ -261,13 +306,14 @@ object Multimodal {
         |    ELSE (nb + 15) // 16 END) AS BIGINT) AS sum_h,
         |  16 AS max_w,
         |  CAST(SUM(CASE WHEN kind = 'image' THEN 16 * GREATEST((nb + 15) // 16, 1)
+        |    WHEN kind = 'video' THEN 16 * ((nb + 15) // 16)
         |    ELSE nb END) AS BIGINT) AS sum_bytes
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
     "multimodal_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
         |  FROM documents WHERE doc_id % 3 = 2)
-        |SELECT media_id, CAST(((nb + 31) // 32 + 1) // 2 AS INTEGER) AS n_frames
+        |SELECT media_id, CAST(((nb + 127) // 128 + 1) // 2 AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
   )
 }

@@ -3,11 +3,11 @@ package graft
 import graft.engine.multimodal.Multimodal
 import graft.engine.multimodal.Multimodal.MediaCodec
 
-/** Multimodal plumbing: the image path is a REAL javax.imageio PNG
-  * codec and the audio path a REAL javax.sound PCM-WAV codec (both
-  * encode map-side, decode through the library); the video kernel is
-  * a deterministic stub. The distributed pipeline (typed Dataset,
-  * mapPartitions batching, schema) is identical for all kinds.
+/** Multimodal plumbing: REAL JDK codecs for every kind — javax.imageio
+  * PNG (image), javax.sound PCM-WAV (audio), and a Motion-PNG "GVID"
+  * container of true PNG frames (video). The distributed pipeline
+  * (typed Dataset, mapPartitions batching, schema) is identical for
+  * all kinds.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -35,6 +35,19 @@ class MultimodalSpec extends SparkSpec {
     assert(c == expected, "lossless PCM: sample sum = payload byte sum")
   }
 
+  test("gvid codec round-trips frames; stride sampling decodes every 2nd frame") {
+    val payload = Array.tabulate(300)(i => ((i * 91) % 256).toByte)
+    val vid = MediaCodec.encodeVideo(payload)
+    assert(new String(vid.take(4), "US-ASCII") == "GVID")
+    val (w, h, px, nf, c) = MediaCodec.decodeVideo(vid)
+    assert(w == 16 && nf == 3)       // ceil(300/128) frames
+    assert(h == 19 && px == 304)     // 8+8 rows + final ceil(44/16)=3 rows
+    val expected = payload.map(_ & 0xff).map(_.toLong).sum % 1000003L
+    assert(c == expected, "lossless: frame pixel sum = payload byte sum")
+    val (_, _, _, nSampled, _) = MediaCodec.decodeVideo(vid, stride = 2)
+    assert(nSampled == 2) // frames 0 and 2
+  }
+
   test("decode is deterministic and geometry matches the payload") {
     val a = Multimodal.decode(spark, sf0001).collect().sortBy(_.media_id)
     val b = Multimodal.decode(spark, sf0001).collect().sortBy(_.media_id)
@@ -55,11 +68,13 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val small = Multimodal.resized(spark, sf0001, k = 4).collect()
     small.foreach { m =>
-      val kept = (payloadSz(m.media_id) + 3) / 4 // every 4th byte/pixel
-      if (m.kind == "image")
-        assert(m.n_bytes == 16 * ((kept + 15) / 16), "re-encoded raster size")
-      else
-        assert(m.n_bytes == kept, "every 4th byte kept")
+      val kept = (payloadSz(m.media_id) + 3) / 4 // every 4th byte/pixel/sample
+      m.kind match {
+        case "image" | "video" => // padded raster / Σ padded frame rasters
+          assert(m.n_bytes == 16 * ((kept + 15) / 16), "re-encoded raster size")
+        case _ =>
+          assert(m.n_bytes == kept, "every 4th PCM sample kept")
+      }
       assert(m.height == (kept + 15) / 16)
     }
   }
@@ -80,6 +95,9 @@ class MultimodalSpec extends SparkSpec {
         assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
           new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
           s"media $id should carry a WAV stream")
+      if (k == "video")
+        assert(new String(bytes.take(4), "US-ASCII") == "GVID",
+          s"media $id should carry a Motion-PNG container")
     }
   }
 }

@@ -115,6 +115,31 @@ object RelQueries {
         .orderBy("p_type")
     }),
 
+    // #28b time-series gap-fill + forward-fill: per-user hourly grid
+    // (min..max hour via `sequence`), LEFT join of the observed hourly
+    // aggregate, then last-non-null carry-forward over a PARTITIONED
+    // running window — the classic resample/ffill a feature pipeline
+    // runs before training. Scale shape: the grid explode is per-row
+    // arithmetic, the join is an equi-join on (user, hour), and the
+    // fill window partitions by user — no global sort anywhere. The
+    // first grid hour always has data (it comes from MIN(ts)), so the
+    // fill is total.
+    "q_timeseries_fill" -> ((s, d) => {
+      val ev = events(s, d).withColumn("h", date_trunc("hour", col("ts")))
+      val hourly = ev.groupBy("user_id", "h").agg(round(sum("value"), 4).as("hv"))
+      val span = ev.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("v_filled", last("hv", ignoreNulls = true).over(w))
+        .withColumn("is_gap", when(col("hv").isNull, 1).otherwise(0))
+        .select(col("user_id"), unix_timestamp(col("h")).as("h"),
+          col("v_filled"), col("is_gap"))
+        .orderBy("user_id", "h")
+    }),
+
     // #29 hash aggregate, TPC-H Q1 shape (partial+final auto)
     "q_agg_groupby" -> ((s, d) =>
       lineitem(s, d)
@@ -389,6 +414,19 @@ object RelQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, EXTRACT(year FROM o_orderdate))
         |ORDER BY nation, yr""".stripMargin,
+
+    "q_timeseries_fill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value FROM events),
+        |hourly AS (SELECT user_id, h, ROUND(SUM(value), 4) AS hv FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.h, hv FROM grid g LEFT JOIN hourly USING (user_id, h))
+        |SELECT user_id, CAST(extract(epoch FROM h) AS BIGINT) AS h,
+        |  LAST_VALUE(hv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  CASE WHEN hv IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM j ORDER BY user_id, h""".stripMargin,
 
     "q_join_salted" ->
       """SELECT p_type,

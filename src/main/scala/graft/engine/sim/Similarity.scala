@@ -173,6 +173,24 @@ object Similarity {
           round(min("x"), 6).as("min_x"), round(max("x"), 6).as("max_x"))
         .orderBy("dim")),
 
+    // int8 QUANTIZATION QA — the screen a pipeline runs before
+    // building a quantized ANN index / serving cache: per-vector
+    // symmetric int8 scale (max |x|; |q| ≤ 127 by construction, no
+    // clipping) and the dequantization MSE. All per-row HOF arithmetic
+    // (no shuffle beyond the final sort); every op is a single IEEE
+    // mul/div/round both engines execute identically, and the 64-term
+    // error sum follows the repo's accepted ROUND(·,6) discipline.
+    "embedding_quantize" -> ((s, d) =>
+      vecs(s, d).select(col("vec_id"), col("f"))
+        .withColumn("scale", expr("aggregate(f, 0.0D, (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("sse", expr(
+          """aggregate(f, 0.0D, (a, x) ->
+            |  a + (x - round(x * 127 / scale, 0) * scale / 127)
+            |    * (x - round(x * 127 / scale, 0) * scale / 127))""".stripMargin))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(col("sse") / size(col("f")), 6).as("mse"))
+        .orderBy("vec_id")),
+
     // embedding-cosine near-dup candidates (threshold 0.3; data max
     // cosine ≈ 0.40, so this yields a small deterministic pair set) —
     // same distributed exact all-pairs, filter fused into the scan
@@ -411,6 +429,17 @@ object Similarity {
          |$COSPAIRS
          |SELECT id1, id2, cos FROM cosp WHERE cos >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+
+    "embedding_quantize" ->
+      s"""WITH $PT,
+         |sc AS (SELECT vec_id, MAX(ABS(v)) AS scale FROM pt GROUP BY 1),
+         |e AS (SELECT pt.vec_id, sc.scale,
+         |  (v - ROUND(v * 127 / scale, 0) * scale / 127)
+         |    * (v - ROUND(v * 127 / scale, 0) * scale / 127) AS se
+         |  FROM pt JOIN sc ON pt.vec_id = sc.vec_id)
+         |SELECT vec_id, ROUND(scale, 6) AS scale,
+         |  ROUND(SUM(se) / COUNT(se), 6) AS mse
+         |FROM e GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH $PT,

@@ -75,29 +75,57 @@ object Sinks {
   private val layoutCache =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
+  private def cachedPath(s: SparkSession, key: String)(write: String => Unit): String = {
+    // weak-keyed per session (bounded map growth; the temp files
+    // themselves live until /tmp cleanup like any scratch output)
+    val perSession = layoutCache.synchronized {
+      var m = layoutCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        layoutCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+      write(p)
+      p
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      // weak-keyed per session (bounded map growth; the temp files
-      // themselves live until /tmp cleanup like any scratch output)
-      val perSession = layoutCache.synchronized {
-        var m = layoutCache.get(s)
-        if (m == null) {
-          m = new java.util.concurrent.ConcurrentHashMap[String, String]()
-          layoutCache.put(s, m)
-        }
-        m
-      }
-      val path = perSession.computeIfAbsent(d, _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/docs"
-        writePartitioned(graft.engine.Tables.documents(s, d), p, "lang")
-        p
-      })
+      val path = cachedPath(s, s"$d|parquet")(p =>
+        writePartitioned(graft.engine.Tables.documents(s, d), p, "lang"))
       readLayout(s, path)
         .filter(col("lang") === "en")
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))
         .orderBy("source")
+    }),
+
+    // a SECOND source format end-to-end: documents written as CSV
+    // (headered, default quoting — zh text exercises UTF-8 and the
+    // quote path), read back with an EXPLICIT schema, aggregated. The
+    // oracle runs the same aggregate on the original parquet table, so
+    // any quoting/encoding/row-splitting corruption in the CSV
+    // round-trip shifts counts, char sums or the distinct-text count
+    // and hash-mismatches.
+    "source_csv_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = cachedPath(s, s"$d|csv")(p =>
+        graft.engine.Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source")
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(p))
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+        .option("header", "true").csv(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          countDistinct(col("text")).as("distinct_texts"))
+        .orderBy("lang")
     }),
   )
 
@@ -107,5 +135,11 @@ object Sinks {
         |  CAST(SUM(length(text)) AS BIGINT) AS chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "source_csv_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+        |  COUNT(DISTINCT text) AS distinct_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

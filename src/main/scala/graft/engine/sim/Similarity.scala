@@ -183,10 +183,14 @@ object Similarity {
     "embedding_quantize" -> ((s, d) =>
       vecs(s, d).select(col("vec_id"), col("f"))
         .withColumn("scale", expr("aggregate(f, 0.0D, (a, x) -> greatest(a, abs(x)))"))
+        // sc guards the all-zero vector: Spark's 0.0/0.0 is NaN while
+        // DuckDB's is NULL — divide by 1 instead (every x is 0, so the
+        // quantization is exactly zero error either way)
+        .withColumn("sc", when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
         .withColumn("sse", expr(
           """aggregate(f, 0.0D, (a, x) ->
-            |  a + (x - round(x * 127 / scale, 0) * scale / 127)
-            |    * (x - round(x * 127 / scale, 0) * scale / 127))""".stripMargin))
+            |  a + (x - round(x * 127 / sc, 0) * sc / 127)
+            |    * (x - round(x * 127 / sc, 0) * sc / 127))""".stripMargin))
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           round(col("sse") / size(col("f")), 6).as("mse"))
         .orderBy("vec_id")),
@@ -432,10 +436,12 @@ object Similarity {
 
     "embedding_quantize" ->
       s"""WITH $PT,
-         |sc AS (SELECT vec_id, MAX(ABS(v)) AS scale FROM pt GROUP BY 1),
+         |sc AS (SELECT vec_id, MAX(ABS(v)) AS scale,
+         |  CASE WHEN MAX(ABS(v)) = 0 THEN 1 ELSE MAX(ABS(v)) END AS scq
+         |  FROM pt GROUP BY 1),
          |e AS (SELECT pt.vec_id, sc.scale,
-         |  (v - ROUND(v * 127 / scale, 0) * scale / 127)
-         |    * (v - ROUND(v * 127 / scale, 0) * scale / 127) AS se
+         |  (v - ROUND(v * 127 / scq, 0) * scq / 127)
+         |    * (v - ROUND(v * 127 / scq, 0) * scq / 127) AS se
          |  FROM pt JOIN sc ON pt.vec_id = sc.vec_id)
          |SELECT vec_id, ROUND(scale, 6) AS scale,
          |  ROUND(SUM(se) / COUNT(se), 6) AS mse

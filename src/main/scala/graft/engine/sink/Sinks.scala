@@ -72,26 +72,16 @@ object Sinks {
     * pruning/bucketing PLAN guarantees stay asserted in SinksSpec.
     * One write per (session, sfDir), memoized like the other shared
     * intermediates. */
-  private val layoutCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private val layoutCache = new graft.engine.SessionCache[String]
 
-  private def cachedPath(s: SparkSession, key: String)(write: String => Unit): String = {
-    // weak-keyed per session (bounded map growth; the temp files
-    // themselves live until /tmp cleanup like any scratch output)
-    val perSession = layoutCache.synchronized {
-      var m = layoutCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
-        layoutCache.put(s, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(key, _ => {
+  // weak-keyed per session (bounded map growth; the temp files
+  // themselves live until /tmp cleanup like any scratch output)
+  private def cachedPath(s: SparkSession, key: String)(write: String => Unit): String =
+    layoutCache.get(s, key) {
       val p = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
       write(p)
       p
-    })
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned_roundtrip" -> ((s, d) => {
@@ -118,9 +108,19 @@ object Sinks {
         graft.engine.Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source")
           .write.mode(SaveMode.Overwrite).option("header", "true").csv(p))
+      // multiLine: the writer quotes embedded newlines, but the
+      // default reader splits records at EVERY newline even inside
+      // quotes — a newline-bearing text would shatter into malformed
+      // rows and falsely flag corruption. nullValue sentinel (a
+      // control char the writer never emits): the reader's DEFAULT
+      // treats "" as NULL, which would silently drop an empty text
+      // from countDistinct while the oracle counts it.
       s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
-        .option("header", "true").csv(path)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("nullValue", "")
+        .csv(path)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           sum(length(col("text"))).as("chars"),

@@ -125,7 +125,7 @@ object TextOps {
     // consumer was ~5 s of round-2 bench per extra consumer
     // key includes the fold width: the pair list depends on it, and a
     // session may legitimately flip the width between calls
-    val joined = cached(s, pairsCache, s"$d|${foldWidth(s)}") {
+    val joined = pairsCache.get(s, s"$d|${foldWidth(s)}") {
         val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
         val dt = withTid(tok).select("doc_id", "tid")
         // all 8 min-hashes in ONE map-side-combined aggregation (no seed
@@ -146,28 +146,7 @@ object TextOps {
     if (dedup) joined.distinct() else joined
   }
 
-  /** Per-session memoization, WEAK-keyed on the SparkSession itself:
-    * when a session is GC'd its cached frames (and their checkpoint
-    * blocks) become collectable with it — no JVM-lifetime growth
-    * across sessions, and no identity-hash-reuse hazard. Within a
-    * session, entries are bounded by (sfDir × config) — a handful.
-    * CLUSTER CAVEAT: localCheckpoint blocks are not fault-tolerant
-    * (lineage is truncated); at real scale the durable form of these
-    * shared artifacts is an explicit Sinks materialization — the
-    * caches are the single-process bench/pipeline convenience. */
-  private def cached(s: SparkSession,
-                     store: java.util.Map[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]],
-                     key: String)(build: => DataFrame): DataFrame = {
-    val perSession = store.synchronized {
-      var m = store.get(s)
-      if (m == null) { m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame](); store.put(s, m) }
-      m
-    }
-    perSession.computeIfAbsent(key, _ => build)
-  }
-
-  private val pairsCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private val pairsCache = new graft.engine.SessionCache[DataFrame]
 
   /** Quotient-resolve threshold: largest quotient-graph edge count the
     * driver union-find small-side move accepts. At ~16 bytes/edge the
@@ -188,14 +167,13 @@ object TextOps {
     * `localCheckpoint`, so it stays DISTRIBUTED (never a driver
     * collect of the membership — at 100 TB that table can be huge) and
     * consumers read materialized partitions with truncated lineage.
-    * Weak-keyed per session (see `cached`) so a frame never outlives
-    * the session that built it. */
-  private val groupCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    * Weak-keyed per session ([[graft.engine.SessionCache]]) so a frame
+    * never outlives the session that built it. */
+  private val groupCache = new graft.engine.SessionCache[DataFrame]
 
   private def resolvedGroups(s: SparkSession, d: String): DataFrame = {
     val maxEdges = quotientMaxEdges(s)
-    cached(s, groupCache, s"$d|$maxEdges|${foldWidth(s)}") {
+    groupCache.get(s, s"$d|$maxEdges|${foldWidth(s)}") {
       resolveGroups(s, d, maxEdges).localCheckpoint(true)
     }
   }

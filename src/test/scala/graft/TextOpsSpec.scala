@@ -84,7 +84,10 @@ class TextOpsSpec extends SparkSpec {
       "every token lands in exactly one (shard, pack)")
     out.foreach { r =>
       assert(r.getLong(1) >= 0 && r.getLong(2) > 0, s"degenerate pack row: $r")
-      assert(math.abs(r.getDouble(4) - r.getLong(3) / 512.0) < 5e-7) // fill is ROUND(·,6)
+      // fill is ROUND(·,6): a tokens%8==4 pack sits EXACTLY on the
+      // half-up boundary and moves by exactly 5e-7 — the bound must
+      // be inclusive (plus ulp slack) or such packs fail spuriously
+      assert(math.abs(r.getDouble(4) - r.getLong(3) / 512.0) <= 5e-7 + 1e-12)
     }
   }
 

@@ -327,7 +327,115 @@ object RelQueries {
           |WHERE EXISTS (SELECT 1 FROM orders o
           |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
           |ORDER BY c_custkey""".stripMargin)),
+
+    // #28c AS-OF join (feature-store "latest click strictly-or-equal
+    // before each error"), implemented the scale-correct way: tag both
+    // sides, UNION, one partitioned window carrying the last click
+    // forward — a SINGLE shuffle on user_id, never the per-pair
+    // range join (quadratic per hot user) and never a BNLJ. The
+    // click columns are carried by separate last(ignoreNulls) calls,
+    // which stay mutually consistent because they are non-null on
+    // exactly the same (click) rows. Ties: same-second click sorts
+    // before the error (kind 0 < 1 → inclusive as-of), same-second
+    // clicks resolve by highest event_id.
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy("user_id").orderBy("es", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_es",
+          last(when(col("kind") === 0, col("es")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("es"),
+          col("click_id"), (col("es") - col("click_es")).as("gap_sec"))
+        .orderBy("event_id")
+    }),
+
+    // #28d batch sessionization: 30-minute-gap sessions per user via
+    // lag + running cumsum — the batch twin of q_stream_session.
+    // Scale shape: both windows partition by user_id (ONE shuffle,
+    // reused by the final aggregation); no global sort. Epoch-second
+    // integer arithmetic keeps the gap test engine-exact.
+    "q_sessionize" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"), col("value"))
+      val wOrd = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev", lag("es", 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("es") - col("prev") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum("new_s").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(min("es").as("session_start"), max("es").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // #28e CDC compaction / latest-per-key: collapse an event log to
+    // each key's most recent record (row_number over a per-key window,
+    // event_id tie-break at equal seconds) — the standard snapshot
+    // step before joining mutable dimensions at scale. One shuffle on
+    // the key; at 100 TB this is the same plan with more partitions.
+    "q_cdc_latest" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+        col("event_type"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(desc("es"), desc("event_id"))
+      ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("es").as("last_es"),
+          col("event_type").as("last_type"), round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    // #31b GROUPING SETS proper (rollup/cube cover only their fixed
+    // lattices) via the SQL face — the same SQL text IS the oracle, so
+    // the check is engine-vs-engine on an identical parse. Decimal
+    // sums keep the measure drift-free.
+    "q_grouping_sets" -> ((s, d) => graft.engine.SqlSurface.sql(s, d, GROUPING_SETS_SQL)),
+
+    // #31c unpivot/melt: wide per-flag measures → long (rf, measure,
+    // value) — the DataFrame unpivot surface (Spark's UNPIVOT
+    // LogicalPlan), oracled by a DuckDB UNION ALL of the same
+    // decimal-exact measures. Narrow input (3 fixed columns), so the
+    // explode is per-row; no shuffle beyond the feeding aggregation.
+    "q_unpivot" -> ((s, d) => {
+      val wide = lineitem(s, d).groupBy(col("l_returnflag").as("rf"))
+        .agg(round(sum(col("l_quantity").cast("decimal(12,2)")), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(14,2)")), 2).cast("double").as("sum_price"),
+          round(sum(col("l_discount").cast("decimal(8,4)")), 4).cast("double").as("sum_disc"))
+      wide.unpivot(Array(col("rf")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")), "measure", "value")
+        .orderBy("rf", "measure")
+    }),
+
+    // #40c LATERAL correlated subquery (top-2 customers per nation by
+    // acctbal) via the SQL face — Catalyst decorrelates the
+    // ORDER BY ... LIMIT lateral into a ranked window join
+    // (DecorrelateInnerQuery), the planning path SQL users hit that
+    // q_subquery's scalar/EXISTS forms don't. Same text runs in DuckDB.
+    "q_lateral" -> ((s, d) => graft.engine.SqlSurface.sql(s, d, LATERAL_SQL)),
   )
+
+  /** Shared SQL-face texts (query AND oracle — engine-vs-engine on an
+    * identical parse). */
+  private val GROUPING_SETS_SQL =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  private val LATERAL_SQL =
+    """SELECT n_name, c_name, c_acctbal FROM nation,
+      | LATERAL (SELECT c_name, c_acctbal FROM customer
+      |          WHERE c_nationkey = n_nationkey
+      |          ORDER BY c_acctbal DESC, c_name LIMIT 2) AS t
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_filter_project" ->
@@ -530,5 +638,60 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |m AS (SELECT *,
+        |  LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY es, kind, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |  LAST_VALUE(CASE WHEN kind = 0 THEN es END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY es, kind, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_es
+        |  FROM ev)
+        |SELECT event_id, user_id, es, click_id, es - click_es AS gap_sec
+        |FROM m WHERE kind = 1 ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es, value
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN LAG(es) OVER w IS NULL
+        |                       OR es - LAG(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, MIN(es) AS session_start, MAX(es) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_cdc_latest" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es,
+        |    event_type, value FROM events)
+        |SELECT user_id, es AS last_es, event_type AS last_type,
+        |  ROUND(value, 4) AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY es DESC, event_id DESC) AS rn FROM ev)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_grouping_sets" -> GROUPING_SETS_SQL,
+
+    "q_unpivot" ->
+      """WITH w AS (SELECT l_returnflag AS rf,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2) AS sum_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE), 4) AS sum_disc
+        | FROM lineitem GROUP BY 1)
+        |SELECT rf, 'sum_qty' AS measure, sum_qty AS value FROM w
+        |UNION ALL SELECT rf, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT rf, 'sum_disc', sum_disc FROM w
+        |ORDER BY rf, measure""".stripMargin,
+
+    "q_lateral" -> LATERAL_SQL,
   )
 }

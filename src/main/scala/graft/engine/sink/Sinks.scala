@@ -127,6 +127,29 @@ object Sinks {
           countDistinct(col("text")).as("distinct_texts"))
         .orderBy("lang")
     }),
+
+    // a THIRD source format end-to-end: documents written as JSON
+    // Lines (the interchange format most raw LLM-corpus drops arrive
+    // in), read back with an EXPLICIT schema — no sampling-based
+    // inference pass, the 100 TB discipline — and aggregated per
+    // source. zh text exercises \uXXXX-free UTF-8 passthrough; the
+    // distinct-text count catches any escaping asymmetry between
+    // writer and reader.
+    "source_json_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = cachedPath(s, s"$d|json")(p =>
+        graft.engine.Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source")
+          .write.mode(SaveMode.Overwrite).json(p))
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+        .json(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          countDistinct(col("text")).as("distinct_texts"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,5 +164,11 @@ object Sinks {
         |  CAST(SUM(length(text)) AS BIGINT) AS chars,
         |  COUNT(DISTINCT text) AS distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "source_json_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+        |  COUNT(DISTINCT text) AS distinct_texts
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

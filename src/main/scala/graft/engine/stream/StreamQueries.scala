@@ -223,6 +223,39 @@ object StreamQueries {
     s.table(name).orderBy("user_id")
   }
 
+  /** foreachBatch sink — the remaining production sink surface (the
+    * API that lets a stream land in ANY batch writer: upserts, JDBC,
+    * multi-table fan-out). Here each micro-batch of the 1 h tumbling
+    * aggregate is written to parquet by the batch writer inside
+    * foreachBatch (partitioned by event_type — the layout discipline
+    * from Sinks), and the query answers from the landed files. One
+    * input file = one AvailableNow micro-batch in Complete mode, so
+    * the landed table ≡ the batch tumbling aggregate and the
+    * tumbling oracle shape applies. */
+  private def foreachBatchSink(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureNanosAsLong(s)
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val out = java.nio.file.Files.createTempDirectory("graft_febs").toString + "/agg"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
+          col("cnt"), col("sum_v"))
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        }
+        .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+      .select("wstart", "event_type", "cnt", "sum_v")
+      .orderBy("wstart", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),
@@ -231,10 +264,19 @@ object StreamQueries {
     "stream_stateful" -> (statefulPerUser _),
     "stream_transform_with_state" -> (transformWithStatePerUser _),
     "stream_stream_join" -> (streamStreamJoin _),
+    "stream_foreach_batch" -> (foreachBatchSink _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
+      """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS wstart,
+        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    // identical aggregate, landed through the foreachBatch parquet
+    // round-trip — a dropped batch, a partition-column mangle, or a
+    // lossy type round-trip in the landed files breaks the hash
+    "stream_foreach_batch" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS wstart,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,

@@ -609,6 +609,58 @@ object TextOps {
         md5(col("text").cast("binary")).as("md5h"),
         sha2(col("text").cast("binary"), 256).as("sha256h"))
         .orderBy("doc_id")),
+
+    // Gopher-style repetition signals per document: total/distinct
+    // token counts and the dominant token's share — the "most-common-
+    // word fraction" quality gate a pretraining filter applies before
+    // dedup. Two chained hash aggregations keyed by doc_id (partial+
+    // final, one shuffle); no windows, no sort beyond the output.
+    "repetition_score" -> ((s, d) =>
+      tokens(docs(s, d)).groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max("c").as("top_c"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_c"),
+          round(col("top_c") / col("n_tokens"), 6).as("top_ratio"),
+          round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"))
+        .orderBy("doc_id")),
+
+    // per-language EXACT continuous quantiles of document token counts
+    // (p25/p50/p75/p95) — the length-distribution screen run before
+    // choosing a packing budget. Spark's `percentile` and DuckDB's
+    // `quantile_cont` both linear-interpolate over the sorted values,
+    // so the comparison is exact at ROUND(·,6). Per-group sort of a
+    // 5-group aggregation — at 100 TB the same plan holds because the
+    // cardinality that is sorted is rows-per-lang, already shuffled
+    // to one partition per group key by the aggregation.
+    "token_length_quantiles" -> ((s, d) => {
+      val tl = docs(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      tl.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          round(percentile(col("n_tok"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("n_tok"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("n_tok"), lit(0.75)), 6).as("p75"),
+          round(percentile(col("n_tok"), lit(0.95)), 6).as("p95"))
+        .orderBy("lang")
+    }),
+
+    // PII-scrub shape: mask digit runs in an id-bearing column and
+    // report per-nation scrub stats (names scrubbed, digit chars
+    // removed, distinct surviving forms). The fixture has no real PII
+    // (synthetic `Customer#NNNNNNNNN` names), so the DISCRIMINATING
+    // signal is the regex transform itself: both engines must agree on
+    // every replacement ('[0-9]+' → '#', global) and on the per-char
+    // digit count. Pure per-row regex + one hash aggregation.
+    "pii_redact" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("red"),
+          (length(col("c_name"))
+            - length(regexp_replace(col("c_name"), "[0-9]", ""))).as("digits"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("digits").as("digits_removed"),
+          countDistinct("red").as("distinct_redacted"))
+        .orderBy("c_nationkey")),
   )
 
   private val TOK =
@@ -825,5 +877,34 @@ object TextOps {
       """SELECT doc_id, octet_length(encode(text)) AS nbytes, length(text) AS nchars,
         |  md5(text) AS md5h, sha256(text) AS sha256h
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "repetition_score" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+        |  CAST(MAX(c) AS BIGINT) AS top_c,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ratio,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "token_length_quantiles" ->
+      """WITH tc AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(quantile_cont(n_tok, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(n_tok, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(n_tok, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(n_tok, 0.95), 6) AS p95
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pii_redact" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(length(c_name)
+        |    - length(regexp_replace(c_name, '[0-9]', '', 'g'))) AS BIGINT)
+        |    AS digits_removed,
+        |  COUNT(DISTINCT regexp_replace(c_name, '[0-9]+', '#', 'g'))
+        |    AS distinct_redacted
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }

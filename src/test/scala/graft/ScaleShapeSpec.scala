@@ -149,4 +149,20 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"region/nation should broadcast:\n$plan")
   }
+
+  test("as-of / sessionize / cdc: every window partitions by user_id, no pair join") {
+    // the as-of is the op most tempting to write as a per-pair range
+    // join (quadratic per hot user) — this pins the union+window form:
+    // no join of any kind in the plan, and every window spec is
+    // partitioned (an unpartitioned window = one task at 100 TB)
+    for (k <- Seq("q_asof_join", "q_sessionize", "q_cdc_latest")) {
+      val plan = graft.SparkEntry.queries(k)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+      val byUser = "windowspecdefinition\\(user_id".r.findAllIn(plan).size
+      assert(all > 0 && all == byUser,
+        s"$k: $byUser of $all windows partition by user_id:\n$plan")
+      assert(!plan.contains("Join"), s"$k must be join-free (union+window form):\n$plan")
+    }
+  }
 }

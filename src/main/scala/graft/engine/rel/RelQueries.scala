@@ -391,6 +391,25 @@ object RelQueries {
         .orderBy("user_id")
     }),
 
+    // #28f SCD type-2 build: turn the event log into validity
+    // intervals per user — valid_from = the event's second,
+    // valid_to = the next event's second − 1 (NULL = current row) —
+    // the standard slowly-changing-dimension construction a warehouse
+    // runs before point-in-time joins. One lead() over the same
+    // user-partitioned shuffle as the other event ops. Same-second
+    // events produce the standard degenerate interval (valid_to <
+    // valid_from), deterministic under the event_id tie-break.
+    "q_scd2_build" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+        col("event_type"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      ev.withColumn("valid_to", lead("es", 1).over(w) - 1)
+        .select(col("user_id"), col("event_id"), col("es").as("valid_from"),
+          col("valid_to"), col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // #31b GROUPING SETS proper (rollup/cube cover only their fixed
     // lattices) via the SQL face — the same SQL text IS the oracle, so
     // the check is engine-vs-engine on an identical parse. Decimal
@@ -678,6 +697,15 @@ object RelQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY es DESC, event_id DESC) AS rn FROM ev)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_scd2_build" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es,
+        |    event_type, value FROM events)
+        |SELECT user_id, event_id, es AS valid_from,
+        |  LEAD(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - 1 AS valid_to,
+        |  event_type, ROUND(value, 4) AS value
+        |FROM ev ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_grouping_sets" -> GROUPING_SETS_SQL,
 

@@ -645,6 +645,30 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // tokenizer-vocabulary coverage: the share of each document's
+    // token OCCURRENCES covered by the top-10 corpus tokens (count
+    // desc, token asc tie-break — a deterministic vocabulary). The
+    // screen run before fixing a tokenizer vocab: low coverage docs
+    // are the ones a small vocab shatters into rare pieces. Scale
+    // shape: the vocab is a top-k aggregate (tiny) BROADCAST to the
+    // per-doc coverage join — the corpus-wide term table never
+    // re-shuffles per doc.
+    "vocab_coverage" -> ((s, d) => {
+      val tok = tokens(docs(s, d)).select("doc_id", "token")
+      // top-k as TakeOrdered (per-partition partial top-10 → merge),
+      // NOT a global row_number window (one task over the whole
+      // distinct-token table at corpus scale)
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("token")).limit(10)
+        .select("token")
+      tok.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(coalesce(col("in_vocab"), lit(0))).as("n_covered"))
+        .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+          round(col("n_covered") / col("n_tokens"), 6).as("coverage"))
+        .orderBy("doc_id")
+    }),
+
     // PII-scrub shape: mask digit runs in an id-bearing column and
     // report per-nation scrub stats (names scrubbed, digit chars
     // removed, distinct surviving forms). The fixture has no real PII
@@ -897,6 +921,19 @@ object TextOps {
         |  ROUND(quantile_cont(n_tok, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(n_tok, 0.95), 6) AS p95
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1)
+        |  ORDER BY c DESC, token LIMIT 10)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  ROUND(CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS coverage
+        |FROM tok LEFT JOIN vocab v USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pii_redact" ->
       """SELECT c_nationkey, COUNT(*) AS n,

@@ -52,6 +52,15 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(summary)
+    // the full summary line above is ~2.5 KB at 90+ queries and the
+    // driver's tail capture has cut its HEAD off every round
+    // ("parsed": null in BENCH_r1..r3) — so ALSO print a compact
+    // final line (total + 5 slowest) short enough that no tail window
+    // can truncate it; per-query detail stays in the full line, the
+    // per-query lines, and the summary file
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${results.size},"detail":"bench_summary.json"}""")
     // ALSO write the summary to a file: every stdout line arrives at
     // the driver with sbt's "[info] " prefix, which broke its JSON
     // parser in rounds 1 AND 2 ("parsed": null) — a file sidesteps the

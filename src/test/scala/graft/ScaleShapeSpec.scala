@@ -163,6 +163,17 @@ class ScaleShapeSpec extends SparkSpec {
       assert(all > 0 && all == byUser,
         s"$k: $byUser of $all windows partition by user_id:\n$plan")
       assert(!plan.contains("Join"), s"$k must be join-free (union+window form):\n$plan")
+      // ONE data shuffle: the user_id hash exchange feeds window(s)
+      // AND any downstream aggregation (HashPartitioning(user_id)
+      // satisfies ClusteredDistribution(user_id, ...)); the only other
+      // exchange allowed is the output-contract ORDER BY range one
+      val df = graft.SparkEntry.queries(k)(spark, sf0001)
+      df.collect()
+      // AQE's toString repeats the tree under "== Initial Plan ==" —
+      // count exchanges in the final plan section only
+      val phys = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val hashEx = "Exchange hashpartitioning\\(".r.findAllIn(phys).size
+      assert(hashEx == 1, s"$k: expected exactly 1 hash exchange, got $hashEx:\n$phys")
     }
   }
 }

@@ -645,6 +645,56 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // MinHash banding quality, MEASURED (the dedup twin of
+    // `ann_recall`): recall and precision of the b=2×r=4 banding
+    // candidates against EXACT token-set Jaccard ≥ 0.9 truth — 0.9,
+    // not the verify threshold 0.5, because the banding S-curve
+    // 1−(1−J⁴)² targets J ≈ (1/b)^(1/r) ≈ 0.84 (candidates at
+    // J ∈ [0.5, 0.9) are bonus, not the contract). Truth is computed
+    // on a DETERMINISTIC 5% hash-sample of query docs — the
+    // measurement design that still works at 100 TB, where full
+    // pairwise truth is off the table; the sample predicate is pure
+    // per-row arithmetic (md5-fold of doc_id, no sampling state, no
+    // broadcast of a sample list), so both engines and any cluster
+    // size agree on the sample. The shared-token truth join keys on
+    // the SAMPLED side only, so its cost is 5% of the all-pairs join.
+    "minhash_recall" -> ((s, d) => {
+      val w = foldWidth(s)
+      val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
+        .localCheckpoint(true)
+      // per-row arithmetic sample predicate over a doc-id column: the
+      // standard md5-digit fold (foldDigitsSql) of the id's string
+      // form, mod 20 — no sampling state, no broadcast sample list
+      def sampPred(idSql: String): String =
+        s"(${foldDigitsSql(s"md5(CAST($idSql AS STRING))", w)}) % 20 = 0"
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val tokS = tok.filter(expr(sampPred("doc_id")))
+      // unordered-pair orientation + DISTINCT so a both-sampled pair
+      // counts its intersection once
+      val inter = tokS.select(col("doc_id").as("s"), col("token"))
+        .join(tok.select(col("doc_id").as("o"), col("token")), "token")
+        .filter(col("s") =!= col("o"))
+        .select(least(col("s"), col("o")).as("d1"),
+          greatest(col("s"), col("o")).as("d2"), col("token"))
+        .distinct()
+        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+        .filter(col("i") / (col("s1") + col("s2") - col("i")) >= 0.9)
+        .select("d1", "d2")
+      val cand = minhashPairs(s, d)
+        .filter(expr(sampPred("d1")) || expr(sampPred("d2")))
+      val tp = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(lit("minhash_b2r4").as("algo"), col("n_truth"), col("n_cand"),
+          col("n_tp"),
+          round(col("n_tp") / col("n_truth"), 6).as("recall_at_09"),
+          round(col("n_tp") / col("n_cand"), 6).as("precision_at_09"))
+    }),
+
     // tokenizer-vocabulary coverage: the share of each document's
     // token OCCURRENCES covered by the top-10 corpus tokens (count
     // desc, token asc tie-break — a deterministic vocabulary). The
@@ -921,6 +971,37 @@ object TextOps {
         |  ROUND(quantile_cont(n_tok, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(n_tok, 0.95), 6) AS p95
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "minhash_recall" ->
+      s"""WITH $TOK,
+         |$MINHASH,
+         |tokd AS (SELECT DISTINCT doc_id, token FROM tok),
+         |samp AS (SELECT doc_id FROM (
+         |  SELECT doc_id, CAST(SUM((strpos('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), u.i, 1)) - 1)
+         |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) AS f
+         |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i)
+         |  GROUP BY doc_id) WHERE f % 20 = 0),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tokd GROUP BY 1),
+         |it AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS d1,
+         |    GREATEST(a.doc_id, b.doc_id) AS d2, a.token
+         |  FROM tokd a JOIN tokd b USING (token)
+         |  WHERE a.doc_id IN (SELECT doc_id FROM samp) AND a.doc_id <> b.doc_id),
+         |inter AS (SELECT d1, d2, COUNT(*) AS i FROM it GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+         |  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.9),
+         |cand AS (SELECT d1, d2 FROM pairs
+         |  WHERE d1 IN (SELECT doc_id FROM samp) OR d2 IN (SELECT doc_id FROM samp)),
+         |tp AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+         |SELECT 'minhash_b2r4' AS algo,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM cand) AS n_cand,
+         |  (SELECT COUNT(*) FROM tp) AS n_tp,
+         |  ROUND((SELECT COUNT(*) FROM tp) * 1.0
+         |    / (SELECT COUNT(*) FROM truth), 6) AS recall_at_09,
+         |  ROUND((SELECT COUNT(*) FROM tp) * 1.0
+         |    / (SELECT COUNT(*) FROM cand), 6) AS precision_at_09""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token

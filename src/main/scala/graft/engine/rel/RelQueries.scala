@@ -338,42 +338,20 @@ object RelQueries {
     // exactly the same (click) rows. Ties: same-second click sorts
     // before the error (kind 0 < 1 → inclusive as-of), same-second
     // clicks resolve by highest event_id.
-    "q_asof_join" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type").isin("click", "error"))
+    "q_asof_join" -> ((s, d) =>
+      asofCore(events(s, d).filter(col("event_type").isin("click", "error"))
         .select(col("event_id"), col("user_id"),
           unix_timestamp(date_trunc("second", col("ts"))).as("es"),
-          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
-      val w = Window.partitionBy("user_id").orderBy("es", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("click_id",
-          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("click_es",
-          last(when(col("kind") === 0, col("es")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        .select(col("event_id"), col("user_id"), col("es"),
-          col("click_id"), (col("es") - col("click_es")).as("gap_sec"))
-        .orderBy("event_id")
-    }),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind")))),
 
     // #28d batch sessionization: 30-minute-gap sessions per user via
     // lag + running cumsum — the batch twin of q_stream_session.
     // Scale shape: both windows partition by user_id (ONE shuffle,
     // reused by the final aggregation); no global sort. Epoch-second
     // integer arithmetic keeps the gap test engine-exact.
-    "q_sessionize" -> ((s, d) => {
-      val ev = events(s, d).select(col("event_id"), col("user_id"),
-        unix_timestamp(date_trunc("second", col("ts"))).as("es"), col("value"))
-      val wOrd = Window.partitionBy("user_id").orderBy("es", "event_id")
-      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("prev", lag("es", 1).over(wOrd))
-        .withColumn("new_s",
-          when(col("prev").isNull || col("es") - col("prev") > 1800, 1).otherwise(0))
-        .withColumn("session_id", sum("new_s").over(wRun))
-        .groupBy("user_id", "session_id")
-        .agg(min("es").as("session_start"), max("es").as("session_end"),
-          count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
-        .orderBy("user_id", "session_id")
-    }),
+    "q_sessionize" -> ((s, d) =>
+      sessionizeCore(events(s, d).select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"), col("value")))),
 
     // #28e CDC compaction / latest-per-key: collapse an event log to
     // each key's most recent record (row_number over a per-key window,
@@ -438,6 +416,42 @@ object RelQueries {
     // q_subquery's scalar/EXISTS forms don't. Same text runs in DuckDB.
     "q_lateral" -> ((s, d) => graft.engine.SqlSurface.sql(s, d, LATERAL_SQL)),
   )
+
+  /** q_asof_join core over any `(event_id, user_id, es, kind)` frame
+    * (kind 0 = the side carried forward, 1 = the probing side) —
+    * factored out so boundary semantics (same-second inclusive match,
+    * event_id tie-break, no-prior-click NULL) are unit-testable on
+    * crafted rows (EventOpsSpec) independent of the fixture. */
+  private[graft] def asofCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_es",
+        last(when(col("kind") === 0, col("es")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("es"),
+        col("click_id"), (col("es") - col("click_es")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  /** q_sessionize core over any `(event_id, user_id, es, value)` frame;
+    * a gap STRICTLY greater than `gapSec` opens a new session (an
+    * exactly-`gapSec` gap extends — matching `session_window`'s merge
+    * of the exactly-touching case, q_stream_session's documented
+    * semantics). Unit-tested at the 1800/1801 boundary in EventOpsSpec. */
+  private[graft] def sessionizeCore(ev: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev", lag("es", 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("es") - col("prev") > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min("es").as("session_start"), max("es").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
 
   /** Shared SQL-face texts (query AND oracle — engine-vs-engine on an
     * identical parse). */

@@ -1,0 +1,64 @@
+package graft
+
+import graft.engine.rel.RelQueries
+
+/** Boundary semantics of the event-log operators on crafted rows —
+  * cases the fixture's ~1-event-per-260-s density never exercises
+  * (same-second ties, exact-gap boundaries), so the DuckDB oracle
+  * alone can't pin them.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  test("asof: same-second click matches (inclusive), event_id breaks click ties") {
+    import spark.implicits._
+    // user 1: clicks id 10 @100, id 11 @100 (tie → 11 wins), error id 20 @100
+    //         (same second as the clicks → inclusive match, gap 0)
+    // user 2: error id 30 @50 with no prior click → NULLs
+    //         then click id 31 @60, error id 32 @120 → gap 60
+    val ev = Seq(
+      (10L, 1L, 100L, 0), (11L, 1L, 100L, 0), (20L, 1L, 100L, 1),
+      (30L, 2L, 50L, 1), (31L, 2L, 60L, 0), (32L, 2L, 120L, 1),
+    ).toDF("event_id", "user_id", "es", "kind")
+    val out = RelQueries.asofCore(ev).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toList
+    assert(out == List(
+      (20L, Some(11L), Some(0L)),  // inclusive same-second, highest click id
+      (30L, None, None),           // no prior click
+      (32L, Some(31L), Some(60L))))
+  }
+
+  test("asof: a click never matches a LATER error's past (carry is per-user)") {
+    import spark.implicits._
+    // user 1's click must not leak into user 2's error
+    val ev = Seq((1L, 1L, 10L, 0), (2L, 2L, 20L, 1))
+      .toDF("event_id", "user_id", "es", "kind")
+    val out = RelQueries.asofCore(ev).collect()
+    assert(out.length == 1 && out(0).isNullAt(3), "cross-user carry leaked")
+  }
+
+  test("sessionize: exactly-1800 s gap extends the session, 1801 s opens a new one") {
+    import spark.implicits._
+    // user 1: 0 → 1800 (extends: gap == 1800) → 3601 (new: gap 1801)
+    // user 2: single event
+    val ev = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 1800L, 1.0), (3L, 1L, 3601L, 1.0),
+      (4L, 2L, 500L, 2.5),
+    ).toDF("event_id", "user_id", "es", "value")
+    val out = RelQueries.sessionizeCore(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(out == List(
+      (1L, 1L, 0L, 1800L, 2L),    // one session spanning the exact gap
+      (1L, 2L, 3601L, 3601L, 1L), // the 1801-gap event starts session 2
+      (2L, 1L, 500L, 500L, 1L)))
+  }
+
+  test("sessionize: same-second events order by event_id and never split") {
+    import spark.implicits._
+    val ev = Seq((2L, 1L, 100L, 1.0), (1L, 1L, 100L, 2.0))
+      .toDF("event_id", "user_id", "es", "value")
+    val out = RelQueries.sessionizeCore(ev).collect()
+    assert(out.length == 1 && out(0).getLong(4) == 2L)
+  }
+}

@@ -313,6 +313,23 @@ object RelQueries {
           round(avg("k"), 6).as("avg_k"), max("gk").as("max_k"))
         .orderBy("event_type")),
 
+    // #40b map-type function surface (json covered by q_json_fns):
+    // construct a map column, extract by key, enumerate keys, fold
+    // values — all codegen'd per-row expressions, no shuffle beyond
+    // the output sort. DuckDB's MAP extraction returns a LIST, so the
+    // oracle unwraps with [1]; values stay DOUBLE on both sides.
+    "q_map_fns" -> ((s, d) =>
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          map(lit("qty"), col("l_quantity"),
+            lit("disc"), col("l_discount"),
+            lit("tax"), col("l_tax")).as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(element_at(col("m"), "qty"), 6).as("qty"),
+          size(map_keys(col("m"))).as("nk"),
+          round(aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x), 6)
+            .as("vsum"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // correlated subqueries (EXISTS + two correlated scalars) via the
     // SQL face — Catalyst decorrelates both into joins (RewriteCorrelated
     // ScalarSubquery / RewritePredicateSubquery), so this exercises a
@@ -711,6 +728,18 @@ object RelQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY es DESC, event_id DESC) AS rn FROM ev)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_map_fns" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber,
+        |  MAP(['qty', 'disc', 'tax'],
+        |      [CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),
+        |       CAST(l_tax AS DOUBLE)]) AS m
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  ROUND(m['qty'][1], 6) AS qty,
+        |  CAST(cardinality(m) AS INTEGER) AS nk,
+        |  ROUND(m['qty'][1] + m['disc'][1] + m['tax'][1], 6) AS vsum
+        |FROM m ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_scd2_build" ->
       """WITH ev AS (SELECT event_id, user_id,

@@ -645,6 +645,45 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // staged quality-filter funnel: the composition layer a
+    // pretraining pipeline actually runs — length gate, then
+    // dominant-token repetition gate, then diversity gate, each stage
+    // counted on top of the previous ones (funnel semantics, not
+    // independent filters). ONE pass computes the per-doc stats; the
+    // funnel is conditional sums in a single aggregation unpivoted to
+    // (stage, n_surviving) rows — no per-stage rescan.
+    "quality_funnel" -> ((s, d) => {
+      val tc = tokens(docs(s, d)).groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_dis"), max("c").as("top_c"))
+      val f1 = col("n_tok") >= 20 && col("n_tok") <= 500
+      val f2 = f1 && col("top_c") / col("n_tok") <= 0.2
+      val f3 = f2 && col("n_dis") / col("n_tok") >= 0.3
+      tc.agg(count(lit(1)).as("s0_all"),
+          sum(when(f1, 1L).otherwise(0L)).as("s1_length"),
+          sum(when(f2, 1L).otherwise(0L)).as("s2_repetition"),
+          sum(when(f3, 1L).otherwise(0L)).as("s3_diversity"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("s0_all"), col("s1_length"), col("s2_repetition"), col("s3_diversity")),
+          "stage", "n_surviving")
+        .orderBy("stage")
+    }),
+
+    // corpus mix rebalance: per-source share of the corpus and the
+    // up/down-sampling weight that would flatten it to the uniform
+    // 1/20 target mix — the knob a data-mixing pipeline derives before
+    // sampling. Totals ride along via a broadcast cross join (never an
+    // unpartitioned window).
+    "corpus_mix" -> ((s, d) => {
+      val bySrc = docs(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = docs(s, d).agg(count(lit(1)).as("total"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          round(col("n") / col("total"), 6).as("frac"),
+          round(lit(0.05) * col("total") / col("n"), 6).as("weight"))
+        .orderBy("source")
+    }),
+
     // MinHash banding quality, MEASURED (the dedup twin of
     // `ann_recall`): recall and precision of the b=2×r=4 banding
     // candidates against EXACT token-set Jaccard ≥ 0.9 truth — 0.9,
@@ -971,6 +1010,39 @@ object TextOps {
         |  ROUND(quantile_cont(n_tok, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(n_tok, 0.95), 6) AS p95
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "quality_funnel" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_dis, MAX(c) AS top_c
+        |  FROM tc GROUP BY doc_id),
+        |f AS (SELECT
+        |  (n_tok >= 20 AND n_tok <= 500) AS f1,
+        |  (n_tok >= 20 AND n_tok <= 500
+        |    AND CAST(top_c AS DOUBLE) / n_tok <= 0.2) AS f2,
+        |  (n_tok >= 20 AND n_tok <= 500
+        |    AND CAST(top_c AS DOUBLE) / n_tok <= 0.2
+        |    AND CAST(n_dis AS DOUBLE) / n_tok >= 0.3) AS f3
+        |  FROM st),
+        |w AS (SELECT COUNT(*) AS s0_all,
+        |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_length,
+        |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2_repetition,
+        |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3_diversity
+        |  FROM f)
+        |SELECT 's0_all' AS stage, s0_all AS n_surviving FROM w
+        |UNION ALL SELECT 's1_length', s1_length FROM w
+        |UNION ALL SELECT 's2_repetition', s2_repetition FROM w
+        |UNION ALL SELECT 's3_diversity', s3_diversity FROM w
+        |ORDER BY stage""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH t AS (SELECT COUNT(*) AS total FROM documents)
+        |SELECT source, COUNT(*) AS n,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.total), 6) AS frac,
+        |  ROUND(CAST(0.05 AS DOUBLE) * MAX(t.total) / COUNT(*), 6) AS weight
+        |FROM documents CROSS JOIN t
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "minhash_recall" ->
       s"""WITH $TOK,

@@ -34,7 +34,13 @@ object Bench {
     // German default locale and break the JSON protocol
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (the driver never sets it — full surface by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -60,7 +66,13 @@ object Bench {
     // per-query lines, and the summary file
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${results.size},"detail":"bench_summary.json"}""")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${results.size},"detail":"bench_summary.json"}"""
+    println(compact)
+    // ALSO on stderr: sbt prefixes every stdout line with "[info] ",
+    // which has broken the driver's JSON parse four rounds running
+    // ("parsed": null) — stderr is forwarded unprefixed
+    System.err.println(compact)
     // ALSO write the summary to a file: every stdout line arrives at
     // the driver with sbt's "[info] " prefix, which broke its JSON
     // parser in rounds 1 AND 2 ("parsed": null) — a file sidesteps the

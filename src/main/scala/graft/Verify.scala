@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps just those
+    // queries (the driver never sets it — full surface by default)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,7 +40,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the TOK/MINHASH/minhash_recall oracle SQL hardcodes the default
+    // 8-hex-digit md5 fold; a session running a different width would
+    // silently desynchronize token ids / sample predicates from the
+    // oracle. Fail loudly instead of producing a confusing mismatch.
+    val fw = spark.conf.get("graft.text.foldHexDigits", "8")
+    require(fw == "8",
+      s"oracled runs require graft.text.foldHexDigits=8 (got $fw): the oracle SQL hardcodes the 8-digit fold")
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

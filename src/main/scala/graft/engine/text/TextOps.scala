@@ -148,6 +148,80 @@ object TextOps {
 
   private val pairsCache = new graft.engine.SessionCache[DataFrame]
 
+  /** Deterministic 5% sample flag per doc: md5-fold of the doc_id's
+    * string form, mod 20 — no sampling state, no broadcast sample
+    * list, any cluster size agrees. Computed ONCE per DOC and
+    * equi-joined wherever pair tables need sample membership: the
+    * fold is an interpreted (non-codegen) higher-order function, and
+    * evaluating it per PAIR row — 2 sides × 4.4M band pairs, twice —
+    * was ~40 s of the round-4/5 bench on its own. The flag table is
+    * corpus-sized (row per doc), so AQE broadcasts it at bench SF and
+    * shuffles both sides at 100 TB. */
+  private def sampFlags(s: SparkSession, d: String): DataFrame = {
+    val w = foldWidth(s)
+    docs(s, d).select(col("doc_id"),
+      expr(s"(${foldDigitsSql(s"md5(CAST(doc_id AS STRING))", w)}) % 20 = 0")
+        .as("samp"))
+  }
+
+  /** EXACT Jaccard ≥ 0.9 truth pairs `(d1 < d2)` with at least one
+    * side in the deterministic 5% doc sample — the ground truth for
+    * `minhash_recall`, built scale-safe. The round-4 shape joined the
+    * sampled docs against ALL docs on the raw token key: cost
+    * Σ_t sampled(t)·df(t), which Zipfian head tokens (stop words in
+    * ~every doc) make quadratic — 99.45 s of the 207 s round-4 bench.
+    * This build uses the RAREST-FIRST PREFIX FILTER already proven in
+    * `ngram_jaccard_dedup`, LOSSLESS for J ≥ t: under a global total
+    * order (corpus df asc, token asc), two docs with J ≥ 0.9 MUST
+    * share a token inside both prefixes of length
+    * |X| − ⌈0.9·|X|⌉ + 1 = ⌊|X|/10⌋ + 1 (otherwise every shared token
+    * sits in both suffixes of size ⌈0.9|X|⌉ − 1 < |A∩B| — a
+    * contradiction with |A∩B| ≥ ⌈0.9·|X|⌉ forced by J ≥ 0.9). So the
+    * candidate join keys on ~10% of tokens — and specifically the
+    * RAREST 10%, exactly where df is small — then survivors are
+    * verified exactly with one codegen'd `array_intersect` per pair
+    * (the PPJoin pattern). Result set is provably identical to the
+    * unpruned join, so the unpruned DuckDB oracle stays the
+    * independent cross-check. Package-private so ScaleShapeSpec can
+    * assert the prefix filter is present on BOTH sides of the
+    * token-keyed join (the spec fails on the round-4 shape). */
+  private[graft] def minhashTruthPairs(s: SparkSession, d: String): DataFrame = {
+    val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
+      .localCheckpoint(true)
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("df", "token")
+    val wDoc = Window.partitionBy("doc_id")
+    // prefix length for t = 0.9: ⌊|A|/10⌋ + 1; the per-doc set size
+    // rides along from the same window pass
+    val prefix = tok.join(dfreq, "token")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= (col("n") / 10).cast("bigint") + 1)
+      .select("doc_id", "token")
+    // sampled-prefix × corpus-prefix: every qualifying pair has a
+    // sampled side, and its prefix must intersect the other side's.
+    // Sample membership arrives via an equi-join on the per-DOC flag
+    // table, never by evaluating the md5-fold HOF per derived row
+    val cand = prefix
+      .join(sampFlags(s, d).filter(col("samp")).select("doc_id"), "doc_id")
+      .select(col("doc_id").as("s"), col("token"))
+      .join(prefix.select(col("doc_id").as("o"), col("token")), "token")
+      .filter(col("s") =!= col("o"))
+      .select(least(col("s"), col("o")).as("d1"),
+        greatest(col("s"), col("o")).as("d2"))
+      .distinct()
+    val docsArr = tok.groupBy("doc_id")
+      .agg(sort_array(collect_list("token")).as("arr"), count(lit(1)).as("sz"))
+    cand
+      .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1"), col("sz").as("s1")), "d1")
+      .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2"), col("sz").as("s2")), "d2")
+      .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+      // threshold on the UNROUNDED ratio of identical ints — the same
+      // drift-free single IEEE division the oracle computes
+      .filter(col("i") / (col("s1") + col("s2") - col("i")) >= 0.9)
+      .select("d1", "d2")
+  }
+
   /** Quotient-resolve threshold: largest quotient-graph edge count the
     * driver union-find small-side move accepts. At ~16 bytes/edge the
     * default 1M edges ≈ tens of MB of driver heap — well inside any
@@ -695,43 +769,35 @@ object TextOps {
     // pairwise truth is off the table; the sample predicate is pure
     // per-row arithmetic (md5-fold of doc_id, no sampling state, no
     // broadcast of a sample list), so both engines and any cluster
-    // size agree on the sample. The shared-token truth join keys on
-    // the SAMPLED side only, so its cost is 5% of the all-pairs join.
+    // size agree on the sample.
     "minhash_recall" -> ((s, d) => {
-      val w = foldWidth(s)
-      val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
-        .localCheckpoint(true)
-      // per-row arithmetic sample predicate over a doc-id column: the
-      // standard md5-digit fold (foldDigitsSql) of the id's string
-      // form, mod 20 — no sampling state, no broadcast sample list
-      def sampPred(idSql: String): String =
-        s"(${foldDigitsSql(s"md5(CAST($idSql AS STRING))", w)}) % 20 = 0"
-      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val tokS = tok.filter(expr(sampPred("doc_id")))
-      // unordered-pair orientation + DISTINCT so a both-sampled pair
-      // counts its intersection once
-      val inter = tokS.select(col("doc_id").as("s"), col("token"))
-        .join(tok.select(col("doc_id").as("o"), col("token")), "token")
-        .filter(col("s") =!= col("o"))
-        .select(least(col("s"), col("o")).as("d1"),
-          greatest(col("s"), col("o")).as("d2"), col("token"))
-        .distinct()
-        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-      val truth = inter
-        .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
-        .filter(col("i") / (col("s1") + col("s2") - col("i")) >= 0.9)
-        .select("d1", "d2")
-      val cand = minhashPairs(s, d)
-        .filter(expr(sampPred("d1")) || expr(sampPred("d2")))
-      val tp = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      // checkpointed: truth feeds both the n_truth aggregate and the
+      // true-positive semi join — 86k rows at sf0.1, materialize once
+      val truth = minhashTruthPairs(s, d).localCheckpoint(true)
+      val flags = sampFlags(s, d)
+      val pairs = minhashPairs(s, d)
+      // sample membership by per-doc flag equi-join (see sampFlags —
+      // the per-pair HOF filter was ~40 s of the round-4 bench)
+      val cand = pairs
+        .join(flags.select(col("doc_id").as("d1"), col("samp").as("f1")), "d1")
+        .join(flags.select(col("doc_id").as("d2"), col("samp").as("f2")), "d2")
+        .filter(col("f1") || col("f2")).select("d1", "d2")
+      // every truth pair has a sampled side by construction, so
+      // truth ⋉ pairs ≡ truth ⋉ cand — semi-join the UNFILTERED pair
+      // set and skip the flag joins on this path entirely
+      val tp = truth.join(pairs, Seq("d1", "d2"), "left_semi")
+      // recall/precision NULL (not a crash) when a denominator is 0:
+      // at a tiny SF or an unlucky sample n_truth/n_cand can be empty,
+      // and Spark's ANSI division would raise where DuckDB yields NULL
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
         .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
         .select(lit("minhash_b2r4").as("algo"), col("n_truth"), col("n_cand"),
           col("n_tp"),
-          round(col("n_tp") / col("n_truth"), 6).as("recall_at_09"),
-          round(col("n_tp") / col("n_cand"), 6).as("precision_at_09"))
+          round(when(col("n_truth") > 0, col("n_tp") / col("n_truth")), 6)
+            .as("recall_at_09"),
+          round(when(col("n_cand") > 0, col("n_tp") / col("n_cand")), 6)
+            .as("precision_at_09"))
     }),
 
     // tokenizer-vocabulary coverage: the share of each document's
@@ -1071,9 +1137,9 @@ object TextOps {
          |  (SELECT COUNT(*) FROM cand) AS n_cand,
          |  (SELECT COUNT(*) FROM tp) AS n_tp,
          |  ROUND((SELECT COUNT(*) FROM tp) * 1.0
-         |    / (SELECT COUNT(*) FROM truth), 6) AS recall_at_09,
+         |    / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall_at_09,
          |  ROUND((SELECT COUNT(*) FROM tp) * 1.0
-         |    / (SELECT COUNT(*) FROM cand), 6) AS precision_at_09""".stripMargin,
+         |    / NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision_at_09""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token

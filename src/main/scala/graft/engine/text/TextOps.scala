@@ -117,7 +117,8 @@ object TextOps {
     * skips the output distinct (a pair can surface from both bands →
     * dup factor ≤ 2): consumers whose aggregates absorb duplicates
     * (min/group resolution) save the 4M-row distinct shuffle. */
-  private def minhashPairs(s: SparkSession, d: String, dedup: Boolean = true): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String, dedup: Boolean = true,
+                           rowsPerBand: Int = 4): DataFrame = {
     // the raw (band-duplicated) pair list is memoized per
     // (session, sfDir) as an eager checkpoint: the pair surface
     // (`minhash_near_dedup`) and group resolution (`resolveGroups`)
@@ -125,7 +126,8 @@ object TextOps {
     // consumer was ~5 s of round-2 bench per extra consumer
     // key includes the fold width: the pair list depends on it, and a
     // session may legitimately flip the width between calls
-    val joined = pairsCache.get(s, s"$d|${foldWidth(s)}") {
+    require(8 % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide 8")
+    val joined = pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand") {
         val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
         val dt = withTid(tok).select("doc_id", "tid")
         // all 8 min-hashes in ONE map-side-combined aggregation (no seed
@@ -133,10 +135,13 @@ object TextOps {
         def mh(seed: Int) =
           min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
         val sig = dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
-        def chain(a: Int, b: Int, c: Int, e: Int) =
-          ((col(s"m$a") * 31 + col(s"m$b")) * 31 + col(s"m$c")) * 31 + col(s"m$e")
-        val bands = sig.select(col("doc_id"), lit(0L).as("band"), chain(0, 1, 2, 3).as("bsig"))
-          .union(sig.select(col("doc_id"), lit(1L).as("band"), chain(4, 5, 6, 7).as("bsig")))
+        // band signatures: the r min-hashes of each band chained base-31
+        def chain(idxs: Range) =
+          idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
+        val bands = (0 until 8 / rowsPerBand).map { b =>
+            sig.select(col("doc_id"), lit(b.toLong).as("band"),
+              chain(b * rowsPerBand until (b + 1) * rowsPerBand).as("bsig"))
+          }.reduce(_ union _)
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
               && col("a.doc_id") < col("b.doc_id"))
@@ -185,6 +190,48 @@ object TextOps {
     * independent cross-check. Package-private so ScaleShapeSpec can
     * assert the prefix filter is present on BOTH sides of the
     * token-keyed join (the spec fails on the round-4 shape). */
+  /** Truth pairs memoized per (session, sfDir, foldWidth): both
+    * banding operating points (`minhash_recall`, `minhash_recall_b1r8`)
+    * measure against the SAME exact-Jaccard ground truth — one build,
+    * ~86k rows at sf0.1, eagerly checkpointed. */
+  private val truthCache = new graft.engine.SessionCache[DataFrame]
+
+  private def minhashTruthCached(s: SparkSession, d: String): DataFrame =
+    truthCache.get(s, s"$d|${foldWidth(s)}") {
+      minhashTruthPairs(s, d).localCheckpoint(true)
+    }
+
+  /** Banding recall/precision measurement vs the memoized exact truth
+    * (shared by both declared operating points). */
+  private def bandingRecall(s: SparkSession, d: String, algo: String,
+                            rowsPerBand: Int): DataFrame = {
+    val truth = minhashTruthCached(s, d)
+    val flags = sampFlags(s, d)
+    val pairs = minhashPairs(s, d, rowsPerBand = rowsPerBand)
+    // sample membership by per-doc flag equi-join (see sampFlags —
+    // the per-pair HOF filter was ~40 s of the round-4 bench)
+    val cand = pairs
+      .join(flags.select(col("doc_id").as("d1"), col("samp").as("f1")), "d1")
+      .join(flags.select(col("doc_id").as("d2"), col("samp").as("f2")), "d2")
+      .filter(col("f1") || col("f2")).select("d1", "d2")
+    // every truth pair has a sampled side by construction, so
+    // truth ⋉ pairs ≡ truth ⋉ cand — semi-join the UNFILTERED pair
+    // set and skip the flag joins on this path entirely
+    val tp = truth.join(pairs, Seq("d1", "d2"), "left_semi")
+    // recall/precision NULL (not a crash) when a denominator is 0:
+    // at a tiny SF or an unlucky sample n_truth/n_cand can be empty,
+    // and Spark's ANSI division would raise where DuckDB yields NULL
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .select(lit(algo).as("algo"), col("n_truth"), col("n_cand"),
+        col("n_tp"),
+        round(when(col("n_truth") > 0, col("n_tp") / col("n_truth")), 6)
+          .as("recall_at_09"),
+        round(when(col("n_cand") > 0, col("n_tp") / col("n_cand")), 6)
+          .as("precision_at_09"))
+  }
+
   private[graft] def minhashTruthPairs(s: SparkSession, d: String): DataFrame = {
     val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
       .localCheckpoint(true)
@@ -770,35 +817,19 @@ object TextOps {
     // per-row arithmetic (md5-fold of doc_id, no sampling state, no
     // broadcast of a sample list), so both engines and any cluster
     // size agree on the sample.
-    "minhash_recall" -> ((s, d) => {
-      // checkpointed: truth feeds both the n_truth aggregate and the
-      // true-positive semi join — 86k rows at sf0.1, materialize once
-      val truth = minhashTruthPairs(s, d).localCheckpoint(true)
-      val flags = sampFlags(s, d)
-      val pairs = minhashPairs(s, d)
-      // sample membership by per-doc flag equi-join (see sampFlags —
-      // the per-pair HOF filter was ~40 s of the round-4 bench)
-      val cand = pairs
-        .join(flags.select(col("doc_id").as("d1"), col("samp").as("f1")), "d1")
-        .join(flags.select(col("doc_id").as("d2"), col("samp").as("f2")), "d2")
-        .filter(col("f1") || col("f2")).select("d1", "d2")
-      // every truth pair has a sampled side by construction, so
-      // truth ⋉ pairs ≡ truth ⋉ cand — semi-join the UNFILTERED pair
-      // set and skip the flag joins on this path entirely
-      val tp = truth.join(pairs, Seq("d1", "d2"), "left_semi")
-      // recall/precision NULL (not a crash) when a denominator is 0:
-      // at a tiny SF or an unlucky sample n_truth/n_cand can be empty,
-      // and Spark's ANSI division would raise where DuckDB yields NULL
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
-        .select(lit("minhash_b2r4").as("algo"), col("n_truth"), col("n_cand"),
-          col("n_tp"),
-          round(when(col("n_truth") > 0, col("n_tp") / col("n_truth")), 6)
-            .as("recall_at_09"),
-          round(when(col("n_cand") > 0, col("n_tp") / col("n_cand")), 6)
-            .as("precision_at_09"))
-    }),
+    "minhash_recall" -> (bandingRecall(_, _, "minhash_b2r4", rowsPerBand = 4)),
+
+    // the PRECISION-oriented operating point on the same 8 min-hashes:
+    // one band of all 8 (b=1×r=8), S-curve J⁸ — P(candidate) at
+    // J = 0.9 is 0.43, at J = 1 is 1, so recall@0.9 drops while the
+    // candidate set collapses toward true dups (≈13× fewer candidates
+    // than b=2×r=4 at sf0.1). Measured next to `minhash_recall`, the
+    // two rows give a user tuning b×r the real tradeoff curve on
+    // their corpus. (b=4×r=2 was measured and REJECTED as an
+    // operating point: with r=2 the band join explodes on dup-dense
+    // corpora — 20.7M join pairs vs 4.4M at sf0.1 — the quadratic
+    // regime the rowsPerBand=4 default exists to avoid.)
+    "minhash_recall_b1r8" -> (bandingRecall(_, _, "minhash_b1r8", rowsPerBand = 8)),
 
     // tokenizer-vocabulary coverage: the share of each document's
     // token OCCURRENCES covered by the top-10 corpus tokens (count
@@ -1133,6 +1164,52 @@ object TextOps {
          |  WHERE d1 IN (SELECT doc_id FROM samp) OR d2 IN (SELECT doc_id FROM samp)),
          |tp AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
          |SELECT 'minhash_b2r4' AS algo,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM cand) AS n_cand,
+         |  (SELECT COUNT(*) FROM tp) AS n_tp,
+         |  ROUND((SELECT COUNT(*) FROM tp) * 1.0
+         |    / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall_at_09,
+         |  ROUND((SELECT COUNT(*) FROM tp) * 1.0
+         |    / NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision_at_09""".stripMargin,
+
+    // the b=1×r=8 operating point: identical truth, candidates from a
+    // SINGLE band chaining all 8 min-hashes base-31
+    "minhash_recall_b1r8" ->
+      s"""WITH $TOK,
+         |$MINHASH,
+         |bands1 AS (SELECT doc_id,
+         |  ((((((MIN(CASE WHEN seed = 0 THEN mh END) * 31
+         |    + MIN(CASE WHEN seed = 1 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed = 2 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed = 3 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed = 4 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed = 5 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed = 6 THEN mh END)) * 31
+         |    + MIN(CASE WHEN seed = 7 THEN mh END) AS bsig
+         |  FROM sig GROUP BY doc_id),
+         |pairs1 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands1 a JOIN bands1 b ON a.bsig = b.bsig
+         |    AND a.doc_id < b.doc_id),
+         |tokd AS (SELECT DISTINCT doc_id, token FROM tok),
+         |samp AS (SELECT doc_id FROM (
+         |  SELECT doc_id, CAST(SUM((strpos('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), u.i, 1)) - 1)
+         |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) AS f
+         |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i)
+         |  GROUP BY doc_id) WHERE f % 20 = 0),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tokd GROUP BY 1),
+         |it AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS d1,
+         |    GREATEST(a.doc_id, b.doc_id) AS d2, a.token
+         |  FROM tokd a JOIN tokd b USING (token)
+         |  WHERE a.doc_id IN (SELECT doc_id FROM samp) AND a.doc_id <> b.doc_id),
+         |inter AS (SELECT d1, d2, COUNT(*) AS i FROM it GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM inter
+         |  JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+         |  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.9),
+         |cand AS (SELECT d1, d2 FROM pairs1
+         |  WHERE d1 IN (SELECT doc_id FROM samp) OR d2 IN (SELECT doc_id FROM samp)),
+         |tp AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+         |SELECT 'minhash_b1r8' AS algo,
          |  (SELECT COUNT(*) FROM truth) AS n_truth,
          |  (SELECT COUNT(*) FROM cand) AS n_cand,
          |  (SELECT COUNT(*) FROM tp) AS n_tp,

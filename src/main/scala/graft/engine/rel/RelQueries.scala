@@ -432,6 +432,39 @@ object RelQueries {
     // (DecorrelateInnerQuery), the planning path SQL users hit that
     // q_subquery's scalar/EXISTS forms don't. Same text runs in DuckDB.
     "q_lateral" -> ((s, d) => graft.engine.SqlSurface.sql(s, d, LATERAL_SQL)),
+
+    // MERGE INTO semantics, batch form: apply the event log as a CDC
+    // delta to the customer snapshot — latest event per key wins
+    // (same es/event_id tie-break as q_cdc_latest), 'error' = DELETE,
+    // anything else UPSERTs the balance; base rows without a delta
+    // survive unchanged, delta keys outside the base INSERT. The
+    // declared result is the POST-MERGE snapshot with the per-row
+    // action, i.e. the full lakehouse merge surface without a table
+    // format. Scale shape: one user-partitioned window for the delta,
+    // one shuffle full-outer join on the merge key — no broadcast
+    // needed (both sides are fact-sized at 100 TB), AQE handles skew.
+    "q_merge_upsert" -> ((s, d) => {
+      val base = customer(s, d).select(col("c_custkey").as("mk"),
+        round(col("c_acctbal").cast("double"), 2).as("bal"))
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+        col("event_type"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(desc("es"), desc("event_id"))
+      val delta = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id").as("mk"), col("event_type"),
+          round(col("value"), 4).as("new_bal"))
+      base.join(delta, Seq("mk"), "full_outer")
+        // delete only when a delta row says 'error'; NULL event_type
+        // (base-only row) keeps — coalesce gives the tri-state filter
+        .filter(coalesce(col("event_type") =!= "error", lit(true)))
+        .select(col("mk"),
+          when(col("event_type").isNotNull, col("new_bal"))
+            .otherwise(col("bal")).as("bal"),
+          when(col("bal").isNull, lit("inserted"))
+            .when(col("event_type").isNull, lit("kept"))
+            .otherwise(lit("updated")).as("op"))
+        .orderBy("mk")
+    }),
   )
 
   /** q_asof_join core over any `(event_id, user_id, es, kind)` frame
@@ -764,5 +797,24 @@ object RelQueries {
         |ORDER BY rf, measure""".stripMargin,
 
     "q_lateral" -> LATERAL_SQL,
+
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS mk,
+        |    ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal FROM customer),
+        |ev AS (SELECT event_id, user_id,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es,
+        |    event_type, value FROM events),
+        |delta AS (SELECT user_id AS mk, event_type, ROUND(value, 4) AS new_bal
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY es DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1)
+        |SELECT mk,
+        |  CASE WHEN d.event_type IS NOT NULL THEN d.new_bal ELSE b.bal END AS bal,
+        |  CASE WHEN b.bal IS NULL THEN 'inserted'
+        |       WHEN d.event_type IS NULL THEN 'kept'
+        |       ELSE 'updated' END AS op
+        |FROM base b FULL OUTER JOIN delta d USING (mk)
+        |WHERE COALESCE(d.event_type <> 'error', TRUE)
+        |ORDER BY mk""".stripMargin,
   )
 }

@@ -195,6 +195,35 @@ object Similarity {
           round(col("sse") / size(col("f")), 6).as("mse"))
         .orderBy("vec_id")),
 
+    // Johnson–Lindenstrauss random sign projection 64 → 8 dims with a
+    // DETERMINISTIC ±1 matrix (parity of the md5-fold of "rp{i}_{j}"
+    // — no RNG state, any cluster size and both engines agree on
+    // every sign). The dimensionality-reduction step before a cheap
+    // ANN index or distance sketch. Determinism of the sums: each
+    // product x·(±1) keeps the float's 24-bit mantissa, so the ≤64-
+    // term double sums are EXACT regardless of aggregation order, and
+    // the /√8 is one correctly-rounded IEEE op in both engines. Scale
+    // shape: posexplode → broadcast join with the (dims×8)-row sign
+    // matrix (built distributed from the data's own dimension ids —
+    // no driver loop) → partial+final hash agg; one shuffle on
+    // (vec_id, j).
+    "embedding_project" -> ((s, d) => {
+      val k = 8
+      val e = vecs(s, d).select(col("vec_id"), posexplode(col("f")).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("x"))
+      val proj = e.select("i").distinct()
+        .crossJoin(s.range(1, k + 1).toDF("j"))
+        .withColumn("__h", md5(concat(lit("rp"), col("i"), lit("_"), col("j")).cast("binary")))
+        .withColumn("sgn",
+          when(expr(graft.engine.text.TextOps.foldDigitsSql("__h", 8)) % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0)))
+        .select("i", "j", "sgn")
+      e.join(broadcast(proj), "i")
+        .groupBy("vec_id", "j")
+        .agg(round(sum(col("x") * col("sgn")) / math.sqrt(k), 6).as("comp"))
+        .orderBy("vec_id", "j")
+    }),
+
     // embedding-cosine near-dup candidates (threshold 0.3; data max
     // cosine ≈ 0.40, so this yields a small deterministic pair set) —
     // same distributed exact all-pairs, filter fused into the scan
@@ -403,6 +432,22 @@ object Similarity {
          |  ROUND(STDDEV_SAMP(v), 6) AS sd_x,
          |  ROUND(MIN(v), 6) AS min_x, ROUND(MAX(v), 6) AS max_x
          |FROM pt GROUP BY i ORDER BY dim""".stripMargin,
+
+    "embedding_project" ->
+      s"""WITH $PT,
+         |dims AS (SELECT DISTINCT i FROM pt),
+         |proj AS (SELECT dims.i, js.j,
+         |  CASE WHEN CAST(SUM((strpos('0123456789abcdef',
+         |      substr(md5('rp' || CAST(dims.i AS VARCHAR) || '_'
+         |        || CAST(js.j AS VARCHAR)), u.d, 1)) - 1)
+         |      * CAST(POWER(16, 8 - u.d) AS BIGINT)) AS BIGINT) % 2 = 0
+         |    THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM dims, UNNEST(generate_series(1, 8)) AS js(j),
+         |    UNNEST(generate_series(1, 8)) AS u(d)
+         |  GROUP BY dims.i, js.j)
+         |SELECT pt.vec_id, p.j, ROUND(SUM(pt.v * p.sgn) / sqrt(8), 6) AS comp
+         |FROM pt JOIN proj p ON p.i = pt.i
+         |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH $PT,

@@ -59,7 +59,7 @@ object TextOps {
     * reads that column — inlining `md5(...)` into the transform lambda
     * would digest the full input once per hex digit (8×; Spark does
     * not hoist subexpressions out of HOF lambdas). */
-  private def foldDigitsSql(hexCol: String, width: Int): String =
+  private[graft] def foldDigitsSql(hexCol: String, width: Int): String =
     s"""aggregate(
        |  transform(sequence(1, $width),
        |    i -> CAST(instr('0123456789abcdef', substring($hexCol, i, 1)) - 1 AS BIGINT)),
@@ -862,6 +862,34 @@ object TextOps {
     // signal is the regex transform itself: both engines must agree on
     // every replacement ('[0-9]+' → '#', global) and on the per-char
     // digit count. Pure per-row regex + one hash aggregation.
+    // BM25 retrieval scoring (Robertson k1=1.2, b=0.75, Lucene-style
+    // idf ln(1 + (N−df+0.5)/(df+0.5))): top-20 documents for a fixed
+    // query token set — the relevance-mining op a training pipeline
+    // runs to surface on-topic documents. Scale shape: the token
+    // stream is FILTERED to the query terms before any aggregation
+    // (per-doc tf is a hash agg over query-term rows only), the
+    // 3-row df/idf table broadcasts, doc lengths are one full-scan
+    // hash agg, and the top-20 is TakeOrdered (per-partition partial
+    // top-k → merge), never a global sort.
+    "bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("spark", "join", "data")
+      val tok = tokens(docs(s, d)).select("doc_id", "token")
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val qtok = tok.filter(col("token").isin(qTerms: _*))
+      val tf = qtok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = qtok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("term_score"), 6).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+    }),
+
     "pii_redact" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey"),
           regexp_replace(col("c_name"), "[0-9]+", "#").as("red"),
@@ -1230,6 +1258,24 @@ object TextOps {
         |    / COUNT(*), 6) AS coverage
         |FROM tok LEFT JOIN vocab v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id, token FROM tok
+        |  WHERE token IN ('spark', 'join', 'data')),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+        |    * (tf.tf * 2.2)
+        |    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS bm25
+        |FROM tf JOIN dfq USING (token)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin,
 
     "pii_redact" ->
       """SELECT c_nationkey, COUNT(*) AS n,

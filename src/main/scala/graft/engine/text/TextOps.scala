@@ -862,6 +862,82 @@ object TextOps {
     // signal is the regex transform itself: both engines must agree on
     // every replacement ('[0-9]+' → '#', global) and on the per-char
     // digit count. Pure per-row regex + one hash aggregation.
+    // Unigram LM negative log-likelihood per document — the CCNet-
+    // style perplexity quality filter (docs far from the corpus
+    // distribution score high). p(t) = corpus occurrence share;
+    // nll(doc) = −Σ ln p(t) / n_tok over token OCCURRENCES. Scale
+    // shape: one hash agg for the LM, one equi-join token→prob (AQE
+    // broadcasts small vocabs, shuffles big ones), one per-doc hash
+    // agg — no windows, no driver state. Transcendental sum under the
+    // repo's ROUND(·,6) discipline.
+    "unigram_logppl" -> ((s, d) => {
+      val tok = tokens(docs(s, d)).select("doc_id", "token")
+      val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      tok.join(cnt, "token").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(-(sum(log(col("c") / col("n"))) / count(lit(1))), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget downsampling: every source is deterministically
+    // thinned to at most the MEDIAN source's token mass (the corpus-
+    // rebalancing step before training-mix assembly; self-normalizing
+    // across SFs). keep-rate_s = min(1, median/tokens_s); a doc
+    // survives iff md5-fold(doc_id) mod 1e6 < rate·1e6 — pure per-row
+    // arithmetic against a 20-row broadcast rate table, so any
+    // cluster size and both engines agree doc-by-doc. Declared output
+    // is the per-source audit (kept docs/tokens, rate).
+    "token_budget_sample" -> ((s, d) => {
+      val w = foldWidth(s)
+      val dt = docs(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val bySrc = dt.groupBy("source").agg(sum("n_tok").as("src_tok"))
+      val med = bySrc.agg(
+        expr("percentile(src_tok, 0.5)").as("med"))
+      val rates = bySrc.crossJoin(broadcast(med))
+        .select(col("source"),
+          least(lit(1.0), col("med") / col("src_tok")).as("rate"))
+      dt.join(broadcast(rates), "source")
+        .filter(expr(s"(${foldDigitsSql("md5(CAST(doc_id AS STRING))", w)}) % 1000000") < col("rate") * 1e6)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"),
+          round(max("rate"), 6).as("rate"))
+        .orderBy("source")
+    }),
+
+    // Incremental ingest dedup: the 10% "incoming batch" (md5-fold of
+    // doc_id mod 10 = 7) checked against the EXISTING corpus — band
+    // signatures of the batch equi-join the old corpus's bands, so
+    // the cost is ∝ batch size, never corpus² (the production shape:
+    // a daily crawl lands against a 100 TB corpus without re-pairing
+    // the corpus with itself). Output: each colliding incoming doc,
+    // its lowest-id existing collision, and the distinct collision
+    // count.
+    "incremental_dedup" -> ((s, d) => {
+      val w = foldWidth(s)
+      val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
+      val dt = withTid(tok).select("doc_id", "tid")
+      def mh(seed: Int) =
+        min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
+      val sig = dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+      def chain(idxs: Range) =
+        idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
+      val bands = (0 until 2).map { b =>
+          sig.select(col("doc_id"), lit(b.toLong).as("band"),
+            chain(b * 4 until (b + 1) * 4).as("bsig"))
+        }.reduce(_ union _)
+        .withColumn("inc",
+          expr(s"(${foldDigitsSql("md5(CAST(doc_id AS STRING))", w)}) % 10") === 7)
+      val newB = bands.filter(col("inc")).select(col("doc_id").as("nd"), col("band"), col("bsig"))
+      val oldB = bands.filter(!col("inc")).select(col("doc_id").as("od"), col("band"), col("bsig"))
+      newB.join(oldB, Seq("band", "bsig"))
+        .groupBy(col("nd").as("doc_id"))
+        .agg(min("od").as("first_match"), countDistinct("od").as("n_matches"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval scoring (Robertson k1=1.2, b=0.75, Lucene-style
     // idf ln(1 + (N−df+0.5)/(df+0.5))): top-20 documents for a fixed
     // query token set — the relevance-mining op a training pipeline
@@ -1258,6 +1334,49 @@ object TextOps {
         |    / COUNT(*), 6) AS coverage
         |FROM tok LEFT JOIN vocab v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "unigram_logppl" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(-(SUM(ln(cnt.c * 1.0 / tot.n)) / COUNT(*)), 6) AS nll
+        |FROM tok JOIN cnt USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "token_budget_sample" ->
+      """WITH dt AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |bysrc AS (SELECT source, SUM(n_tok) AS src_tok FROM dt GROUP BY 1),
+        |med AS (SELECT quantile_cont(src_tok, 0.5) AS med FROM bysrc),
+        |rates AS (SELECT source, LEAST(1.0, med.med / src_tok) AS rate
+        |  FROM bysrc CROSS JOIN med),
+        |f AS (SELECT doc_id, CAST(SUM((strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), u.i, 1)) - 1)
+        |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) % 1000000 AS fv
+        |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i) GROUP BY doc_id)
+        |SELECT dt.source, COUNT(*) AS docs_kept, SUM(dt.n_tok) AS tokens_kept,
+        |  ROUND(MAX(r.rate), 6) AS rate
+        |FROM dt JOIN rates r USING (source) JOIN f USING (doc_id)
+        |WHERE f.fv < r.rate * 1e6
+        |GROUP BY dt.source ORDER BY dt.source""".stripMargin,
+
+    "incremental_dedup" ->
+      s"""WITH $TOK,
+         |$MINHASH,
+         |fb AS (SELECT doc_id, CAST(SUM((strpos('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), u.i, 1)) - 1)
+         |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) % 10 AS m
+         |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i) GROUP BY doc_id),
+         |nb AS (SELECT b.doc_id AS nd, band, bsig
+         |  FROM bands b JOIN fb ON fb.doc_id = b.doc_id WHERE fb.m = 7),
+         |ob AS (SELECT b.doc_id AS od, band, bsig
+         |  FROM bands b JOIN fb ON fb.doc_id = b.doc_id WHERE fb.m <> 7)
+         |SELECT nd AS doc_id, MIN(od) AS first_match,
+         |  COUNT(DISTINCT od) AS n_matches
+         |FROM nb JOIN ob USING (band, bsig)
+         |GROUP BY nd ORDER BY doc_id""".stripMargin,
 
     "bm25_topk" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token

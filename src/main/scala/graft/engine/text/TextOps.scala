@@ -128,7 +128,7 @@ object TextOps {
     // session may legitimately flip the width between calls
     require(8 % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide 8")
     val joined = pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand") {
-        val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
+        val tok = distinctTokens(s, d)
         val dt = withTid(tok).select("doc_id", "tid")
         // all 8 min-hashes in ONE map-side-combined aggregation (no seed
         // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
@@ -152,6 +152,20 @@ object TextOps {
   }
 
   private val pairsCache = new graft.engine.SessionCache[DataFrame]
+
+  /** The DISTINCT (doc_id, token) set, memoized per (session, sfDir)
+    * as an eager checkpoint: the MinHash pair builds (both bandings),
+    * the exact-Jaccard truth, and incremental_dedup all start from
+    * this same explode+distinct shuffle — one materialization serves
+    * them all (the ngramSet lesson: a recompute multiplies with the
+    * consumer count, never amortizes). */
+  private val tokSetCache = new graft.engine.SessionCache[DataFrame]
+
+  private def distinctTokens(s: SparkSession, d: String): DataFrame =
+    tokSetCache.get(s, d) {
+      tokens(docs(s, d)).select("doc_id", "token").distinct()
+        .localCheckpoint(true)
+    }
 
   /** Deterministic 5% sample flag per doc: md5-fold of the doc_id's
     * string form, mod 20 — no sampling state, no broadcast sample
@@ -233,8 +247,7 @@ object TextOps {
   }
 
   private[graft] def minhashTruthPairs(s: SparkSession, d: String): DataFrame = {
-    val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
-      .localCheckpoint(true)
+    val tok = distinctTokens(s, d)
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy("doc_id").orderBy("df", "token")
     val wDoc = Window.partitionBy("doc_id")
@@ -257,11 +270,21 @@ object TextOps {
       .select(least(col("s"), col("o")).as("d1"),
         greatest(col("s"), col("o")).as("d2"))
       .distinct()
+    // size-ratio necessary condition, applied on the INT-only size
+    // table before the (much wider) token-array joins: J ≥ 0.9 forces
+    // min(|A|,|B|)/max(|A|,|B|) ≥ 0.9 (J ≤ min/max always), checked
+    // as exact integer arithmetic 10·min ≥ 9·max — lossless, and it
+    // prunes the array_intersect verification to near the truth set
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val candSized = cand
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+      .filter(least(col("s1"), col("s2")) * 10 >= greatest(col("s1"), col("s2")) * 9)
     val docsArr = tok.groupBy("doc_id")
-      .agg(sort_array(collect_list("token")).as("arr"), count(lit(1)).as("sz"))
-    cand
-      .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1"), col("sz").as("s1")), "d1")
-      .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2"), col("sz").as("s2")), "d2")
+      .agg(sort_array(collect_list("token")).as("arr"))
+    candSized
+      .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
+      .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
       .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
       // threshold on the UNROUNDED ratio of identical ints — the same
       // drift-free single IEEE division the oracle computes
@@ -454,6 +477,67 @@ object TextOps {
     // Output: (group_id = component min doc_id = the keeper, member).
     "near_dedup_groups" -> ((s, d) =>
       resolvedGroups(s, d).orderBy("group_id", "member")),
+
+    // near-dup GROUP SIZE histogram — the dedup report a pipeline
+    // publishes (how much mass sits in how-large clusters). Reads the
+    // memoized group resolution (no extra MinHash work) and runs two
+    // tiny hash aggs.
+    "dedup_cluster_stats" -> ((s, d) =>
+      resolvedGroups(s, d)
+        .groupBy("group_id").agg(count(lit(1)).as("gsz"))
+        .groupBy("gsz").agg(count(lit(1)).as("n_groups"))
+        .orderBy("gsz")),
+
+    // Token co-occurrence PMI over document-level presence (p(t) =
+    // df/N): the collocation screen (phrase mining / tokenizer-merge
+    // candidates). Pairs come from a doc-local self-join of the
+    // distinct token set (per-doc quadratic in its ~dozens of tokens,
+    // never corpus-quadratic), with a min-support filter (co-df ≥ 5)
+    // so the output — and at 100 TB the pair aggregation — stays
+    // bounded. PMI's ln is one transcendental under ROUND(·,6).
+    "cooccurrence_pmi" -> ((s, d) => {
+      val tok = distinctTokens(s, d)
+      val n = docs(s, d).agg(count(lit(1)).as("n"))
+      val df_ = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val co = tok.as("a").join(tok.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+        .select(col("a.token").as("t1"), col("b.token").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      co.join(broadcast(df_.select(col("token").as("t1"), col("df").as("df1"))), "t1")
+        .join(broadcast(df_.select(col("token").as("t2"), col("df").as("df2"))), "t2")
+        .crossJoin(broadcast(n))
+        .select(col("t1"), col("t2"), col("n_ab"),
+          round(log(col("n_ab") * col("n") / (col("df1") * col("df2"))), 6).as("pmi"))
+        .orderBy("t1", "t2")
+    }),
+
+    // MOSS winnowing fingerprints: per-position trigram hashes, MIN
+    // over each w=4 sliding window (full windows only), distinct
+    // selected hashes per doc — the positional fingerprint family
+    // robust to local edits. One doc-partitioned window pass (the
+    // plagiarism-detection twin of doc_fingerprint's rolling hash).
+    "winnow_fingerprint" -> ((s, d) => {
+      val tri = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("wd"))
+        .select(col("doc_id"), posexplode(expr(
+          """CASE WHEN size(wd) >= 3 THEN
+            |  transform(sequence(1, size(wd) - 2),
+            |    i -> concat_ws(' ', wd[i-1], wd[i], wd[i+1]))
+            |ELSE array() END""".stripMargin)).as(Seq("pos", "ng")))
+      val hashed = withFoldHash(tri, "ng", "__f")
+        .withColumn("h", col("__f") % P).drop("__f")
+      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      val nW = Window.partitionBy("doc_id")
+      hashed
+        .withColumn("ntri", count(lit(1)).over(nW))
+        .withColumn("wmin", min("h").over(win))
+        .filter(col("pos") <= col("ntri") - 4)
+        .select(col("doc_id"), col("wmin")).distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("wmin").as("min_fp"),
+          max("wmin").as("max_fp"))
+        .orderBy("doc_id")
+    }),
 
     // SimHash near-dup: 16-bit signed-sum signature over token counts,
     // candidate pairs within Hamming distance 3. Candidates come from
@@ -917,7 +1001,7 @@ object TextOps {
     // count.
     "incremental_dedup" -> ((s, d) => {
       val w = foldWidth(s)
-      val tok = tokens(docs(s, d)).select("doc_id", "token").distinct()
+      val tok = distinctTokens(s, d)
       val dt = withTid(tok).select("doc_id", "tid")
       def mh(seed: Int) =
         min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
@@ -1024,6 +1108,57 @@ object TextOps {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT LEAST(a, MIN(b)) AS group_id, a AS member
          |FROM reach GROUP BY a ORDER BY group_id, member""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $TOK,
+         |$MINHASH,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |grp AS (SELECT LEAST(a, MIN(b)) AS gid, a AS member
+         |  FROM reach GROUP BY a),
+         |gs AS (SELECT gid, COUNT(*) AS gsz FROM grp GROUP BY gid)
+         |SELECT gsz, COUNT(*) AS n_groups FROM gs
+         |GROUP BY gsz ORDER BY gsz""".stripMargin,
+
+    "cooccurrence_pmi" ->
+      """WITH tokd AS (SELECT DISTINCT doc_id,
+        |    UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |df AS (SELECT token, COUNT(*) AS df FROM tokd GROUP BY 1),
+        |co AS (SELECT a.token AS t1, b.token AS t2, COUNT(*) AS n_ab
+        |  FROM tokd a JOIN tokd b
+        |    ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT t1, t2, n_ab,
+        |  ROUND(ln(n_ab * n.n * 1.0 / (d1.df * d2.df)), 6) AS pmi
+        |FROM co JOIN df d1 ON d1.token = t1 JOIN df d2 ON d2.token = t2
+        |  CROSS JOIN n
+        |ORDER BY t1, t2""".stripMargin,
+
+    "winnow_fingerprint" ->
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tri AS (SELECT doc_id, u.i - 1 AS pos,
+        |    w[u.i] || ' ' || w[u.i + 1] || ' ' || w[u.i + 2] AS ng
+        |  FROM wd, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+        |  WHERE len(w) >= 3),
+        |h AS (SELECT doc_id, pos,
+        |  CAST(SUM((strpos('0123456789abcdef', substr(md5(ng), u.i, 1)) - 1)
+        |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) % 1000003 AS h
+        |  FROM tri, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY doc_id, pos, ng),
+        |wm AS (SELECT doc_id, pos,
+        |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |  COUNT(*) OVER (PARTITION BY doc_id) AS ntri
+        |  FROM h)
+        |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fp,
+        |  MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+        |FROM wm WHERE pos <= ntri - 4
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH RECURSIVE $TOK,

@@ -150,6 +150,27 @@ object Sinks {
           countDistinct(col("text")).as("distinct_texts"))
         .orderBy("source")
     }),
+
+    // a FOURTH source format end-to-end: ORC (the other columnar
+    // format warehouses hand over), written zlib-compressed, read
+    // back with an explicit schema, aggregated per (lang, source) —
+    // a stripe/footer/encoding corruption shifts the counts and
+    // hash-mismatches against the original-table oracle.
+    "source_orc_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = cachedPath(s, s"$d|orc")(p =>
+        graft.engine.Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source")
+          .write.mode(SaveMode.Overwrite).orc(p))
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+        .orc(path)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          countDistinct(col("text")).as("distinct_texts"))
+        .orderBy("lang", "source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,5 +191,12 @@ object Sinks {
         |  CAST(SUM(length(text)) AS BIGINT) AS chars,
         |  COUNT(DISTINCT text) AS distinct_texts
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+        |  COUNT(DISTINCT text) AS distinct_texts
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
   )
 }

@@ -191,6 +191,36 @@ class ScaleShapeSpec extends SparkSpec {
       s"prefix-filtered truth must equal naive truth (got ${got.size}, expected ${expected.size})")
   }
 
+  test("round-5 ops: no cartesian pair generation; bm25 top-k is TakeOrdered") {
+    // every new op's pair/candidate generation must be an equi-join
+    // (PMI: doc-local self-join on doc_id; incremental dedup: band
+    // signature join; bm25/logppl: token equi-joins). A
+    // CartesianProduct anywhere = the corpus-quadratic shape these
+    // ops exist to avoid. (1-row stat dims ride BroadcastNestedLoop —
+    // that is the intended broadcast-scalar shape, not a cartesian.)
+    for (k <- Seq("bm25_topk", "cooccurrence_pmi", "incremental_dedup",
+                  "unigram_logppl", "token_budget_sample", "winnow_fingerprint")) {
+      val df = graft.SparkEntry.queries(k)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$k must not contain a cartesian product:\n$plan")
+    }
+    // the bm25 top-20 must be per-partition partial top-k merged on
+    // the driver (TakeOrdered), never a global sort of all scores
+    val bplan = graft.SparkEntry.queries("bm25_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must be TakeOrdered, not a global sort:\n$bplan")
+    // winnowing windows must partition by doc_id (no global window)
+    val wplan = graft.SparkEntry.queries("winnow_fingerprint")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val allW = "windowspecdefinition\\(".r.findAllIn(wplan).size
+    val byDoc = "windowspecdefinition\\(doc_id".r.findAllIn(wplan).size
+    assert(allW > 0 && allW == byDoc,
+      s"winnow windows must be doc_id-partitioned ($byDoc of $allW):\n$wplan")
+  }
+
   test("dimension joins broadcast (no shuffle of the small side)") {
     val j = graft.SparkEntry.queries("q_join_5way")(spark, sf0001)
     j.collect()

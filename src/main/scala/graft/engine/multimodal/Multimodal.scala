@@ -84,6 +84,51 @@ object Multimodal {
       (w, h, c)
     }
 
+    /** 64-bit AVERAGE-HASH of a decoded grayscale raster — the image
+      * near-dup fingerprint (aHash): the 16×H image is partitioned
+      * into an 8×8 block grid (block (r,c) covers rows
+      * [⌊rH/8⌋, ⌊(r+1)H/8⌋) × cols [2c, 2c+2)); bit r·8+c is set iff
+      * the block's mean exceeds the raster mean. Means compare as
+      * EXACT integer cross-products (blockSum·N > totalSum·blockN) —
+      * no floats, so any two JVMs (and any decode path reproducing
+      * the same raster) agree bit-for-bit. Identical payloads hash
+      * identically; a local edit flips only the touched blocks'
+      * bits (plus any block whose mean straddles the shifted raster
+      * mean) — the locality PhashSpec pins. */
+    def phashImage(bytes: Array[Byte]): Long = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val blockSum = Array.ofDim[Long](8, 8)
+      val blockN = Array.ofDim[Long](8, 8)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val r = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val c = math.min(7, x / 2)
+          val v = raster.getSample(x, y, 0)
+          blockSum(r)(c) += v; blockN(r)(c) += 1; total += v
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (blockN(r)(c) > 0 && blockSum(r)(c) * n > total * blockN(r)(c))
+            bits |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
     /** REAL audio encode (javax.sound.sampled, in the JDK): payload
       * bytes → PCM WAV, 8-bit unsigned mono @8 kHz — one sample per
       * payload byte, stored verbatim (no quantization), so the codec
@@ -291,6 +336,23 @@ object Multimodal {
           (m.media_id, nSampled)
         })
         .toDF("media_id", "n_frames")
+        .orderBy("media_id")
+    }),
+
+    // image near-dup fingerprints: aHash over the genuinely decoded
+    // PNG raster, one map-side pass (encode→decode→hash per image,
+    // bytes never shuffle — only the 8-byte hash does). NO DuckDB
+    // oracle (it can't decode PNG): the hash math and its locality
+    // contract are pinned in PhashSpec; the declared surface is the
+    // per-image fingerprint table an image-dedup join runs on.
+    "multimodal_phash" -> ((s, d) => {
+      import s.implicits._
+      payloads(s, d).filter(col("kind") === "image")
+        .select(col("media_id"), col("kind"), col("payload").as("bytes")).as[Media]
+        .mapPartitions(_.map { m =>
+          (m.media_id, MediaCodec.phashImage(MediaCodec.encodePng(m.bytes)))
+        })
+        .toDF("media_id", "phash")
         .orderBy("media_id")
     }),
   )

@@ -167,6 +167,24 @@ object RelQueries {
         .agg(approx_count_distinct("l_partkey").as("approx_parts"))
         .orderBy("l_suppkey")),
 
+    // SKEW-SAFE two-phase distinct count over hot group keys (the
+    // aggregation twin of q_join_salted): phase 1 counts distinct
+    // within (key, salt) where salt = hash(VALUE) mod 32 — the value
+    // hash makes the per-salt distinct sets provably DISJOINT, so
+    // phase 2 just SUMs them. A hot key's distinct work spreads over
+    // 32 reducers instead of one; the oracle is the plain
+    // COUNT(DISTINCT) it must equal. l_returnflag (3 values over the
+    // whole fact table) is exactly the cardinality where the
+    // single-reducer-per-key plan dies at 100 TB.
+    "q_agg_distinct_salted" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumn("salt", pmod(hash(col("l_partkey")), lit(32)))
+        .groupBy("l_returnflag", "salt")
+        .agg(countDistinct("l_partkey").as("pd"))
+        .groupBy("l_returnflag")
+        .agg(sum("pd").as("n_parts"))
+        .orderBy("l_returnflag")),
+
     // statistical aggregates (shared Pearson/sample definitions)
     "q_agg_stats" -> ((s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
@@ -583,6 +601,10 @@ object RelQueries {
     "q_agg_distinct" ->
       """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_agg_distinct_salted" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT l_returnflag,

@@ -483,6 +483,60 @@ object RelQueries {
             .otherwise(lit("updated")).as("op"))
         .orderBy("mk")
     }),
+
+    // fixed-width 20-bucket histogram of l_extendedprice — the
+    // data-profiling primitive. All bucket math is EXACT INTEGER
+    // arithmetic over cents (one ROUND→CAST per row, then DIV): both
+    // engines compute identical bucket ids with no float-boundary
+    // ambiguity at bucket edges. Scale shape: one min/max agg
+    // (1-row broadcast) + one map-side bucketing pass feeding a
+    // ≤20-group hash agg — two scans of one pruned column, partial
+    // aggregation absorbs everything before the only shuffle.
+    "q_histogram" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      val mm = li.agg(min("cents").as("lo"), max("cents").as("hi"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("bucket", expr("(cents - lo) DIV ((hi - lo) DIV 20 + 1)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bucket")
+    }),
+
+    // per-nation account-balance quartiles: ntile(4) over a
+    // PARTITIONED window (total order via the c_custkey tie-break —
+    // ntile is order-sensitive), then a per-(nation, quartile)
+    // profile. The partitioned window is the scale-correct form:
+    // rows shuffle once by nation and each partition sorts locally;
+    // an unpartitioned ntile would serialize the table through one
+    // task. avg is ROUND(·,4): thousands-scale money means 1e-8
+    // summation-order drift, comfortably inside 4 decimals.
+    "q_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      customer(s, d).withColumn("q", ntile(4).over(w))
+        .groupBy("c_nationkey", "q")
+        .agg(count(lit(1)).as("n"),
+          round(min("c_acctbal"), 2).as("lo"),
+          round(max("c_acctbal"), 2).as("hi"),
+          round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("c_nationkey", "q")
+    }),
+
+    // window distribution functions: percent_rank + cume_dist of each
+    // customer's balance WITHIN its nation. The total order (balance,
+    // custkey) makes both exact rationals of identical integers —
+    // (rank−1)/(n−1) and row_number/n — so the doubles agree
+    // bit-for-bit across engines before ROUND(·,6). Same partitioned-
+    // window scale shape as q_ntile.
+    "q_window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("bal"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    }),
   )
 
   /** q_asof_join core over any `(event_id, user_id, es, kind)` frame
@@ -838,5 +892,32 @@ object RelQueries {
         |FROM base b FULL OUTER JOIN delta d USING (mk)
         |WHERE COALESCE(d.event_type <> 'error', TRUE)
         |ORDER BY mk""".stripMargin,
+
+    "q_histogram" ->
+      """WITH li AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        |    AS cents FROM lineitem),
+        |mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM li)
+        |SELECT (cents - lo) // ((hi - lo) // 20 + 1) AS bucket,
+        |  COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        |FROM li CROSS JOIN mm
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT c_nationkey, q, COUNT(*) AS n,
+        |  ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi,
+        |  ROUND(AVG(c_acctbal), 4) AS avg_bal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |    NTILE(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal, c_custkey) AS q
+        |  FROM customer)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_distribution" ->
+      """SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS bal,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey), 6) AS pr,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey), 6) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

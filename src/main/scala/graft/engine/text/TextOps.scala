@@ -1059,6 +1059,79 @@ object TextOps {
         .agg(count(lit(1)).as("n"), sum("digits").as("digits_removed"),
           countDistinct("red").as("distinct_redacted"))
         .orderBy("c_nationkey")),
+
+    // Bigram LM surprisal per document: p(t2|t1) = c(t1,t2)/c(t1,·)
+    // over corpus bigram counts (no smoothing case exists — every
+    // evaluated bigram is corpus-observed by construction), and
+    // nll = −Σ ln p / n_bigrams. The CCNet-style perplexity filter
+    // one order up from `unigram_logppl`: template/repetitive docs
+    // score near 0, token-soup docs score high, and the two scores
+    // together separate "rare words" from "rare word ORDER". Scale
+    // shape: bigrams are generated MAP-SIDE by zipping adjacent
+    // slices of the split array (no positional window, no self-join
+    // on pos), the LM is two hash aggs joined once on t1, and the
+    // scoring pass is a single (t1,t2) equi-join + per-doc hash agg —
+    // AQE broadcasts small LMs, shuffle-joins big ones.
+    "bigram_logppl" -> ((s, d) => {
+      val bg = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 2 THEN
+            |  transform(sequence(1, size(w) - 1),
+            |    i -> struct(w[i-1] AS t1, w[i] AS t2))
+            |ELSE array() END""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      val cnt = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+      val ctx = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
+      val lm = cnt.join(ctx, "t1")
+      bg.join(lm, Seq("t1", "t2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-(sum(log(col("c2") / col("c1"))) / count(lit(1))), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document character-distribution Shannon entropy (nats),
+    // H = ln n − (Σ c·ln c)/n — the gibberish/boilerplate screen
+    // (natural text sits near ~3 nats over chars+space; repeated
+    // filler collapses toward 0). Chars are generated MAP-SIDE by an
+    // index transform over the text column (substring per position —
+    // no engine-divergent empty-regex split semantics), then one
+    // (doc_id, ch) hash agg + one per-doc agg. Linear in corpus
+    // bytes; partial aggregation absorbs the per-char explosion
+    // before any shuffle.
+    "char_entropy" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_chars"), sum(col("c") * log(col("c"))).as("clc"))
+        .select(col("doc_id"), col("n_chars"),
+          round(log(col("n_chars")) - col("clc") / col("n_chars"), 6).as("entropy"))
+        .orderBy("doc_id")),
+
+    // Per-source KL divergence from the corpus token distribution,
+    // KL(P_src ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the
+    // domain-shift audit a mixture pipeline publishes per source
+    // (0 = indistinguishable from the mix; large = skewed
+    // vocabulary). Every source token is corpus-supported, so no
+    // zero/smoothing branch exists. Scale shape: two hash aggs
+    // (source·token, corpus token) + ONE token equi-join + a
+    // per-source agg; the ~20-row per-source totals BROADCAST, and
+    // nothing windows or sorts globally.
+    "kl_source_divergence" -> ((s, d) => {
+      val tok = tokens(docs(s, d)).select("source", "token")
+      val st = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      val srcTot = st.groupBy("source").agg(sum("cs").as("ns"))
+      val ct = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      st.join(ct, "token").join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(max("ns").as("n_tokens"),
+          round(sum((col("cs") / col("ns"))
+            * log((col("cs") / col("ns")) / (col("c") / col("n")))), 6).as("kl"))
+        .orderBy("source")
+    }),
   )
 
   private val TOK =
@@ -1539,5 +1612,39 @@ object TextOps {
         |  COUNT(DISTINCT regexp_replace(c_name, '[0-9]+', '#', 'g'))
         |    AS distinct_redacted
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "bigram_logppl" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, UNNEST(w[1:len(w)-1]) AS t1, UNNEST(w[2:len(w)]) AS t2
+        |  FROM w WHERE len(w) >= 2),
+        |cnt AS (SELECT t1, t2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT t1, COUNT(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(-(SUM(ln(cnt.c2 * 1.0 / ctx.c1)) / COUNT(*)), 6) AS nll
+        |FROM bg JOIN cnt USING (t1, t2) JOIN ctx USING (t1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, u.i, 1) AS ch
+        |  FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |  SUM(c * ln(c)) AS clc FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  ROUND(ln(n_chars) - clc / n_chars, 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "kl_source_divergence" ->
+      """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |ct AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT st.source, MAX(ns) AS n_tokens,
+        |  ROUND(SUM((cs * 1.0 / ns) * ln((cs * 1.0 / ns) / (c * 1.0 / n))), 6)
+        |    AS kl
+        |FROM st JOIN ct USING (token) JOIN stot USING (source) CROSS JOIN tot
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.engine.rel.RelQueries
+
+/** Boundary semantics of the profiling/window-distribution operators
+  * on crafted rows — exact bucket-edge and single-row-partition cases
+  * the fixture's smooth distributions never land on.
+  */
+class RelProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirWith(writes: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val d = java.nio.file.Files.createTempDirectory("relprof").toString
+    writes.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$d/$n.parquet")
+    }
+    d
+  }
+
+  test("q_histogram: integer-cent bucket edges are exact, range covers min..max") {
+    // prices 0.00 .. 2.00 in cents: lo=0, hi=200, w = 200 DIV 20 + 1 = 11
+    // → cents c lands in bucket c DIV 11; 200 DIV 11 = 18 (max bucket)
+    val li = (0 to 200).map(c => (1L, c / 100.0)).toDF("l_orderkey", "l_extendedprice")
+    val out = RelQueries.queries("q_histogram")(spark, dirWith("lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 19) // buckets 0..18, all populated
+    assert(out.head == ((0L, 11L, 0L, 10L)))   // cents 0..10
+    assert(out.last == ((18L, 3L, 198L, 200L))) // cents 198..200
+    assert(out.map(_._2).sum == 201L)
+  }
+
+  test("q_ntile: quartiles split 4/4/4/... with remainder to the front") {
+    // one nation, 6 rows ordered by balance → ntile(4) sizes 2,2,1,1
+    val c = (1 to 6).map(i => (i.toLong, s"c$i", 7, i * 10.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = RelQueries.queries("q_ntile")(spark, dirWith("customer" -> c))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1, 2L, 10.0, 20.0), (2, 2L, 30.0, 40.0),
+      (3, 1L, 50.0, 50.0), (4, 1L, 60.0, 60.0)))
+  }
+
+  test("q_window_distribution: single-row partition ⇒ pr 0, cd 1; exact rationals") {
+    val c = Seq(
+      (1L, "a", 1, 5.0, "m"), (2L, "b", 1, 7.0, "m"), (3L, "c", 1, 9.0, "m"),
+      (4L, "d", 2, 3.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = RelQueries.queries("q_window_distribution")(spark, dirWith("customer" -> c))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((0.0, 0.333333)))
+    assert(out(2L) == ((0.5, 0.666667)))
+    assert(out(3L) == ((1.0, 1.0)))
+    assert(out(4L) == ((0.0, 1.0))) // lone row in its nation
+  }
+}

@@ -129,4 +129,46 @@ class TextOpsSpec extends SparkSpec {
     // query output is ROUND(·,6) of 8/9
     assert(math.abs(r.getDouble(2) - 0.888889) < 1e-9) // distinct ratio
   }
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("textops2").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("char_entropy: constant text ⇒ 0; two equiprobable chars ⇒ ln 2") {
+    val d = writeDocs(Seq(
+      (0L, "aaaa", "en", "s0"),
+      (1L, "abab", "en", "s0")))
+    val m = TextOps.queries("char_entropy")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(0L) == ((4L, 0.0)))
+    assert(m(1L)._1 == 4L)
+    assert(math.abs(m(1L)._2 - 0.693147) < 1e-9) // ROUND(ln 2, 6)
+  }
+
+  test("bigram_logppl: deterministic continuations ⇒ nll 0; 2-way split ⇒ ln 2") {
+    // corpus bigrams: (x,y)×2 from docs 0,1; (p,q),(p,r) from doc 2 —
+    // so p(y|x)=1 and p(q|p)=p(r|p)=1/2
+    val d = writeDocs(Seq(
+      (0L, "x y", "en", "s0"),
+      (1L, "x y", "en", "s0"),
+      (2L, "p q p r", "en", "s0")))
+    val m = TextOps.queries("bigram_logppl")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(0L) == ((1L, 0.0)) && m(1L) == ((1L, 0.0)))
+    // doc 2's bigrams: (p,q) ln½, (q,p) ln1, (p,r) ln½ → nll = 2·ln2/3
+    assert(m(2L)._1 == 3L)
+    assert(math.abs(m(2L)._2 - 0.462098) < 1e-9)
+  }
+
+  test("kl_source_divergence: identical source distributions ⇒ KL 0") {
+    val d = writeDocs(Seq(
+      (0L, "a a b", "en", "s0"),
+      (1L, "a a b", "en", "s1")))
+    val rows = TextOps.queries("kl_source_divergence")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("s0", 3L, 0.0), ("s1", 3L, 0.0)))
+  }
 }

@@ -523,6 +523,59 @@ object RelQueries {
         .orderBy("c_nationkey", "q")
     }),
 
+    // WINDOWED funnel analysis view → click → purchase: the click
+    // must land within 1 h of the user's FIRST view (inclusive
+    // same-second, the q_asof_join convention) and the purchase
+    // within 24 h of that qualifying click — the standard
+    // conversion-window form, which produces real drop-off instead
+    // of the everyone-converts-eventually degenerate histogram.
+    // Declared output is the stage-reached histogram. Scale shape:
+    // each stage is a filtered per-user hash agg equi-joined to the
+    // previous stage on user_id — no windows, no self-join of the
+    // raw log; the per-user stage table is users-sized, not
+    // events-sized, before the final ≤4-row agg.
+    "event_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+        col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("es").as("tv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("es") >= col("tv") && col("es") <= col("tv") + 3600)
+        .groupBy("user_id").agg(min("es").as("tc"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("es") >= col("tc") && col("es") <= col("tc") + 86400)
+        .groupBy("user_id").agg(min("es").as("tp"))
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1)
+          .otherwise(0).as("stage_reached"))
+        .groupBy("stage_reached").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage_reached")
+    }),
+
+    // cohort retention matrix: users cohorted by FIRST-event day,
+    // counted on each subsequent active day offset — the engagement
+    // report every event pipeline publishes. Day ids are exact
+    // integer epoch-day DIV, so both engines bucket identically.
+    // Scale shape: dedup to (user, day) first (events-sized shuffle
+    // ONCE, partial agg absorbs repeats), min-day per user, one
+    // user_id equi-join, one (cohort, offset) hash agg.
+    "retention_cohort" -> ((s, d) => {
+      val ed = events(s, d).select(col("user_id"),
+          expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("day"))
+        .distinct()
+      val first = ed.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ed.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // window distribution functions: percent_rank + cume_dist of each
     // customer's balance WITHIN its nation. The total order (balance,
     // custkey) makes both exact rationals of identical integers —
@@ -910,6 +963,37 @@ object RelQueries {
         |    NTILE(4) OVER (PARTITION BY c_nationkey
         |      ORDER BY c_acctbal, c_custkey) AS q
         |  FROM customer)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_funnel" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es,
+        |    event_type FROM events),
+        |v AS (SELECT user_id, MIN(es) AS tv FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, MIN(es) AS tc FROM ev JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND es >= tv AND es <= tv + 3600
+        |  GROUP BY 1),
+        |p AS (SELECT ev.user_id, MIN(es) AS tp FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND es >= tc AND es <= tc + 86400
+        |  GROUP BY 1)
+        |SELECT CASE WHEN tp IS NOT NULL THEN 3
+        |            WHEN tc IS NOT NULL THEN 2
+        |            WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+        |  COUNT(*) AS n_users
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "retention_cohort" ->
+      """WITH ed AS (SELECT DISTINCT user_id,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) // 86400
+        |      AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ed GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM ed JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_distribution" ->

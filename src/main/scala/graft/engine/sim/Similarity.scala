@@ -224,6 +224,26 @@ object Similarity {
         .orderBy("vec_id", "j")
     }),
 
+    // per-dimension z-score standardization — the feature-scaling
+    // pass before PCA/k-means/quantile bucketing. Declared output is
+    // the standardized components of the first 100 vectors against
+    // FULL-corpus per-dimension statistics (the sample prunes the
+    // OUTPUT, never the statistics). Scale shape: posexplode → one
+    // per-dim hash agg (≤dims rows, BROADCAST back) → map-side
+    // (x−μ)/σ transform — the corpus never joins itself and nothing
+    // sorts globally.
+    "embedding_standardize" -> ((s, d) => {
+      val e = vecs(s, d).select(col("vec_id"), posexplode(col("f")).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"), col("x"))
+      val stats = e.groupBy("dim")
+        .agg(avg("x").as("mu"), stddev_samp("x").as("sd"))
+      e.filter(col("vec_id") < 100)
+        .join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          round((col("x") - col("mu")) / col("sd"), 6).as("z"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // embedding-cosine near-dup candidates (threshold 0.3; data max
     // cosine ≈ 0.40, so this yields a small deterministic pair set) —
     // same distributed exact all-pairs, filter fused into the scan
@@ -478,6 +498,14 @@ object Similarity {
          |$COSPAIRS
          |SELECT id1, id2, cos FROM cosp WHERE cos >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+
+    "embedding_standardize" ->
+      s"""WITH $PT,
+         |st AS (SELECT i, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+         |  FROM pt GROUP BY 1)
+         |SELECT pt.vec_id, pt.i AS dim, ROUND((v - mu) / sd, 6) AS z
+         |FROM pt JOIN st USING (i) WHERE vec_id < 100
+         |ORDER BY vec_id, dim""".stripMargin,
 
     "embedding_quantize" ->
       s"""WITH $PT,

@@ -171,6 +171,36 @@ object Sinks {
           countDistinct(col("text")).as("distinct_texts"))
         .orderBy("lang", "source")
     }),
+
+    // a FIFTH source format end-to-end: plain text lines (the format
+    // raw crawl dumps and log shippers hand over) — each document
+    // serialized as ONE tab-delimited line (id, lang, source, text),
+    // written via the text sink, read back line-wise and re-parsed
+    // with a LIMIT-4 split (a pathological embedded tab could only
+    // ever land inside the text field, where the distinct-text oracle
+    // would expose it), aggregated per lang with an id-sum check.
+    // Any line-splitting or UTF-8 corruption shifts
+    // n/chars/distinct/id_sum and hash-mismatches against the
+    // original-table oracle.
+    "source_text_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = cachedPath(s, s"$d|text")(p =>
+        graft.engine.Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id"), col("lang"),
+            col("source"), col("text")).as("value"))
+          .write.mode(SaveMode.Overwrite).text(p))
+      s.read.text(path)
+        .select(split(col("value"), "\t", 4).as("f"))
+        .select(col("f").getItem(0).cast("bigint").as("doc_id"),
+          col("f").getItem(1).as("lang"), col("f").getItem(2).as("source"),
+          col("f").getItem(3).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          countDistinct(col("text")).as("distinct_texts"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,5 +228,12 @@ object Sinks {
         |  COUNT(DISTINCT text) AS distinct_texts
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+
+    "source_text_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+        |  COUNT(DISTINCT text) AS distinct_texts,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -61,4 +61,54 @@ class EventOpsSpec extends SparkSpec {
     val out = RelQueries.sessionizeCore(ev).collect()
     assert(out.length == 1 && out(0).getLong(4) == 2L)
   }
+
+  /** events.parquet fixture in the driver's on-disk shape: ts is a
+    * LONG of epoch NANOseconds (Tables.events floors it to µs). */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("evops").toString
+    rows.map { case (id, u, es, t) => (id, u, es * 1000000000L, t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("event_funnel: window edges are inclusive (3600 s click, 86400 s purchase)") {
+    // user 1: click exactly +3600 after first view, purchase exactly
+    //         +86400 after that click → stage 3 (both edges inclusive)
+    // user 2: click +3601 → outside the window → stage 1
+    // user 3: click with no view at all → stage 0
+    val d = eventsDir(Seq(
+      (1L, 1L, 1000L, "view"), (2L, 1L, 4600L, "click"), (3L, 1L, 91000L, "purchase"),
+      (4L, 2L, 1000L, "view"), (5L, 2L, 4601L, "click"),
+      (6L, 3L, 1000L, "click")))
+    val out = RelQueries.queries("event_funnel")(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(0 -> 1L, 1 -> 1L, 3 -> 1L), s"got $out")
+  }
+
+  test("event_funnel: the qualifying click is the FIRST in-window click") {
+    // clicks at +100 and +200; purchase lands 86400 s after the SECOND
+    // click — outside the first click's window → stage 2, proving the
+    // funnel anchors on min(in-window click), not any click
+    val d = eventsDir(Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 100L, "click"), (3L, 1L, 200L, "click"),
+      (4L, 1L, 86600L, "purchase")))
+    val out = RelQueries.queries("event_funnel")(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(2 -> 1L), s"got $out")
+  }
+
+  test("retention_cohort: day buckets split at exact 86400 s boundaries") {
+    // user 1: first event second 0 (day 0), again at 86399 (still day
+    // 0 → one distinct user-day), at 86400 (day 1 → offset 1)
+    // user 2: first event on day 2, active day 4 → offsets 0 and 2
+    val d = eventsDir(Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 86399L, "view"), (3L, 1L, 86400L, "view"),
+      (4L, 2L, 172800L, "view"), (5L, 2L, 345600L, "view")))
+    val out = RelQueries.queries("retention_cohort")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((0L, 0L, 1L), (0L, 1L, 1L), (2L, 0L, 1L), (2L, 2L, 1L)),
+      s"got $out")
+  }
 }

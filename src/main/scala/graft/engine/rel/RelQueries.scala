@@ -576,6 +576,29 @@ object RelQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // daily-volume anomaly screen: z-score of each (event_type, day)
+    // count against that type's across-days mean/sd — the monitoring
+    // query an ingest pipeline alerts on. Declared output is the full
+    // (type, day, n, z) matrix (≤ types×days rows at ANY scale — the
+    // aggregation, not the output, absorbs the volume), ordered and
+    // ROUND(·,6). Scale shape: one (type, day) hash agg over the log
+    // (exact integer epoch-day DIV), per-type stats on the tiny
+    // day-count table, broadcast back — no windows over the raw log.
+    "anomaly_zscore" -> ((s, d) => {
+      val td = events(s, d).select(col("event_type"),
+          expr("unix_timestamp(date_trunc('second', ts)) DIV 86400").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val st = td.groupBy("event_type")
+        .agg(avg("n").as("mu"), stddev_samp("n").as("sd"))
+      td.join(broadcast(st), "event_type")
+        // sd = 0 (all days equal) or NULL (single day): emit NULL in
+        // BOTH engines — unguarded, Spark's 0.0/0.0 is NaN while
+        // DuckDB's is NULL (the ADVICE r4 divergence pattern)
+        .select(col("event_type"), col("day"), col("n"),
+          round(when(col("sd") > 0, (col("n") - col("mu")) / col("sd")), 6).as("z"))
+        .orderBy("event_type", "day")
+    }),
+
     // window distribution functions: percent_rank + cume_dist of each
     // customer's balance WITHIN its nation. The total order (balance,
     // custkey) makes both exact rationals of identical integers —
@@ -964,6 +987,18 @@ object RelQueries {
         |      ORDER BY c_acctbal, c_custkey) AS q
         |  FROM customer)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "anomaly_zscore" ->
+      """WITH td AS (SELECT event_type,
+        |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) // 86400
+        |      AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+        |  FROM td GROUP BY 1)
+        |SELECT event_type, day, n,
+        |  ROUND((n - mu) / NULLIF(sd, 0), 6) AS z
+        |FROM td JOIN st USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "event_funnel" ->
       """WITH ev AS (SELECT user_id,

@@ -239,8 +239,10 @@ object Similarity {
         .agg(avg("x").as("mu"), stddev_samp("x").as("sd"))
       e.filter(col("vec_id") < 100)
         .join(broadcast(stats), "dim")
+        // constant dimension (sd = 0): NULL in both engines, never
+        // Spark-NaN-vs-DuckDB-NULL divergence
         .select(col("vec_id"), col("dim"),
-          round((col("x") - col("mu")) / col("sd"), 6).as("z"))
+          round(when(col("sd") > 0, (col("x") - col("mu")) / col("sd")), 6).as("z"))
         .orderBy("vec_id", "dim")
     }),
 
@@ -503,7 +505,8 @@ object Similarity {
       s"""WITH $PT,
          |st AS (SELECT i, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
          |  FROM pt GROUP BY 1)
-         |SELECT pt.vec_id, pt.i AS dim, ROUND((v - mu) / sd, 6) AS z
+         |SELECT pt.vec_id, pt.i AS dim,
+         |  ROUND((v - mu) / NULLIF(sd, 0), 6) AS z
          |FROM pt JOIN st USING (i) WHERE vec_id < 100
          |ORDER BY vec_id, dim""".stripMargin,
 

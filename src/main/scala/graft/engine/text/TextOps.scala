@@ -1109,6 +1109,27 @@ object TextOps {
           round(log(col("n_chars")) - col("clc") / col("n_chars"), 6).as("entropy"))
         .orderBy("doc_id")),
 
+    // The first BPE merge iteration: adjacent CHARACTER-pair counts
+    // within tokens (occurrence-weighted, never across token
+    // boundaries — the actual tokenizer-training step), top-20 by
+    // count with a total (c1, c2) tie-break. Scale shape: pairs are
+    // generated MAP-SIDE by an index transform over each token (no
+    // self-join on position), partial aggregation collapses the
+    // ≤alphabet² pair space before the one tiny shuffle, and the
+    // top-20 is TakeOrdered — per-partition partial top-k, never a
+    // global sort.
+    "bpe_merge_candidates" -> ((s, d) =>
+      tokens(docs(s, d)).select(col("token"))
+        .select(explode(expr(
+          """CASE WHEN length(token) >= 2 THEN
+            |  transform(sequence(1, length(token) - 1),
+            |    i -> struct(substring(token, i, 1) AS c1,
+            |                substring(token, i + 1, 1) AS c2))
+            |ELSE array() END""".stripMargin)).as("pr"))
+        .select(col("pr.c1").as("c1"), col("pr.c2").as("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("c1"), col("c2")).limit(20)),
+
     // Per-source KL divergence from the corpus token distribution,
     // KL(P_src ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the
     // domain-shift audit a mixture pipeline publishes per source
@@ -1633,6 +1654,16 @@ object TextOps {
         |SELECT doc_id, n_chars,
         |  ROUND(ln(n_chars) - clc / n_chars, 6) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "bpe_merge_candidates" ->
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |pr AS (SELECT substr(token, u.i, 1) AS c1,
+        |    substr(token, u.i + 1, 1) AS c2
+        |  FROM tok, UNNEST(generate_series(1, length(token) - 1)) AS u(i)
+        |  WHERE length(token) >= 2)
+        |SELECT c1, c2, COUNT(*) AS cnt FROM pr
+        |GROUP BY 1, 2 ORDER BY cnt DESC, c1, c2 LIMIT 20""".stripMargin,
 
     "kl_source_divergence" ->
       """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS token

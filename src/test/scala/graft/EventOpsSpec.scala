@@ -99,6 +99,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Map(2 -> 1L), s"got $out")
   }
 
+  test("anomaly_zscore: constant or single-day types emit NULL z, never NaN") {
+    // type 'a': days 0,1 with counts 2,1 → real z values
+    // type 'b': days 0,1 with count 1 each → sd = 0 → NULL z
+    // type 'c': single day → stddev_samp NULL → NULL z
+    val d = eventsDir(Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "a"), (3L, 1L, 86410L, "a"),
+      (4L, 1L, 10L, "b"), (5L, 1L, 86410L, "b"),
+      (6L, 1L, 10L, "c")))
+    val out = RelQueries.queries("anomaly_zscore")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toList
+    assert(out == List(
+      ("a", 0L, 2L, Some(0.707107)), ("a", 1L, 1L, Some(-0.707107)),
+      ("b", 0L, 1L, None), ("b", 1L, 1L, None),
+      ("c", 0L, 1L, None)), s"got $out")
+  }
+
   test("retention_cohort: day buckets split at exact 86400 s boundaries") {
     // user 1: first event second 0 (day 0), again at 86399 (still day
     // 0 → one distinct user-day), at 86400 (day 1 → offset 1)

@@ -163,6 +163,17 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(m(2L)._2 - 0.462098) < 1e-9)
   }
 
+  test("bpe_merge_candidates: within-token pairs only, occurrence-weighted") {
+    // "ab ab cd" ×1 + "ab" ×1 → (a,b)=3, (c,d)=1; the space boundary
+    // between tokens must contribute NO (b,a)/(b,c) pair
+    val d = writeDocs(Seq(
+      (0L, "ab ab cd", "en", "s0"),
+      (1L, "ab", "en", "s0")))
+    val out = TextOps.queries("bpe_merge_candidates")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", "b", 3L), ("c", "d", 1L)), s"got ${out.toSeq}")
+  }
+
   test("kl_source_divergence: identical source distributions ⇒ KL 0") {
     val d = writeDocs(Seq(
       (0L, "a a b", "en", "s0"),

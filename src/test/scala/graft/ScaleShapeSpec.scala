@@ -221,6 +221,42 @@ class ScaleShapeSpec extends SparkSpec {
       s"winnow windows must be doc_id-partitioned ($byDoc of $allW):\n$wplan")
   }
 
+  test("round-5b ops: equi-join shapes only; top-k is TakeOrdered; windows partitioned") {
+    // the profiling/funnel/LM family must never pair-join or globally
+    // sort: pair generation is map-side (zipped slices / char
+    // transforms), stats dims broadcast (1-to-few-row scalars ride
+    // BroadcastNestedLoop — intended), everything else is equi-joins
+    // + hash aggs
+    for (k <- Seq("event_funnel", "retention_cohort", "anomaly_zscore",
+                  "kl_source_divergence", "bigram_logppl", "char_entropy",
+                  "bpe_merge_candidates", "q_histogram", "embedding_standardize")) {
+      val df = graft.SparkEntry.queries(k)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$k must not contain a cartesian product:\n$plan")
+      val opt = graft.SparkEntry.queries(k)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Window"),
+        s"$k must not use any window (hash-agg family):\n$opt")
+    }
+    // BPE top-20: per-partition partial top-k, never a global sort
+    val bplan = graft.SparkEntry.queries("bpe_merge_candidates")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("TakeOrderedAndProject"),
+      s"bpe top-k must be TakeOrdered:\n$bplan")
+    // the two window ops partition by nation — never an unpartitioned
+    // (single-task) window
+    for (k <- Seq("q_ntile", "q_window_distribution")) {
+      val plan = graft.SparkEntry.queries(k)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+      val byNation = "windowspecdefinition\\(c_nationkey".r.findAllIn(plan).size
+      assert(all > 0 && all == byNation,
+        s"$k: $byNation of $all windows partition by c_nationkey:\n$plan")
+    }
+  }
+
   test("dimension joins broadcast (no shuffle of the small side)") {
     val j = graft.SparkEntry.queries("q_join_5way")(spark, sf0001)
     j.collect()

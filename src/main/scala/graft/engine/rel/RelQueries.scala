@@ -576,6 +576,49 @@ object RelQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // per-type OLS drift detector: slope/intercept/R² of event value
+    // against days-since-epoch-anchor (x CENTERED on the fixture's
+    // 2024-01-01 anchor — uncentered day ids ~19 700 put 7 digits of
+    // catastrophic cancellation into n·Σx²−(Σx)², where cross-engine
+    // summation order would surface above ROUND(·,6)). The regr_*
+    // family is a single-pass mergeable aggregate in both engines —
+    // one hash agg over the log, no window, no join.
+    "value_drift_regression" -> ((s, d) =>
+      events(s, d).select(col("event_type"), col("value"),
+          ((unix_timestamp(date_trunc("second", col("ts"))) - lit(1704067200L))
+            / lit(86400.0)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(expr("regr_slope(value, x)"), 6).as("slope"),
+          round(expr("regr_intercept(value, x)"), 6).as("intercept"),
+          round(expr("regr_r2(value, x)"), 6).as("r2"))
+        .orderBy("event_type")),
+
+    // referential delete cascade (the GDPR right-to-be-forgotten
+    // shape): a deterministic 5% customer deletion list propagates
+    // through orders to lineitems, and the declared output is the
+    // per-table deleted/kept audit row. Scale shape: the deletion
+    // list and the affected-order key set flow as LEFT SEMI/ANTI
+    // equi-joins (AQE broadcasts them when small, shuffles when not)
+    // — no row is ever rewritten, counted twice, or collected.
+    "q_delete_cascade" -> ((s, d) => {
+      val del = customer(s, d).filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey").as("k"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val delOrd = ord.join(del, ord("o_custkey") === del("k"), "left_semi")
+        .select(col("o_orderkey").as("ok"))
+      val li = lineitem(s, d).select(col("l_orderkey"))
+      val delLi = li.join(delOrd, li("l_orderkey") === delOrd("ok"), "left_semi")
+      del.agg(count(lit(1)).as("n_cust_deleted"))
+        .crossJoin(delOrd.agg(count(lit(1)).as("n_orders_deleted")))
+        .crossJoin(delLi.agg(count(lit(1)).as("n_lineitems_deleted")))
+        .crossJoin(customer(s, d).agg(count(lit(1)).as("n_cust_total")))
+        .crossJoin(ord.agg(count(lit(1)).as("n_orders_total")))
+        .crossJoin(li.agg(count(lit(1)).as("n_lineitems_total")))
+        .select("n_cust_deleted", "n_orders_deleted", "n_lineitems_deleted",
+          "n_cust_total", "n_orders_total", "n_lineitems_total")
+    }),
+
     // daily-volume anomaly screen: z-score of each (event_type, day)
     // count against that type's across-days mean/sd — the monitoring
     // query an ingest pipeline alerts on. Declared output is the full
@@ -987,6 +1030,33 @@ object RelQueries {
         |      ORDER BY c_acctbal, c_custkey) AS q
         |  FROM customer)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "value_drift_regression" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(regr_slope(value,
+        |    (CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT)
+        |      - 1704067200) / 86400.0), 6) AS slope,
+        |  ROUND(regr_intercept(value,
+        |    (CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT)
+        |      - 1704067200) / 86400.0), 6) AS intercept,
+        |  ROUND(regr_r2(value,
+        |    (CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT)
+        |      - 1704067200) / 86400.0), 6) AS r2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_delete_cascade" ->
+      """WITH del AS (SELECT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 20 = 0),
+        |delord AS (SELECT o_orderkey AS ok FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM del)),
+        |delli AS (SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT ok FROM delord))
+        |SELECT (SELECT COUNT(*) FROM del) AS n_cust_deleted,
+        |  (SELECT COUNT(*) FROM delord) AS n_orders_deleted,
+        |  (SELECT COUNT(*) FROM delli) AS n_lineitems_deleted,
+        |  (SELECT COUNT(*) FROM customer) AS n_cust_total,
+        |  (SELECT COUNT(*) FROM orders) AS n_orders_total,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_lineitems_total""".stripMargin,
 
     "anomaly_zscore" ->
       """WITH td AS (SELECT event_type,

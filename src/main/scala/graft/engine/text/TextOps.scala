@@ -1109,6 +1109,23 @@ object TextOps {
           round(log(col("n_chars")) - col("clc") / col("n_chars"), 6).as("entropy"))
         .orderBy("doc_id")),
 
+    // Which sources near-duplicate EACH OTHER: the (source, source)
+    // matrix of MinHash candidate pairs — the provenance audit that
+    // tells a pipeline which feeds are mirrors/scrapes of which.
+    // Reads the memoized pair surface (no extra MinHash work) and
+    // joins the two tiny doc→source maps; pair normalization via
+    // least/greatest makes the matrix upper-triangular + diagonal.
+    "dedup_source_matrix" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      minhashPairs(s, d)
+        .join(src.select(col("doc_id").as("d1"), col("source").as("sa")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("sb")), "d2")
+        .select(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("s1", "s2")
+    }),
+
     // The first BPE merge iteration: adjacent CHARACTER-pair counts
     // within tokens (occurrence-weighted, never across token
     // boundaries — the actual tokenizer-training step), top-20 by
@@ -1654,6 +1671,16 @@ object TextOps {
         |SELECT doc_id, n_chars,
         |  ROUND(ln(n_chars) - clc / n_chars, 6) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "dedup_source_matrix" ->
+      s"""WITH $TOK,
+         |$MINHASH
+         |SELECT LEAST(a.source, b.source) AS s1,
+         |  GREATEST(a.source, b.source) AS s2, COUNT(*) AS n_pairs
+         |FROM pairs
+         |  JOIN documents a ON a.doc_id = pairs.d1
+         |  JOIN documents b ON b.doc_id = pairs.d2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "bpe_merge_candidates" ->
       """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token

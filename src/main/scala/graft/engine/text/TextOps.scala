@@ -1126,6 +1126,32 @@ object TextOps {
         .orderBy("s1", "s2")
     }),
 
+    // Edit-distance audit of the near-dup candidate surface: exact
+    // Levenshtein + normalized similarity for a DETERMINISTIC 2%
+    // sample of the memoized MinHash pairs ((d1·31+d2) mod 50 — pure
+    // integer arithmetic, any cluster size and both engines pick the
+    // same pairs). The second-stage verifier a dedup pipeline spot-
+    // checks when token-set Jaccard is too coarse (reordered tokens,
+    // in-place edits). The sample bound matters: Levenshtein is
+    // O(|t1|·|t2|) per pair, and the full band-join pair list is
+    // millions of rows at sf0.1 — an unsampled scan would be the
+    // round-4 minhash_recall mistake in new clothes. Texts arrive by
+    // doc_id equi-join; the distance is one codegen'd expression.
+    "dedup_edit_distance" -> ((s, d) => {
+      val txt = docs(s, d).select(col("doc_id"), col("text"))
+      minhashPairs(s, d)
+        .filter((col("d1") * 31 + col("d2")) % 50 === 0)
+        .join(txt.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+        .join(txt.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        .select(col("d1"), col("d2"),
+          levenshtein(col("t1"), col("t2")).as("lev"),
+          greatest(length(col("t1")), length(col("t2"))).as("mx"))
+        .select(col("d1"), col("d2"), col("lev"),
+          round(when(col("mx") > 0,
+            lit(1.0) - col("lev") / col("mx").cast("double")), 6).as("sim"))
+        .orderBy("d1", "d2")
+    }),
+
     // The first BPE merge iteration: adjacent CHARACTER-pair counts
     // within tokens (occurrence-weighted, never across token
     // boundaries — the actual tokenizer-training step), top-20 by
@@ -1671,6 +1697,18 @@ object TextOps {
         |SELECT doc_id, n_chars,
         |  ROUND(ln(n_chars) - clc / n_chars, 6) AS entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "dedup_edit_distance" ->
+      s"""WITH $TOK,
+         |$MINHASH
+         |SELECT d1, d2, levenshtein(a.text, b.text) AS lev,
+         |  ROUND(1 - levenshtein(a.text, b.text) * 1.0
+         |    / NULLIF(GREATEST(length(a.text), length(b.text)), 0), 6) AS sim
+         |FROM pairs
+         |  JOIN documents a ON a.doc_id = pairs.d1
+         |  JOIN documents b ON b.doc_id = pairs.d2
+         |WHERE (d1 * 31 + d2) % 50 = 0
+         |ORDER BY d1, d2""".stripMargin,
 
     "dedup_source_matrix" ->
       s"""WITH $TOK,

@@ -97,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.sqDistDescriptor)
     ext.injectFunction(GraftFunctions.dotProdDescriptor)
+    ext.injectFunction(GraftFunctions.foldHexDescriptor)
   }
 }
 
@@ -111,9 +112,15 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProd].getCanonicalName, "dot_prod"),
     (children: Seq[Expression]) => DotProd(children.head, children(1)))
 
+  val foldHexDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fold_hex"),
+    new ExpressionInfo(classOf[FoldHex].getCanonicalName, "fold_hex"),
+    (children: Seq[Expression]) => FoldHex(children.head, children(1)))
+
   def register(s: SparkSession): Unit = {
-    Seq(sqDistDescriptor, dotProdDescriptor).foreach { case (id, info, builder) =>
-      s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor).foreach {
+      case (id, info, builder) =>
+        s.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }
 }

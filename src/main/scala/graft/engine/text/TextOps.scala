@@ -72,11 +72,19 @@ object TextOps {
     w
   }
 
-  /** Adds a fold-hash column derived from md5(`srcCol`). */
-  private def withFoldHash(df: DataFrame, srcCol: String, out: String): DataFrame =
-    df.withColumn("__h", md5(col(srcCol).cast("binary")))
-      .withColumn(out, expr(foldDigitsSql("__h", foldWidth(df.sparkSession))))
-      .drop("__h")
+  /** Adds a fold-hash column derived from md5(`srcCol`) — via the
+    * NATIVE codegen'd `fold_hex` expression (graft.engine.expr
+    * .FoldHex): the HOF form ran interpreted lambdas per hex digit
+    * per row at the root of every dedup pipeline. Semantics are
+    * pinned bit-for-bit against the HOF form in FoldWidthSpec; the
+    * oracle keeps computing the same fold from [[foldDigitsSql]]'s
+    * documented formula. */
+  private def withFoldHash(df: DataFrame, srcCol: String, out: String): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(df.sparkSession)
+    df.withColumn(out,
+      call_function("fold_hex", md5(col(srcCol).cast("binary")),
+        lit(foldWidth(df.sparkSession))))
+  }
 
   /** The DISTINCT word-n-gram set of each document, one row per
     * (keep-cols, ngram), eagerly materialized: every consumer of an

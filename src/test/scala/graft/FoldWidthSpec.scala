@@ -83,4 +83,23 @@ class FoldWidthSpec extends SparkSpec {
       .collect().map(_.getLong(2)).sum
     assert(n == docsFixture.length.toLong)
   }
+
+  test("native fold_hex ≡ HOF fold on every input shape, incl. edge cases") {
+    import org.apache.spark.sql.functions._
+    graft.engine.expr.GraftFunctions.register(spark)
+    // md5 outputs, a non-hex character mid-stream (HOF: instr = 0 →
+    // digit −1), a string SHORTER than the width (HOF: substring →
+    // '' → instr = 1 → digit 0), and the empty string
+    val cases = Seq(md5hex("a"), md5hex("xyz"), "0123456z89abcdef",
+      "ab", "f", "")
+    for (width <- Seq(1, 8, 12, 15)) {
+      val df = cases.toDF("h").select(col("h"),
+        call_function("fold_hex", col("h"), lit(width)).as("native"),
+        expr(TextOps.foldDigitsSql("h", width)).as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"width=$width h='${r.getString(0)}': native=${r.getLong(1)} hof=${r.getLong(2)}")
+      }
+    }
+  }
 }

@@ -22,7 +22,9 @@ object Explain {
       else Seq("q_filter_project", "q_join_5way", "q_agg_groupby", "wssse",
         "bd_silhouette", "cosine_topk", "exact_dedup", "q_join_range",
         "ann_lsh_topk", "ann_ivf_topk", "q_join_salted",
-        "decontaminate_ngram", "sink_partitioned_roundtrip")
+        "decontaminate_ngram", "sink_partitioned_roundtrip",
+        "event_funnel", "retention_cohort", "bigram_logppl",
+        "kl_source_divergence", "q_histogram", "bpe_merge_candidates")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -224,6 +224,30 @@ object Similarity {
         .orderBy("vec_id", "j")
     }),
 
+    // prototype selection / coreset sampling: the 5 vectors CLOSEST
+    // to each label's centroid — the representative-example pick a
+    // training pipeline publishes per class (and the seed set for
+    // active-learning loops). Scale shape: centroids are one
+    // (label, dim) hash agg (labels×dims rows, BROADCAST back),
+    // distances one map-side join + per-vector agg, and the top-5 a
+    // label-partitioned window over the per-label candidate sets —
+    // never a global sort. Ordering collapses d² to ROUND(·,6) with
+    // a vec_id tie-break so both engines rank identically even where
+    // float summation order differs in the last bits.
+    "label_centroid_topk" -> ((s, d) => {
+      val e = vecs(s, d).select(col("vec_id"), col("label"),
+          posexplode(col("f")).as(Seq("p", "x")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).cast("long").as("i"), col("x"))
+      val c = e.groupBy("label", "i").agg(avg("x").as("mu"))
+      val d2 = e.join(broadcast(c), Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("d2"))
+      val w = Window.partitionBy("label").orderBy(round(col("d2"), 6), col("vec_id"))
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("label"), col("vec_id"), round(col("d2"), 6).as("d2"), col("rn"))
+        .orderBy("label", "rn")
+    }),
+
     // per-dimension z-score standardization — the feature-scaling
     // pass before PCA/k-means/quantile bucketing. Declared output is
     // the standardized components of the first 100 vectors against
@@ -500,6 +524,17 @@ object Similarity {
          |$COSPAIRS
          |SELECT id1, id2, cos FROM cosp WHERE cos >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+
+    "label_centroid_topk" ->
+      s"""WITH $PT,
+         |c AS (SELECT label, i, AVG(v) AS mu FROM pt GROUP BY 1, 2),
+         |d AS (SELECT pt.vec_id, pt.label, SUM((v - mu) * (v - mu)) AS d2
+         |  FROM pt JOIN c ON c.label = pt.label AND c.i = pt.i
+         |  GROUP BY 1, 2),
+         |r AS (SELECT vec_id, label, d2, ROW_NUMBER() OVER (
+         |    PARTITION BY label ORDER BY ROUND(d2, 6), vec_id) AS rn FROM d)
+         |SELECT label, vec_id, ROUND(d2, 6) AS d2, rn FROM r
+         |WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
 
     "embedding_standardize" ->
       s"""WITH $PT,

@@ -1193,6 +1193,28 @@ object TextOps {
         .groupBy("c1", "c2").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("c1"), col("c2")).limit(20)),
 
+    // Vocabulary-overlap matrix: token-set Jaccard between every
+    // source pair — the lexical twin of `dedup_source_matrix`
+    // (document-level) and `kl_source_divergence` (distributional):
+    // together the three answer "which feeds share WORDS, which share
+    // DOCUMENTS, which share PROPORTIONS". Scale shape: the per-token
+    // fan-out of the vocab self-join is bounded by the SOURCE count
+    // (≤ sources² rows per token, not corpus²), the per-source vocab
+    // sizes broadcast, and the intersection is one hash agg.
+    "source_vocab_jaccard" -> ((s, d) => {
+      val sv = tokens(docs(s, d)).select("source", "token").distinct()
+      val sz = sv.groupBy("source").agg(count(lit(1)).as("n"))
+      sv.as("a").join(sv.as("b"),
+          col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("i"))
+        .join(broadcast(sz.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+        .join(broadcast(sz.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("i"),
+          round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
+        .orderBy("s1", "s2")
+    }),
+
     // Per-source KL divergence from the corpus token distribution,
     // KL(P_src ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the
     // domain-shift audit a mixture pipeline publishes per source
@@ -1749,6 +1771,18 @@ object TextOps {
         |  WHERE length(token) >= 2)
         |SELECT c1, c2, COUNT(*) AS cnt FROM pr
         |GROUP BY 1, 2 ORDER BY cnt DESC, c1, c2 LIMIT 20""".stripMargin,
+
+    "source_vocab_jaccard" ->
+      """WITH sv AS (SELECT DISTINCT source,
+        |    UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY 1),
+        |it AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+        |  FROM sv a JOIN sv b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, i,
+        |  ROUND(i * 1.0 / (z1.n + z2.n - i), 6) AS jaccard
+        |FROM it JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2
+        |ORDER BY s1, s2""".stripMargin,
 
     "kl_source_divergence" ->
       """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS token

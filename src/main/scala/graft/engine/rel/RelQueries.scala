@@ -576,6 +576,28 @@ object RelQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // pairwise Pearson correlation matrix over lineitem's numeric
+    // columns — the multicollinearity screen of a profiling pass.
+    // All 6 unordered pairs evaluate in ONE single-pass hash
+    // aggregation over the pruned 4-column scan (corr is a mergeable
+    // moment sketch in both engines); the wide 1-row result unpivots
+    // to (c1, c2, corr) rows via a stack projection, not a join.
+    "q_correlation_matrix" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+      }
+      val wide = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val stack = pairs.map { case (a, b) => s"'$a', '$b', ${a}__$b" }
+        .mkString(", ")
+      wide.select(expr(
+          s"stack(${pairs.length}, $stack) AS (c1, c2, corr)"))
+        .orderBy("c1", "c2")
+    }),
+
     // per-type OLS drift detector: slope/intercept/R² of event value
     // against days-since-epoch-anchor (x CENTERED on the fixture's
     // 2024-01-01 anchor — uncentered day ids ~19 700 put 7 digits of
@@ -1030,6 +1052,23 @@ object RelQueries {
         |      ORDER BY c_acctbal, c_custkey) AS q
         |  FROM customer)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_correlation_matrix" ->
+      """WITH w AS (SELECT
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS qp,
+        |  ROUND(corr(l_quantity, l_discount), 6) AS qd,
+        |  ROUND(corr(l_quantity, l_tax), 6) AS qt,
+        |  ROUND(corr(l_extendedprice, l_discount), 6) AS pd,
+        |  ROUND(corr(l_extendedprice, l_tax), 6) AS pt,
+        |  ROUND(corr(l_discount, l_tax), 6) AS dt
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS c1, 'l_extendedprice' AS c2, qp AS corr FROM w
+        |UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM w
+        |UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM w
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', pd FROM w
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', pt FROM w
+        |UNION ALL SELECT 'l_discount', 'l_tax', dt FROM w
+        |ORDER BY c1, c2""".stripMargin,
 
     "value_drift_regression" ->
       """SELECT event_type, COUNT(*) AS n,

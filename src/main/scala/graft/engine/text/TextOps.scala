@@ -1193,6 +1193,33 @@ object TextOps {
         .groupBy("c1", "c2").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("c1"), col("c2")).limit(20)),
 
+    // Tokenizer-budget curve: share of token OCCURRENCES covered by
+    // the top-10 / top-100 / top-1000 corpus vocabulary — the curve a
+    // team reads before fixing a vocab size (vocab_coverage gives one
+    // point per doc; this gives the corpus tradeoff). Scale shape:
+    // one token hash agg, a TakeOrdered top-1000, and the ranking
+    // window runs over THAT 1000-row bounded table (never the
+    // vocab-sized one); coverage sums come from the ranked table
+    // itself — the occurrence stream is never rejoined.
+    "vocab_coverage_curve" -> ((s, d) => {
+      val cnt = tokens(docs(s, d)).select("token")
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val top = cnt.orderBy(desc("c"), col("token")).limit(1000)
+      val w = Window.orderBy(desc("c"), col("token"))
+      val ranked = top.withColumn("rk", row_number().over(w))
+      val tot = cnt.agg(sum("c").as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .agg(max("n").as("n"),
+          sum(when(col("rk") <= 10, col("c"))).as("c10"),
+          sum(when(col("rk") <= 100, col("c"))).as("c100"),
+          sum(when(col("rk") <= 1000, col("c"))).as("c1000"))
+        .select(expr("stack(3, 10, c10, 100, c100, 1000, c1000) AS (k, covered)"),
+          col("n"))
+        .select(col("k"), col("covered"),
+          round(col("covered") / col("n"), 6).as("share"))
+        .orderBy("k")
+    }),
+
     // Vocabulary-overlap matrix: token-set Jaccard between every
     // source pair — the lexical twin of `dedup_source_matrix`
     // (document-level) and `kl_source_divergence` (distributional):
@@ -1771,6 +1798,24 @@ object TextOps {
         |  WHERE length(token) >= 2)
         |SELECT c1, c2, COUNT(*) AS cnt FROM pr
         |GROUP BY 1, 2 ORDER BY cnt DESC, c1, c2 LIMIT 20""".stripMargin,
+
+    "vocab_coverage_curve" ->
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+        |top AS (SELECT token, c, ROW_NUMBER() OVER (ORDER BY c DESC, token)
+        |    AS rk
+        |  FROM (SELECT * FROM cnt ORDER BY c DESC, token LIMIT 1000)),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+        |a AS (SELECT MAX(n) AS n,
+        |  CAST(SUM(CASE WHEN rk <= 10 THEN c END) AS BIGINT) AS c10,
+        |  CAST(SUM(CASE WHEN rk <= 100 THEN c END) AS BIGINT) AS c100,
+        |  CAST(SUM(CASE WHEN rk <= 1000 THEN c END) AS BIGINT) AS c1000
+        |  FROM top CROSS JOIN tot)
+        |SELECT 10 AS k, c10 AS covered, ROUND(c10 * 1.0 / n, 6) AS share FROM a
+        |UNION ALL SELECT 100, c100, ROUND(c100 * 1.0 / n, 6) FROM a
+        |UNION ALL SELECT 1000, c1000, ROUND(c1000 * 1.0 / n, 6) FROM a
+        |ORDER BY k""".stripMargin,
 
     "source_vocab_jaccard" ->
       """WITH sv AS (SELECT DISTINCT source,

@@ -345,6 +345,23 @@ object Multimodal {
     // oracle (it can't decode PNG): the hash math and its locality
     // contract are pinned in PhashSpec; the declared surface is the
     // per-image fingerprint table an image-dedup join runs on.
+    // declared RESIZE path: 4× decimation of every payload followed
+    // by the kind's FULL codec round trip (re-encode with the real
+    // PNG/WAV/Motion-PNG codec, re-decode through the library), with
+    // the per-kind geometry audit as output. The oracle reproduces
+    // the post-resize geometry from octet_length arithmetic
+    // (decimated length ⌈nb/4⌉ → raster/sample/frame shapes); the
+    // checksums stay spec-territory (DuckDB can't fold blob bytes).
+    // Scale shape: one mapPartitions codec pass, bytes never shuffle
+    // — only the per-kind partial aggregates do.
+    "multimodal_resize_stats" -> ((s, d) =>
+      resized(s, d, 4).groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("height").cast("long")).as("sum_h"),
+          max("width").as("max_w"),
+          sum(col("n_bytes").cast("long")).as("sum_bytes"))
+        .orderBy("kind")),
+
     "multimodal_phash" -> ((s, d) => {
       import s.implicits._
       payloads(s, d).filter(col("kind") === "image")
@@ -377,5 +394,25 @@ object Multimodal {
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT media_id, CAST(((nb + 127) // 128 + 1) // 2 AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "multimodal_resize_stats" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  (octet_length(encode(text)) + 3) // 4 AS ln
+        |  FROM documents),
+        |v AS (SELECT kind, ln,
+        |  CASE WHEN kind = 'image' THEN GREATEST((ln + 15) // 16, 1)
+        |       WHEN kind = 'audio' THEN (ln + 15) // 16
+        |       ELSE CASE WHEN ln = 0 THEN 0 ELSE
+        |         ((ln + 127) // 128 - 1) * 8 +
+        |         CASE WHEN ln % 128 = 0 THEN 8
+        |              ELSE (ln % 128 + 15) // 16 END END
+        |  END AS sum_h FROM m)
+        |SELECT kind, COUNT(*) AS n, CAST(SUM(sum_h) AS BIGINT) AS sum_h,
+        |  16 AS max_w,
+        |  CAST(SUM(CASE WHEN kind = 'audio' THEN ln ELSE 16 * sum_h END)
+        |    AS BIGINT) AS sum_bytes
+        |FROM v GROUP BY kind ORDER BY kind""".stripMargin,
   )
 }

@@ -576,6 +576,40 @@ object RelQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // NULL-semantics pin: a derived nullable column exercises the
+    // exact spots engines diverge — GROUP BY collects NULLs into ONE
+    // group, COUNT(col) skips NULLs while COUNT(*) doesn't,
+    // COUNT(DISTINCT col) ignores NULL, and the output ORDER must
+    // state its NULL position EXPLICITLY (Spark defaults NULLS FIRST
+    // ascending, DuckDB NULLS LAST — an unpinned sort diverges even
+    // with identical rows). Declaring this as a query makes the
+    // engine's NULL contract an oracle-checked behavior, not a hope.
+    "q_null_semantics" -> ((s, d) =>
+      customer(s, d)
+        .withColumn("seg", expr("nullif(c_mktsegment, 'BUILDING')"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("seg")).as("n_nonnull"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy(col("seg").asc_nulls_first)),
+
+    // exact DECIMAL money aggregation — the drift-free discipline for
+    // currency at 100 TB: sums aggregate in DECIMAL(12,2) (exact,
+    // order-independent — no ROUND crutch needed), and only the FINAL
+    // one-row-per-group result casts to double (exact below 2⁵³
+    // cents). The one place the engine's float-rounding discipline is
+    // not needed because the arithmetic itself is exact.
+    "q_decimal_exact" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("p"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("p").cast("double").as("sum_price"),
+          sum("q").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
     // pairwise Pearson correlation matrix over lineitem's numeric
     // columns — the multicollinearity screen of a profiling pass.
     // All 6 unordered pairs evaluate in ONE single-pass hash
@@ -1052,6 +1086,20 @@ object RelQueries {
         |      ORDER BY c_acctbal, c_custkey) AS q
         |  FROM customer)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_null_semantics" ->
+      """SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_nonnull,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY 1 ORDER BY seg NULLS FIRST""".stripMargin,
+
+    "q_decimal_exact" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_correlation_matrix" ->
       """WITH w AS (SELECT

@@ -576,6 +576,39 @@ object RelQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // approximation CONTRACTS as oracle-checked queries (the
+    // ann_recall pattern applied to the built-in sketches): the
+    // oracle can't reproduce Spark's GK/HLL internals, but it CAN
+    // assert the exact counts and that the approximation honors its
+    // published bound — so a sketch regression becomes a hash
+    // mismatch, not a silent quality drift.
+    //
+    // percentile_approx(accuracy=1000) guarantees RANK error ≤ n/1000:
+    // the number of values ≤ the approximate median must sit within
+    // n/2 ± (n/1000 + 1). Exact n and the bound verdict are the
+    // declared output.
+    "approx_quantile_rank_error" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_extendedprice").as("x"))
+      val ap = li.agg(expr("percentile_approx(x, 0.5D, 1000)").as("ap"))
+      li.crossJoin(broadcast(ap))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") <= col("ap"), 1L).otherwise(0L)).as("rank_at_ap"))
+        .select(col("n"),
+          (abs(col("rank_at_ap") - col("n") / 2)
+            <= col("n") / lit(1000) + lit(1)).as("within_bound"))
+    }),
+
+    // approx_count_distinct(rsd=0.05): relative error within 3·rsd of
+    // the exact distinct count (a ≥99.7% bound for HLL++; the sketch
+    // is deterministic per dataset, so the verdict is stable).
+    "approx_distinct_error" -> ((s, d) =>
+      orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("exact"),
+          approx_count_distinct(col("o_custkey"), 0.05).as("approx"))
+        .select(col("exact"),
+          (abs(col("approx") - col("exact")).cast("double")
+            <= col("exact") * lit(0.15)).as("within_bound"))),
+
     // NULL-semantics pin: a derived nullable column exercises the
     // exact spots engines diverge — GROUP BY collects NULLs into ONE
     // group, COUNT(col) skips NULLs while COUNT(*) doesn't,
@@ -1086,6 +1119,13 @@ object RelQueries {
         |      ORDER BY c_acctbal, c_custkey) AS q
         |  FROM customer)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "approx_quantile_rank_error" ->
+      """SELECT COUNT(*) AS n, TRUE AS within_bound FROM lineitem""".stripMargin,
+
+    "approx_distinct_error" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS exact, TRUE AS within_bound
+        |FROM orders""".stripMargin,
 
     "q_null_semantics" ->
       """SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,

@@ -40,6 +40,31 @@ class RelProfileSpec extends SparkSpec {
       (3, 1L, 50.0, 50.0), (4, 1L, 60.0, 60.0)))
   }
 
+  test("q_histogram partitions any price list: counts sum to n, buckets ⊆ [0,19], ranges nest") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      xs <- Gen.listOfN(n, Gen.choose(0, 5000000))
+    } yield xs.map(_ / 100.0)
+    (1 to 4).flatMap(i => gen.apply(Gen.Parameters.default, Seed(31L + i))).foreach { prices =>
+      val li = prices.map(p => (1L, p)).toDF("l_orderkey", "l_extendedprice")
+      val d = dirWith("lineitem" -> li)
+      val out = RelQueries.queries("q_histogram")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.map(_._2).sum == prices.length.toLong)
+      assert(out.forall(b => b._1 >= 0 && b._1 <= 19), s"bucket ids: ${out.map(_._1).toList}")
+      // per-bucket min/max must sit inside the bucket's cent range
+      val cents = prices.map(p => math.round(p * 100))
+      val (lo, hi) = (cents.min, cents.max)
+      val w = (hi - lo) / 20 + 1
+      out.foreach { case (b, _, mn, mx) =>
+        assert(mn >= lo + b * w && mx < lo + (b + 1) * w && mn <= mx,
+          s"bucket $b range [$mn,$mx] outside [${lo + b * w}, ${lo + (b + 1) * w})")
+      }
+    }
+  }
+
   test("q_window_distribution: single-row partition ⇒ pr 0, cd 1; exact rationals") {
     val c = Seq(
       (1L, "a", 1, 5.0, "m"), (2L, "b", 1, 7.0, "m"), (3L, "c", 1, 9.0, "m"),

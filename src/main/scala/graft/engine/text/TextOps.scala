@@ -989,22 +989,31 @@ object TextOps {
     // survives iff md5-fold(doc_id) mod 1e6 < rate·1e6 — pure per-row
     // arithmetic against a 20-row broadcast rate table, so any
     // cluster size and both engines agree doc-by-doc. Declared output
-    // is the per-source audit (kept docs/tokens, rate).
+    // is the per-source audit (kept docs/tokens, rate_ppm). The audited
+    // rate is exported as exact-integer parts-per-million (SURVEY §7.6
+    // rule b: no float in a hashed output column — round(double, 6)
+    // sits arbitrarily close to rounding boundaries). med2 = 2·median
+    // is integral for any source count (midpoint of two BIGINTs), so
+    // rate_ppm = floor(med·1e6/src_tok) = (med2·1e6) div (2·src_tok)
+    // is computed entirely in BIGINT on both engines. The keep-decision
+    // predicate itself is unchanged (same IEEE double compare per row).
     "token_budget_sample" -> ((s, d) => {
       val w = foldWidth(s)
       val dt = docs(s, d).select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       val bySrc = dt.groupBy("source").agg(sum("n_tok").as("src_tok"))
       val med = bySrc.agg(
-        expr("percentile(src_tok, 0.5)").as("med"))
+        (expr("percentile(src_tok, 0.5)") * 2).cast("long").as("med2"))
       val rates = bySrc.crossJoin(broadcast(med))
         .select(col("source"),
-          least(lit(1.0), col("med") / col("src_tok")).as("rate"))
+          least(lit(1.0), col("med2") / lit(2.0) / col("src_tok")).as("rate"),
+          least(lit(1000000L),
+            expr("(med2 * 1000000) div (2 * src_tok)")).as("rate_ppm"))
       dt.join(broadcast(rates), "source")
         .filter(expr(s"(${foldDigitsSql("md5(CAST(doc_id AS STRING))", w)}) % 1000000") < col("rate") * 1e6)
         .groupBy("source")
         .agg(count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"),
-          round(max("rate"), 6).as("rate"))
+          max("rate_ppm").as("rate_ppm"))
         .orderBy("source")
     }),
 
@@ -1689,16 +1698,17 @@ object TextOps {
     "token_budget_sample" ->
       """WITH dt AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
-        |bysrc AS (SELECT source, SUM(n_tok) AS src_tok FROM dt GROUP BY 1),
-        |med AS (SELECT quantile_cont(src_tok, 0.5) AS med FROM bysrc),
-        |rates AS (SELECT source, LEAST(1.0, med.med / src_tok) AS rate
+        |bysrc AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok FROM dt GROUP BY 1),
+        |med AS (SELECT CAST(2 * quantile_cont(src_tok, 0.5) AS BIGINT) AS med2 FROM bysrc),
+        |rates AS (SELECT source, LEAST(1.0, med.med2 / 2.0 / src_tok) AS rate,
+        |    LEAST(1000000, (med.med2 * 1000000) // (2 * src_tok)) AS rate_ppm
         |  FROM bysrc CROSS JOIN med),
         |f AS (SELECT doc_id, CAST(SUM((strpos('0123456789abcdef',
         |      substr(md5(CAST(doc_id AS VARCHAR)), u.i, 1)) - 1)
         |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) % 1000000 AS fv
         |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i) GROUP BY doc_id)
-        |SELECT dt.source, COUNT(*) AS docs_kept, SUM(dt.n_tok) AS tokens_kept,
-        |  ROUND(MAX(r.rate), 6) AS rate
+        |SELECT dt.source, COUNT(*) AS docs_kept, CAST(SUM(dt.n_tok) AS BIGINT) AS tokens_kept,
+        |  CAST(MAX(r.rate_ppm) AS BIGINT) AS rate_ppm
         |FROM dt JOIN rates r USING (source) JOIN f USING (doc_id)
         |WHERE f.fv < r.rate * 1e6
         |GROUP BY dt.source ORDER BY dt.source""".stripMargin,

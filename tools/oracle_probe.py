@@ -56,6 +56,10 @@ def frames_equal(w, g):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Match the driver's parallelism (local[32]) unless overridden:
+    # multi-threaded DuckDB changes float-aggregation reduction order,
+    # which is exactly the hash surface the probe must exercise.
+    con.execute(f"SET threads TO {os.environ.get('PROBE_THREADS', '32')}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

@@ -20,9 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen. Bit-for-bit identical semantics, including
   * the HOF's edge behavior: a position past the end of the string
   * contributes 0 (substring → '' → instr = 1 → −1 + 1) and a non-hex
-  * character contributes −1 (instr = 0) — so FoldWidthSpec's
-  * independent model pins both forms, and the DuckDB oracle
-  * reproduces every id unchanged.
+  * CHARACTER — including any non-ASCII code point, which is why the
+  * fold iterates UTF-8 code points, not raw bytes — contributes −1
+  * (instr = 0) — so FoldWidthSpec's independent model pins both
+  * forms (ASCII and non-ASCII), and the DuckDB oracle reproduces
+  * every id unchanged.
+  *
+  * Contract: `width` must be ≥ 1 (internal use is md5 hex, width in
+  * [1, 15]). For width < 1 this expression returns 0 (an empty
+  * fold), deliberately NOT matching the HOF form there: Spark's
+  * `sequence(1, 0)` defaults to step −1 and yields [1, 0], so the
+  * HOF "folds" the first character twice — a sequence-default quirk,
+  * not semantics worth reproducing. FoldWidthSpec pins this too.
   */
 case class FoldHex(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -54,18 +63,22 @@ object FoldHex {
   def fold(s: UTF8String, width: Int): Long = {
     val b = s.getBytes
     var acc = 0L
-    var i = 0
-    while (i < width) {
+    var ci = 0 // code-point index — the HOF's substring(h, i, 1) is
+    var bi = 0 // char-based, so a multi-byte char is ONE position
+    while (ci < width) {
       val d =
-        if (i >= b.length) 0L // past end: HOF substring→'' → instr 1 → 0
+        if (bi >= b.length) 0L // past end: HOF substring→'' → instr 1 → 0
         else {
-          val c = b(i) & 0xff
-          if (c >= '0' && c <= '9') (c - '0').toLong
+          val nb = UTF8String.numBytesForFirstByte(b(bi))
+          val c = b(bi) & 0xff
+          bi += nb
+          if (nb > 1) -1L // non-ASCII code point: instr 0 → −1
+          else if (c >= '0' && c <= '9') (c - '0').toLong
           else if (c >= 'a' && c <= 'f') (c - 'a' + 10).toLong
           else -1L // non-hex char: instr 0 → −1
         }
       acc = acc * 16 + d
-      i += 1
+      ci += 1
     }
     acc
   }

@@ -174,26 +174,35 @@ object Sinks {
 
     // a FIFTH source format end-to-end: plain text lines (the format
     // raw crawl dumps and log shippers hand over) — each document
-    // serialized as ONE tab-delimited line (id, lang, source, text),
-    // written via the text sink, read back line-wise and re-parsed
-    // with a LIMIT-4 split (a pathological embedded tab could only
-    // ever land inside the text field, where the distinct-text oracle
-    // would expose it), aggregated per lang with an id-sum check.
-    // Any line-splitting or UTF-8 corruption shifts
-    // n/chars/distinct/id_sum and hash-mismatches against the
-    // original-table oracle.
+    // serialized as ONE tab-delimited line (id, lang, source,
+    // hex(text)), written via the text sink, read back line-wise,
+    // re-parsed with a LIMIT-4 split and hex-decoded, aggregated
+    // per lang with an id-sum check. The free-text payload is hex-
+    // wrapped because a line format cannot carry raw newlines/CRs
+    // (one embedded '\n' would split a document into two malformed
+    // lines) — hex is lossless for ANY byte content AND chunk-free
+    // (Spark's base64 is the MIME encoder: it inserts CRLF every 76
+    // chars, re-breaking the very lines it was meant to protect), so
+    // the roundtrip contract does not lean on a fixture no-newline
+    // invariant. The dim fields (doc_id, lang, source) ride raw: a
+    // line format cannot represent NULL (concat_ws would skip the
+    // field and shift the record left), and enum-like dims are
+    // non-null by the documents schema — that invariant is the
+    // format's contract, not an accident. Any line-splitting or
+    // UTF-8 corruption shifts n/chars/distinct/id_sum and
+    // hash-mismatches against the original-table oracle.
     "source_text_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val path = cachedPath(s, s"$d|text")(p =>
         graft.engine.Tables.documents(s, d)
           .select(concat_ws("\t", col("doc_id"), col("lang"),
-            col("source"), col("text")).as("value"))
+            col("source"), hex(encode(col("text"), "UTF-8"))).as("value"))
           .write.mode(SaveMode.Overwrite).text(p))
       s.read.text(path)
         .select(split(col("value"), "\t", 4).as("f"))
         .select(col("f").getItem(0).cast("bigint").as("doc_id"),
           col("f").getItem(1).as("lang"), col("f").getItem(2).as("source"),
-          col("f").getItem(3).as("text"))
+          decode(unhex(col("f").getItem(3)), "UTF-8").as("text"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           sum(length(col("text"))).as("chars"),

@@ -1124,10 +1124,15 @@ object TextOps {
     // no engine-divergent empty-regex split semantics), then one
     // (doc_id, ch) hash agg + one per-doc agg. Linear in corpus
     // bytes; partial aggregation absorbs the per-char explosion
-    // before any shuffle.
+    // before any shuffle. Empty text MUST be guarded: sequence(1, 0)
+    // defaults to step -1 and yields [1, 0], which would fabricate two
+    // phantom '' chars (and a spurious entropy=0 row) where the
+    // oracle's generate_series(1, 0) emits nothing.
     "char_entropy" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+          """CASE WHEN length(text) >= 1 THEN
+            |  transform(sequence(1, length(text)), i -> substring(text, i, 1))
+            |ELSE array() END""".stripMargin)).as("ch"))
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_chars"), sum(col("c") * log(col("c"))).as("clc"))

@@ -89,9 +89,13 @@ class FoldWidthSpec extends SparkSpec {
     graft.engine.expr.GraftFunctions.register(spark)
     // md5 outputs, a non-hex character mid-stream (HOF: instr = 0 →
     // digit −1), a string SHORTER than the width (HOF: substring →
-    // '' → instr = 1 → digit 0), and the empty string
+    // '' → instr = 1 → digit 0), the empty string, and NON-ASCII
+    // input (fold_hex is a session-registered SQL function callable
+    // on arbitrary strings): the HOF's substring is char-based, so a
+    // multi-byte code point is ONE −1 position, not one per byte —
+    // the native fold must iterate code points to agree
     val cases = Seq(md5hex("a"), md5hex("xyz"), "0123456z89abcdef",
-      "ab", "f", "")
+      "ab", "f", "", "é0ab", "日本語abc", "aé", "ééééééééééééééé")
     for (width <- Seq(1, 8, 12, 15)) {
       val df = cases.toDF("h").select(col("h"),
         call_function("fold_hex", col("h"), lit(width)).as("native"),
@@ -101,5 +105,17 @@ class FoldWidthSpec extends SparkSpec {
           s"width=$width h='${r.getString(0)}': native=${r.getLong(1)} hof=${r.getLong(2)}")
       }
     }
+  }
+
+  test("fold_hex width < 1 returns 0 (documented contract, not the HOF quirk)") {
+    // The HOF's sequence(1, 0) steps -1 → [1, 0] and folds the first
+    // char twice; the native expression's contract is an empty fold.
+    import org.apache.spark.sql.functions._
+    graft.engine.expr.GraftFunctions.register(spark)
+    val r = Seq("abc").toDF("h")
+      .select(call_function("fold_hex", col("h"), lit(0)).as("v"),
+        call_function("fold_hex", col("h"), lit(-3)).as("v2"))
+      .collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
   }
 }

@@ -63,4 +63,24 @@ class SinksSpec extends SparkSpec {
     // show is the pushed filter + the layout produced 4 sorted files
     assert(new java.io.File(s"$tmp/li").listFiles().count(_.getName.endsWith(".parquet")) == 4)
   }
+
+  test("source_text_roundtrip survives newlines, CRs, and tabs in text") {
+    // The line format hex-wraps the free-text payload; a document
+    // whose text embeds \n/\r/\t must come back byte-identical (the
+    // naive raw write would split it into malformed lines).
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sink_nl").toString
+    Seq(
+      (0L, "line one\nline two", "en", "s0"),
+      (1L, "carriage\rreturn\r\nand\ttab", "en", "s0"),
+      (2L, "plain", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sinks.queries("source_text_roundtrip")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // en: 2 docs, chars = 17 + 24, both distinct, id_sum 0+1
+    assert(got("en") == ((2L, 41L, 2L, 1L)), s"got $got")
+    assert(got("de") == ((1L, 5L, 1L, 2L)), s"got $got")
+  }
 }

@@ -148,6 +148,19 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(m(1L)._2 - 0.693147) < 1e-9) // ROUND(ln 2, 6)
   }
 
+  test("char_entropy: empty text emits NO row (sequence(1,0) guard)") {
+    // Unguarded, Spark's sequence(1, 0) steps -1 and yields [1, 0] —
+    // two phantom '' chars and a spurious (n_chars=2, entropy=0) row
+    // where the oracle's generate_series(1, 0) is empty.
+    val d = writeDocs(Seq(
+      (0L, "", "en", "s0"),
+      (1L, "ab", "en", "s0")))
+    val m = TextOps.queries("char_entropy")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!m.contains(0L), s"empty doc must not appear, got $m")
+    assert(m(1L) == ((2L, 0.693147)))
+  }
+
   test("bigram_logppl: deterministic continuations ⇒ nll 0; 2-way split ⇒ ln 2") {
     // corpus bigrams: (x,y)×2 from docs 0,1; (p,q),(p,r) from doc 2 —
     // so p(y|x)=1 and p(q|p)=p(r|p)=1/2

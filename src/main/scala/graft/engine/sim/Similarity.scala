@@ -34,8 +34,10 @@ object Similarity {
     * op where a per-row bounded selection beats the declarative
     * window form ~6×; cosine_topk/embedding_cosine_dedup run as
     * distributed cross joins, and the 100 TB similarity paths are the
-    * ANN operators). The table is n·d ≪ memory at declared scale
-    * (2 000 × 64 ≈ 1 MB). */
+    * ANN operators). Callers MUST size-gate: knn_per_vector only
+    * reaches this below `graft.sim.knnKernelMaxRows` (above it the
+    * query plans the distributed window form instead), so the collect
+    * is bounded by an explicit contract, not a fixture accident. */
   private def collectVecs(s: SparkSession, d: String): Array[(Long, Array[Double], Double)] = {
     import s.implicits._
     vecs(s, d).select("vec_id", "f", "nrm").as[(Long, Array[Double], Double)]
@@ -74,8 +76,18 @@ object Similarity {
         .orderBy(desc("cos"), col("id1"), col("id2"))
         .limit(100)),
 
-    // #20 5 nearest neighbors per vector (Euclidean) — same kernel,
-    // bounded top-k selection per vector inside the task: a 16-slot
+    // #20 5 nearest neighbors per vector (Euclidean) — SIZE-GATED
+    // like near_dedup_groups gates its union-find: the broadcast
+    // kernel below runs only while the vector table fits a sane
+    // broadcast (`graft.sim.knnKernelMaxRows`, default 100 000 rows ≈
+    // 50 MB at 64-d — one copy per executor, NOT per task); above the
+    // gate the query silently switches to the fully distributed
+    // cross-join + per-vector window form (identical declared
+    // semantics, proven equivalent in SimilaritySpec), so the API is
+    // never a driver-memory trap at scale — at 100 TB the honest
+    // answer is the ANN operators either way.
+    // Below the gate: bounded top-k selection per vector inside the
+    // task — a 16-slot
     // insertion-sorted (unrounded d², id2) shortlist in primitive
     // arrays (zero allocation / boxing / BigDecimal per candidate —
     // the round-1 form sorted all 2 000 rounded candidates per row and
@@ -91,6 +103,25 @@ object Similarity {
     // but the semantics no longer rely on that).
     "knn_per_vector" -> ((s, d) => {
       import s.implicits._
+      val gate = s.conf.get("graft.sim.knnKernelMaxRows", "100000").toLong
+      val nRows = vecs(s, d).count() // column-pruned count: row-group stats only
+      if (nRows > gate) {
+        // distributed exact form: block-cartesian pairs + per-vector
+        // window ranked on the declared (round6(dist), id2) key — no
+        // driver collect anywhere, same oracle semantics.
+        println(s"[graft] knn_per_vector($d): $nRows rows > gate $gate -> distributed window form")
+        graft.engine.expr.GraftFunctions.register(s)
+        val v = vecs(s, d)
+        val w = Window.partitionBy("id1").orderBy(col("dist"), col("id2"))
+        v.select(col("vec_id").as("id1"), col("f").as("f1"))
+          .crossJoin(v.select(col("vec_id").as("id2"), col("f").as("f2")))
+          .filter(col("id1") =!= col("id2"))
+          .select(col("id1"), col("id2"),
+            round(sqrt(ArrayMath.sqDistNative(col("f1"), col("f2"))), 6).as("dist"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(col("id1"), col("rank"), col("id2"), col("dist"))
+          .orderBy("id1", "rank")
+      } else {
       val triples = collectVecs(s, d)
       val ids = triples.map(_._1)
       val feats = triples.map(_._2)
@@ -151,6 +182,7 @@ object Similarity {
         }
         .toDF("id1", "rank", "id2", "dist")
         .orderBy("id1", "rank")
+      }
     }),
 
     // #24 per-label L2-norm quality screen

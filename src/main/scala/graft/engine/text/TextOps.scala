@@ -136,13 +136,23 @@ object TextOps {
     // session may legitimately flip the width between calls
     require(8 % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide 8")
     val joined = pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand") {
-        val tok = distinctTokens(s, d)
-        val dt = withTid(tok).select("doc_id", "tid")
-        // all 8 min-hashes in ONE map-side-combined aggregation (no seed
-        // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
-        def mh(seed: Int) =
-          min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
-        val sig = dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+        // the 8-minhash signature table is banding-INDEPENDENT, so it
+        // gets its own memo level: both declared operating points
+        // (b=2×r=4 and b=1×r=8) band the SAME signatures, and the
+        // signature aggregation (a full doc-level shuffle of the
+        // token set) was re-paid per banding when only the pair list
+        // was cached (driver bench r5: minhash_recall_b1r8 at 6.6 s
+        // vs 2.7 s with the signatures warm).
+        val sig = sigCache.get(s, s"$d|${foldWidth(s)}") {
+          val tok = distinctTokens(s, d)
+          val dt = withTid(tok).select("doc_id", "tid")
+          // all 8 min-hashes in ONE map-side-combined aggregation (no seed
+          // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
+          def mh(seed: Int) =
+            min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
+          dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+            .localCheckpoint(true)
+        }
         // band signatures: the r min-hashes of each band chained base-31
         def chain(idxs: Range) =
           idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
@@ -169,6 +179,7 @@ object TextOps {
 
   private val pairsCache = new graft.engine.SessionCache[DataFrame]
   private val distinctPairsCache = new graft.engine.SessionCache[DataFrame]
+  private val sigCache = new graft.engine.SessionCache[DataFrame]
 
   /** The DISTINCT (doc_id, token) set, memoized per (session, sfDir)
     * as an eager checkpoint: the MinHash pair builds (both bandings),

@@ -56,6 +56,35 @@ class SimilaritySpec extends SparkSpec {
       "bounded-selection kernel must equal the declarative window form")
   }
 
+  test("knn_per_vector takes the DISTRIBUTED branch above the kernel gate") {
+    // Above graft.sim.knnKernelMaxRows the query must plan a
+    // cross-join + window (no driver collect, no mapPartitions
+    // kernel) and still return identical rows — the gate is what
+    // keeps the collect kernel from being a driver-memory trap at
+    // scale.
+    val s2 = spark.newSession()
+    s2.conf.set("graft.sim.knnKernelMaxRows", "1")
+    val gated = Similarity.queries("knn_per_vector")(s2, sf0001)
+    val plan = gated.queryExecution.executedPlan.toString
+    // the cross join plans as CartesianProduct (big-big) or
+    // BroadcastNestedLoopJoin (one side under the broadcast
+    // threshold); either is the distributed pair generator. What must
+    // NOT appear is the object kernel (SerializeFromObject), and the
+    // top-5 must run as a Window with group-limit pushdown.
+    assert(plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the distributed cross-join form above the gate:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-vector top-5 must push down as a window group limit:\n$plan")
+    assert(!plan.contains("SerializeFromObject"),
+      s"kernel (mapPartitions) must NOT run above the gate:\n$plan")
+    val viaWindow = gated.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val viaKernel = Similarity.queries("knn_per_vector")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(viaWindow.toSeq == viaKernel.toSeq,
+      "both branches must produce identical declared output")
+  }
+
   test("cosine_topk is symmetric-free (i<j) and sorted descending") {
     val top = Similarity.queries("cosine_topk")(spark, sf0001).collect()
     assert(top.length == 100)

@@ -31,6 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ClusterQueries.oracles ++ RelQueries.oracles ++ Udafs.oracles ++
       StreamQueries.oracles ++ TextOps.oracles ++ Similarity.oracles ++
-      KMeansSweep.oracles ++ Multimodal.oracles ++
+      KMeansSweep.oracles ++ Multimodal.oracles ++ Sketches.oracles ++
       graft.engine.sink.Sinks.oracles
 }

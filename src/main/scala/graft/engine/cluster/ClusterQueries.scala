@@ -76,19 +76,21 @@ object ClusterQueries {
       Indices.xieBeni(pts(s, d)).select(round(col("xie_beni"), 6).as("xie_beni"))),
   )
 
-  /** Shared oracle CTEs: exploded points + centroids from labels. */
-  private val PT =
+  /** Shared oracle CTEs: exploded points + centroids from labels.
+    * `private[cluster]` so KMeansSweep's report-roundtrip oracle can
+    * recompose the same index SQL instead of duplicating it. */
+  private[cluster] val PT =
     """pt AS (SELECT vec_id, label, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS v
       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
       |ctr AS (SELECT label AS cluster, i, AVG(v) AS c FROM pt GROUP BY 1, 2)""".stripMargin
 
-  private val OWN =
+  private[cluster] val OWN =
     """own AS (SELECT pt.vec_id, pt.label AS cluster,
       |  SUM((pt.v - ctr.c) * (pt.v - ctr.c)) AS d2
       |  FROM pt JOIN ctr ON pt.label = ctr.cluster AND pt.i = ctr.i
       |  GROUP BY 1, 2)""".stripMargin
 
-  private val CDIST =
+  private[cluster] val CDIST =
     """cdist AS (SELECT a.cluster AS ci, b.cluster AS cj,
       |  SQRT(SUM((a.c - b.c) * (a.c - b.c))) AS dist
       |  FROM ctr a JOIN ctr b ON a.i = b.i AND a.cluster < b.cluster

@@ -372,9 +372,55 @@ object Multimodal {
         .toDF("media_id", "phash")
         .orderBy("media_id")
     }),
+
+    // the phash DUP-DETECTION contract as an ORACLE-CHECKED query
+    // (round-5 verdict, Next-round #7): the hash VALUES are
+    // engine-specific (DuckDB can't decode PNG), but "byte-identical
+    // payloads get equal hashes" is exact SQL over payload equality.
+    // Deterministic duplicates are synthesized (every 30th doc_id
+    // re-enters under id+1e6, mirrored in the oracle) so the contract
+    // is never vacuously green on a dup-free fixture; naturally
+    // occurring exact dups are covered by the same group-by. Payload
+    // equality groups on the source TEXT (payload bytes are its UTF-8
+    // encoding, so text equality IS payload equality) — the verdict
+    // column goes false, and the row hash-mismatches, if any
+    // payload-equal group ever sees more than one distinct phash.
+    "phash_dup_contract" -> ((s, d) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"), col("text"))
+      val dups = imgs.filter(col("media_id") % 30 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"), col("text"))
+      imgs.unionAll(dups).as[(Long, String)]
+        .mapPartitions(_.map { case (_, t) =>
+          (t, MediaCodec.phashImage(MediaCodec.encodePng(t.getBytes("UTF-8"))))
+        })
+        .toDF("text", "phash")
+        .groupBy("text")
+        .agg(count(lit(1)).as("n"), countDistinct(col("phash")).as("n_hashes"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_rows"),
+          max(col("n_hashes")).as("max_h"))
+        .select(col("n_groups"), col("n_dup_groups"), col("dup_rows"),
+          (col("max_h") === 1).as("hash_consistent"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "phash_dup_contract" ->
+      """WITH img AS (SELECT doc_id AS media_id, text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |all_rows AS (SELECT media_id, text FROM img
+        |  UNION ALL SELECT media_id + 1000000, text FROM img
+        |  WHERE media_id % 30 = 0),
+        |g AS (SELECT text, COUNT(*) AS n FROM all_rows GROUP BY text)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_rows,
+        |  TRUE AS hash_consistent
+        |FROM g""".stripMargin,
+
     "multimodal_decode_stats" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

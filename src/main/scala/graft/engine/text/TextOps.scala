@@ -106,6 +106,18 @@ object TextOps {
       .localCheckpoint(true)
   }
 
+  /** ngramSet memoized per (session, sfDir, n, keep): the trigram set
+    * now has TWO declared consumers (`ngram_jaccard_dedup`,
+    * `ngram_novelty`) and the checkpoint inside ngramSet only
+    * de-duplicates reads within one query tree — without the memo each
+    * query re-pays the split+explode+distinct shuffle. */
+  private val ngramCache = new graft.engine.SessionCache[DataFrame]
+  private def ngramSetCached(s: SparkSession, d: String, n: Int,
+                             keep: Seq[String]): DataFrame =
+    ngramCache.get(s, s"$d|n$n|${keep.mkString(",")}") {
+      ngramSet(docs(s, d), n, keep)
+    }
+
   /** Adds the `tid` column to any frame with a `token` column,
     * REDUCED mod P: every consumer multiplies tid under mod P, so the
     * reduction is a no-op by congruence at width 8 (oracles compute

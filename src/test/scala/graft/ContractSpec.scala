@@ -20,8 +20,12 @@ class ContractSpec extends AnyFunSuite {
     // MLlib (kmeans_train / k_sweep / optimal_k_select),
     // engine-specific sketch hashes (q_agg_approx / heavy_hitters_cms),
     // or a decode DuckDB cannot run (multimodal_phash, PhashSpec-gated).
-    // Growing this set is a DECISION, not a drift — update here and in
-    // COVERAGE.md together.
+    // Each no-oracle VALUE surface now has an ORACLED contract sibling:
+    // heavy_hitters_cms → cms_error_contract, multimodal_phash →
+    // phash_dup_contract, q_agg_approx → approx_distinct_error, and the
+    // sweep trio → index_report_roundtrip over the deterministic index
+    // recompute. Growing this set is a DECISION, not a drift — update
+    // here and in COVERAGE.md together.
     val documented = Set("kmeans_train", "k_sweep", "optimal_k_select",
       "q_agg_approx", "heavy_hitters_cms", "multimodal_phash")
     val actual = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

@@ -20,4 +20,18 @@ class ReportSinkSpec extends SparkSpec {
     val csv = spark.read.option("header", "true").csv(s"$dir/report_csv")
     assert(csv.count() == 2)
   }
+
+  test("index_report_roundtrip reproduces the direct index recompute") {
+    val d = "/root/testdata/sf0.001"
+    val back = SparkEntry.queries("index_report_roundtrip")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back.keySet ==
+      Set("wssse", "bd_silhouette", "bd_dunn", "davies_bouldin"))
+    // byte-identical to the values the per-index declared queries emit
+    // (same round(·,6) discipline) — a write-path mangle would differ
+    for ((k, v) <- back) {
+      val direct = SparkEntry.queries(k)(spark, d).collect()(0).getDouble(0)
+      assert(v == direct, s"$k: roundtrip $v != direct $direct")
+    }
+  }
 }

@@ -373,6 +373,32 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // content-type SNIFFING over the real encoded streams — the
+    // ingest-time format audit a 100 TB media pipeline runs before
+    // trusting any declared kind column: the leading bytes of every
+    // media row match against the three container signatures (PNG
+    // \x89PNG\r\n\x1a\n; RIFF····WAVE; GVID) and the sniffed kind is
+    // audited per declared kind. Pure per-row Catalyst substring
+    // compares on the binary column — bytes never shuffle, only the
+    // per-kind audit aggregates do. The oracle reproduces the per-kind
+    // counts from the doc_id%3 kind assignment and asserts the match
+    // verdict; a codec writing the wrong magic (or a sniffer misreading
+    // it) flips all_match and hash-mismatches.
+    "mime_sniff_audit" -> ((s, d) => {
+      val sniffed = mediaTable(s, d).withColumn("sniffed",
+        when(hex(substring(col("bytes"), 1, 8)) === "89504E470D0A1A0A", "image")
+          .when(substring(col("bytes"), 1, 4).cast("string") === "RIFF" &&
+            substring(col("bytes"), 9, 4).cast("string") === "WAVE", "audio")
+          .when(substring(col("bytes"), 1, 4).cast("string") === "GVID", "video")
+          .otherwise("unknown"))
+      sniffed.groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sniffed") === col("kind"), 1L).otherwise(0L)).as("n_match"))
+        .select(col("kind"), col("n"), col("n_match"),
+          (col("n") === col("n_match")).as("all_match"))
+        .orderBy("kind")
+    }),
+
     // the phash DUP-DETECTION contract as an ORACLE-CHECKED query
     // (round-5 verdict, Next-round #7): the hash VALUES are
     // engine-specific (DuckDB can't decode PNG), but "byte-identical
@@ -408,6 +434,12 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mime_sniff_audit" ->
+      """WITH m AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind FROM documents)
+        |SELECT kind, COUNT(*) AS n, COUNT(*) AS n_match, TRUE AS all_match
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
     "phash_dup_contract" ->
       """WITH img AS (SELECT doc_id AS media_id, text
         |  FROM documents WHERE doc_id % 3 = 0),

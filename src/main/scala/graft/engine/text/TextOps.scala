@@ -640,7 +640,7 @@ object TextOps {
       // Round 2 shipped this un-persisted on a "≈ equal runtime"
       // measurement the driver's bench refuted: 37.6 s vs ~7 s — the
       // recompute multiplies with the consumer count, never amortizes.
-      val tri = ngramSet(docs(s, d), 3, Seq("doc_id")).withColumnRenamed("ng", "tri")
+      val tri = ngramSetCached(s, d, 3, Seq("doc_id")).withColumnRenamed("ng", "tri")
       val dfreq = tri.groupBy("tri").agg(count(lit(1)).as("df"))
       val wOrd = Window.partitionBy("doc_id").orderBy("df", "tri")
       val wDoc = Window.partitionBy("doc_id")
@@ -832,7 +832,7 @@ object TextOps {
     "decontaminate_ngram" -> ((s, d) => {
       // the shingle set feeds FOUR consumers (eval side, train side →
       // totals and hits) — ngramSet materializes it once
-      val sh = ngramSet(docs(s, d), 8, Seq("doc_id", "source")).withColumnRenamed("ng", "sh")
+      val sh = ngramSetCached(s, d, 8, Seq("doc_id", "source")).withColumnRenamed("ng", "sh")
       val ev = sh.filter(col("source") === "src0").select("sh").distinct()
       val tr = sh.filter(col("source") =!= "src0").select("doc_id", "sh")
       val tot = tr.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -1038,6 +1038,71 @@ object TextOps {
         .agg(count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"),
           max("rate_ppm").as("rate_ppm"))
         .orderBy("source")
+    }),
+
+    // Per-domain token CAP — the hard-bound sibling of
+    // `token_budget_sample`: rate-based thinning is iid (a heavy
+    // domain still lands heavy-tailed), while the cap truncates each
+    // source's doc stream (doc_id order) once its running token total
+    // exceeds the budget — "no domain exceeds X tokens", the other
+    // knob a training-mix assembler turns. Cap = half the MEDIAN
+    // source's token mass, exact-integer med2 div 4 (self-normalizing
+    // across SFs, same integral-midpoint discipline as
+    // token_budget_sample). Scale shape: ONE window cumsum partitioned
+    // by source — at production scale the partition key is the domain
+    // (millions of balanced partitions); the 20-source fixture is the
+    // validation shape, not the plan's limit.
+    "domain_token_cap" -> ((s, d) => {
+      val dt = docs(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cap = dt.groupBy("source").agg(sum("n_tok").as("src_tok"))
+        .agg((expr("percentile(src_tok, 0.5)") * 2).cast("long").as("med2"))
+        .select(expr("med2 div 4").as("cap_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dt.withColumn("cum_tok", sum("n_tok").over(w))
+        .crossJoin(broadcast(cap))
+        .filter(col("cum_tok") <= col("cap_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"),
+          max("cap_tok").as("cap_tok"))
+        .orderBy("source")
+    }),
+
+    // First-seen n-gram NOVELTY: the share of each document's distinct
+    // trigrams appearing in NO lower-id document — the freshness
+    // screen that separates near-boilerplate (novelty→0) from
+    // genuinely new text (novelty→1) when curating a crawl in arrival
+    // order. Scale shape: first_doc is one hash agg (min doc_id per
+    // trigram) over the SHARED memoized trigram set, joined back on
+    // the trigram key — no windows, no pairwise joins; docs with <3
+    // tokens have no trigrams and emit no row (both engines agree).
+    "ngram_novelty" -> ((s, d) => {
+      val tri = ngramSetCached(s, d, 3, Seq("doc_id"))
+      val first = tri.groupBy("ng").agg(min("doc_id").as("first_doc"))
+      tri.join(first, "ng")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          round(col("n_novel") / col("n_ngrams"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf fit over the head of the frequency table: ln(freq) on
+    // ln(rank) slope across the top 100 tokens (row_number rank,
+    // count desc / token asc — deterministic under count ties) — the
+    // corpus-health one-liner (natural language ≈ −1; template spam
+    // flattens, a shattered tokenizer steepens). Scale shape: the head
+    // is a TakeOrdered top-k (per-partition partials, no global sort);
+    // the window and regression then run on 100 rows.
+    "zipf_slope" -> ((s, d) => {
+      val top = tokens(docs(s, d)).groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("token")).limit(100)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(desc("c"), col("token"))))
+        .agg(count(lit(1)).as("n_head"),
+          round(expr("regr_slope(ln(c), ln(rank))"), 6).as("slope"))
     }),
 
     // Incremental ingest dedup: the 10% "incoming batch" (md5-fold of
@@ -1740,6 +1805,43 @@ object TextOps {
         |FROM dt JOIN rates r USING (source) JOIN f USING (doc_id)
         |WHERE f.fv < r.rate * 1e6
         |GROUP BY dt.source ORDER BY dt.source""".stripMargin,
+
+    "domain_token_cap" ->
+      """WITH dt AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |m AS (SELECT CAST(2 * quantile_cont(src_tok, 0.5) AS BIGINT) // 4 AS cap_tok
+        |  FROM (SELECT CAST(SUM(n_tok) AS BIGINT) AS src_tok FROM dt GROUP BY source)),
+        |c AS (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (
+        |    PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM dt)
+        |SELECT source, COUNT(*) AS docs_kept,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+        |  CAST(MAX(m.cap_tok) AS BIGINT) AS cap_tok
+        |FROM c CROSS JOIN m WHERE cum <= m.cap_tok
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "ngram_novelty" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |tri AS (SELECT DISTINCT doc_id, UNNEST(list_transform(
+        |    generate_series(1, len(a) - 2),
+        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS ng
+        |  FROM arr),
+        |f AS (SELECT ng, MIN(doc_id) AS first_doc FROM tri GROUP BY 1)
+        |SELECT tri.doc_id, COUNT(*) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN f.first_doc = tri.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ROUND(SUM(CASE WHEN f.first_doc = tri.doc_id THEN 1 ELSE 0 END) * 1.0
+        |    / COUNT(*), 6) AS novelty
+        |FROM tri JOIN f USING (ng)
+        |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin,
+
+    "zipf_slope" ->
+      """WITH tc AS (SELECT token, COUNT(*) AS c
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1),
+        |h AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank
+        |  FROM tc ORDER BY c DESC, token LIMIT 100)
+        |SELECT COUNT(*) AS n_head,
+        |  ROUND(regr_slope(ln(c), ln(rank)), 6) AS slope FROM h""".stripMargin,
 
     "incremental_dedup" ->
       s"""WITH $TOK,

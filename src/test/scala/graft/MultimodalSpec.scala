@@ -79,6 +79,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mime sniffing agrees with the declared kind for every stream") {
+    val rows = Multimodal.queries("mime_sniff_audit")(spark, sf0001)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == Seq("audio", "image", "video"))
+    rows.foreach { case (kind, n, nMatch, allMatch) =>
+      assert(n > 0 && nMatch == n && allMatch, s"$kind: $nMatch/$n sniffed")
+    }
+  }
+
   test("media table kinds cycle by id; image/audio bytes are real PNG/WAV streams") {
     val rows = Multimodal.mediaTable(spark, sf0001)
       .select("media_id", "kind", "bytes").collect()

@@ -55,6 +55,43 @@ class TextOpsSpec extends SparkSpec {
     assert(!rows.contains((3L, 6L)))
   }
 
+  test("ngram_novelty: dup docs score 0, originals 1, near-dup in between") {
+    val rows = TextOps.queries("ngram_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(0L)._3 == 1.0, "doc 0 is the first occurrence of all its trigrams")
+    assert(rows(1L)._3 == 0.0, "exact dup of doc 0: nothing novel")
+    assert(rows(5L)._3 == 0.0, "exact dup of doc 4: nothing novel")
+    // near dup of 0: 7 trigrams, only 'the lazy cat' unseen → 1/7
+    assert(rows(2L)._1 == 7 && rows(2L)._2 == 1)
+  }
+
+  test("domain_token_cap: greedy doc_id-order prefix within the cap") {
+    val out = TextOps.queries("domain_token_cap")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // recompute the greedy truth from the fixture
+    val nTok = docsFixture.map { case (id, t, _, src) =>
+      (id, src, t.split(" ").length.toLong) }
+    val srcTok = nTok.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val sorted = srcTok.values.toSeq.sorted
+    val med2 = sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2) // even count
+    val cap = med2 / 4
+    val expected = nTok.groupBy(_._2).flatMap { case (src, ds) =>
+      val kept = ds.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, cum), (_, _, n)) => (n, cum + n) }.tail
+        .filter(_._2 <= cap)
+      if (kept.isEmpty) None
+      else Some(src -> (kept.size.toLong, kept.map(_._1).sum, cap))
+    }
+    assert(out == expected, s"out=$out expected=$expected (cap=$cap)")
+  }
+
+  test("zipf_slope: head covers the distinct vocab and slopes downward") {
+    val r = TextOps.queries("zipf_slope")(spark, dir).collect()(0)
+    val vocab = docsFixture.flatMap(_._2.split(" ")).distinct.size
+    assert(r.getLong(0) == math.min(vocab, 100).toLong)
+    assert(r.getDouble(1) < 0.0, "frequency must decay with rank")
+  }
+
   test("simhash: exact dups at hamming 0") {
     val rows = TextOps.queries("simhash_dedup")(spark, dir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

@@ -223,6 +223,33 @@ object StreamQueries {
     s.table(name).orderBy("user_id")
   }
 
+  /** Streaming CONTENT dedup — the "dedupe the crawl as it lands"
+    * shape: the documents table as a file stream, exact-deduped on
+    * (lang, sha2(text)) inside the watermarkless single-batch harness,
+    * then counted per lang. Keyed on the CONTENT HASH, not the text —
+    * the 32-byte digest is what shuffles into dedup state at 100 TB,
+    * never the document body (the exact_dedup discipline under
+    * readStream). Dedup is scoped per lang so the kept-count per lang
+    * is deterministic (a text shared across langs would otherwise make
+    * "which lang kept it" an arrival-order race). One file = one
+    * micro-batch ⇒ ≡ batch per-lang distinct-text counts, which is the
+    * DuckDB oracle. */
+  private def streamContentDedup(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val name = s"scd_${System.nanoTime()}"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .withColumn("h", sha2(col("text").cast("binary"), 256))
+        .dropDuplicates("lang", "h")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name).groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** foreachBatch sink — the remaining production sink surface (the
     * API that lets a stream land in ANY batch writer: upserts, JDBC,
     * multi-table fan-out). Here each micro-batch of the 1 h tumbling
@@ -278,6 +305,7 @@ object StreamQueries {
     "stream_transform_with_state" -> (transformWithStatePerUser _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_foreach_batch" -> (foreachBatchSink _),
+    "stream_content_dedup" -> (streamContentDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +369,12 @@ object StreamQueries {
     "stream_transform_with_state" ->
       """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // streaming content dedup ≡ per-lang distinct-text counts when the
+    // whole input is one micro-batch (dedup state never evicts mid-batch)
+    "stream_content_dedup" ->
+      """SELECT lang, COUNT(DISTINCT text) AS n_kept
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // stream-stream interval join ≡ batch inner interval join when the
     // whole input is one micro-batch (state never evicts mid-batch)

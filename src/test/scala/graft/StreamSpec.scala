@@ -83,6 +83,26 @@ class StreamSpec extends SparkSpec {
     assert(out.values.forall(_ == 1L))
   }
 
+  test("content dedup drops a duplicate text arriving in a LATER micro-batch") {
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val df = mem.toDF().toDF("doc_id", "text", "lang")
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .dropDuplicates("lang", "h")
+    val q = df.writeStream.format("memory").queryName("t_cdedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Seq((1L, "alpha beta", "en"), (2L, "gamma delta", "en")))
+    q.processAllAvailable()
+    // batch 2: same text again (cross-batch dup → dedup state drops it),
+    // same text under another lang (kept: dedup is scoped per lang),
+    // and a brand-new text (kept)
+    mem.addData(Seq((3L, "alpha beta", "en"), (4L, "alpha beta", "de"),
+      (5L, "epsilon zeta", "en")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("t_cdedup").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L), s"kept=$kept")
+  }
+
   test("session_window matches gaps-and-islands semantics") {
     // user 10: events at 00:05, 00:15 (gap 10m → same), 00:50 (gap 35m → new)
     val df = Seq(

@@ -31,12 +31,39 @@ object Centroids {
       .groupBy("cluster", "pos")
       .agg(avg("v").as("c"))
 
-  /** (cluster, centroid: array<double>) — assembled, dimension-ordered. */
-  def centroids(points: DataFrame): DataFrame =
-    centroidDims(points)
+  /** (cluster, centroid: array<double>) — assembled, dimension-ordered.
+    *
+    * Memoized on the IDENTITY of the input DataFrame object and
+    * eagerly checkpointed: the n·d explode+aggregate is the ONE
+    * shuffle that touches the point set, and every index consumer
+    * (wssse, the BD pair, DB, CH, XB, nearest-assignment, the report
+    * roundtrip) re-derived it per query — ~6 recomputes inside the
+    * report union alone. Consumers that share a points FRAME (the
+    * per-(session,sf) memoized ground-truth frame in ClusterQueries;
+    * the frame threaded through one allIndices call) now pay the
+    * shuffle once. Identity keying is deliberate: a canonicalized-PLAN
+    * key was tried and COLLIDED between the sweep's per-k MLlib
+    * prediction frames (the k lives in a UDF closure the canonical
+    * string does not render), silently serving k=2 centroids to the
+    * k=3 indices — object identity can never cross-serve. WeakHashMap:
+    * entries die with the input frame; the checkpointed value's plan
+    * is a LogicalRDD that holds no reference back to the key. */
+  private val centCache =
+    new java.util.WeakHashMap[DataFrame, DataFrame]()
+  def centroids(points: DataFrame): DataFrame = {
+    val hit = centCache.synchronized(centCache.get(points))
+    if (hit != null) return hit
+    val built = centroidDims(points)
       .groupBy("cluster")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cluster"), transform(col("pc"), p => p("c")).as("centroid"))
+      .localCheckpoint(true) // built OUTSIDE the lock: concurrent sweep
+                             // fits must not serialize on each other
+    centCache.synchronized {
+      val again = centCache.get(points)
+      if (again != null) again else { centCache.put(points, built); built }
+    }
+  }
 
   /** (cluster, n) — cluster cardinalities (SURVEY.md §2.1 #3). */
   def clusterSizes(points: DataFrame): DataFrame =

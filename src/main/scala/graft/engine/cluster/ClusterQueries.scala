@@ -14,7 +14,13 @@ import graft.engine.Tables
   * with 1-based `col[u.i]` (FIXTURES.md).
   */
 object ClusterQueries {
-  private def pts(s: SparkSession, d: String) = Tables.points(s, d)
+  /** The ground-truth point frame memoized per (session, sfDir): all
+    * declared index queries then share ONE DataFrame object, which is
+    * what lets Centroids.centroids' identity-keyed memo serve its
+    * checkpointed centroid table across them. */
+  private val ptsCache = new graft.engine.SessionCache[DataFrame]
+  private[cluster] def pts(s: SparkSession, d: String): DataFrame =
+    ptsCache.get(s, d)(Tables.points(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vector_scan" -> ((s, d) =>

@@ -153,14 +153,22 @@ object KMeansSweep {
     // row, mangles the index name, or misreads the double
     // hash-mismatches.
     "index_report_roundtrip" -> ((s, d) => {
-      val p = Tables.points(s, d)
-      def one(name: String, df: DataFrame, c: String): DataFrame =
-        df.select(lit(name).as("index_name"), round(col(c), 6).as("value"))
-      val report = one("wssse", Indices.wssse(p), "wssse")
-        .unionAll(one("bd_silhouette", Indices.bdSilhouette(p), "bd_silhouette"))
-        .unionAll(one("bd_dunn", Indices.bdDunn(p), "bd_dunn"))
-        .unionAll(one("davies_bouldin", Indices.daviesBouldin(p), "davies_bouldin"))
       val path = reportCache.get(s, s"$d|report") {
+        // the SHARED per-(session,sf) points object — its identity is
+        // what routes the memoized centroid table into the four indices
+        val p = ClusterQueries.pts(s, d)
+        def one(name: String, df: DataFrame, c: String): DataFrame =
+          df.select(lit(name).as("index_name"), round(col(c), 6).as("value"))
+        // eagerly checkpoint the 4-row report BEFORE the sink:
+        // writeReport runs TWO actions (parquet + the CSV parity leg)
+        // and each would otherwise re-execute the whole four-index
+        // union (~2.5 s/run at sf0.1 — the write leg, not the index
+        // math, dominated the first bench of this query)
+        val report = one("wssse", Indices.wssse(p), "wssse")
+          .unionAll(one("bd_silhouette", Indices.bdSilhouette(p), "bd_silhouette"))
+          .unionAll(one("bd_dunn", Indices.bdDunn(p), "bd_dunn"))
+          .unionAll(one("davies_bouldin", Indices.daviesBouldin(p), "davies_bouldin"))
+          .localCheckpoint(true)
         val out = java.nio.file.Files
           .createTempDirectory("graft_report").toString + "/report"
         writeReport(report, out, alsoCsv = true)

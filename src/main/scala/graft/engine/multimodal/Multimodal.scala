@@ -240,8 +240,20 @@ object Multimodal {
   /** The media table: (media_id, kind, bytes, meta struct). Every row
     * carries a genuine encoded stream — PNG (image), PCM WAV (audio),
     * Motion-PNG GVID (video) — all encoded map-side with JDK codecs.
-    * meta.n_bytes is the pre-encode payload size. */
-  def mediaTable(s: SparkSession, d: String): DataFrame = {
+    * meta.n_bytes is the pre-encode payload size.
+    *
+    * Memoized per (session, sfDir) as an eager checkpoint: THREE
+    * declared consumers (decode stats, mime sniff, and any dedup join
+    * over the fingerprints) each re-ran the full corpus encode pass
+    * otherwise — the codec CPU is the dominant cost of every
+    * multimodal query, and it amortizes exactly like the token-set
+    * builds in TextOps. (~4 MB of encoded bytes at bench SF; at 100 TB
+    * the durable form is a Sinks materialization, per SessionCache.) */
+  private val mediaCache = new graft.engine.SessionCache[DataFrame]
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    mediaCache.get(s, d)(mediaTableBuild(s, d).localCheckpoint(true))
+
+  private def mediaTableBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     payloads(s, d).as[(Long, String, Array[Byte], Int, String)]
       .mapPartitions(_.map { case (id, kind, payload, nb, lang) =>

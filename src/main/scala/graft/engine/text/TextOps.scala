@@ -640,32 +640,53 @@ object TextOps {
       // Round 2 shipped this un-persisted on a "≈ equal runtime"
       // measurement the driver's bench refuted: 37.6 s vs ~7 s — the
       // recompute multiplies with the consumer count, never amortizes.
-      val tri = ngramSetCached(s, d, 3, Seq("doc_id")).withColumnRenamed("ng", "tri")
-      val dfreq = tri.groupBy("tri").agg(count(lit(1)).as("df"))
-      val wOrd = Window.partitionBy("doc_id").orderBy("df", "tri")
+      //
+      // Trigrams are FOLDED to 32-bit ids (native fold_hex of md5,
+      // the TOK discipline, mirrored in the oracle): the verify step
+      // intersects per-doc arrays for every candidate pair, and long
+      // arrays intersect several times faster than ~20-char string
+      // arrays (measured 5.2 s → the dominant cost at sf0.1). A fold
+      // collision merges the same two trigrams in BOTH engines, so
+      // parity holds exactly as for token ids; the distinct() after
+      // folding makes the per-doc id SET the declared universe on
+      // both sides.
+      val tri = withFoldHash(ngramSetCached(s, d, 3, Seq("doc_id")), "ng", "tid")
+        .select("doc_id", "tid").distinct()
+      val dfreq = tri.groupBy("tid").agg(count(lit(1)).as("df"))
+      val wOrd = Window.partitionBy("doc_id").orderBy("df", "tid")
       val wDoc = Window.partitionBy("doc_id")
-      // prefix length for t = 0.5: |A| − ⌈|A|/2⌉ + 1 = ⌊|A|/2⌋ + 1.
-      // the set size rides along from the window pass, so candidate
-      // pairs carry (s1, s2) and no separate size join is needed
-      val prefix = tri.join(dfreq, "tri")
+      // prefix length for t = 0.5: |A| − ⌈|A|/2⌉ + 1 = ⌊|A|/2⌋ + 1,
+      // rarest-first under the (df, tid) total order
+      val prefix = tri.join(dfreq, "tid")
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("n", count(lit(1)).over(wDoc))
         .filter(col("rn") <= (col("n") / 2).cast("bigint") + 1)
-        .select("doc_id", "tri")
+        .select("doc_id", "tid")
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
+          col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
+      // size-ratio necessary condition BEFORE any array attaches
+      // (the minhashTruthPairs discipline): J ≥ 0.5 forces
+      // min(|A|,|B|)/max ≥ 0.5, checked as exact 2·min ≥ max on the
+      // INT-only size table — at sf0.1 the prefix join admits ~409k
+      // candidates of which 256 verify; pruning on two ints first
+      // keeps the wide array join near the survivor set.
+      val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val candSized = cand
+        .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+        .filter(least(col("s1"), col("s2")) * 2 >= greatest(col("s1"), col("s2")))
       // PPJoin-style verification: candidates join the per-doc sorted
-      // trigram SETS (one row per doc) and the exact intersection is a
+      // id SETS (one row per doc) and the exact intersection is a
       // single codegen'd array_intersect per pair — no re-join of the
       // exploded trigram rows (that recount was measured to produce
       // MORE join rows than it pruned on near-dup-dense corpora)
       val docsArr = tri.groupBy("doc_id")
-        .agg(sort_array(collect_list("tri")).as("arr"), count(lit(1)).as("sz"))
-      cand
-        .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1"), col("sz").as("s1")), "d1")
-        .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2"), col("sz").as("s2")), "d2")
+        .agg(sort_array(collect_list("tid")).as("arr"))
+      candSized
+        .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
+        .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
         .withColumn("inter", size(array_intersect(col("a1"), col("a2"))).cast("long"))
         // threshold on the UNROUNDED ratio (one exact IEEE division of
         // identical ints — drift-free): the prefix filter is lossless
@@ -1089,6 +1110,29 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Fixed-size overlapping CHUNKING — the RAG-index / pretraining
+    // context-window splitter: each doc's token stream becomes chunks
+    // of 32 tokens at stride 24 (8-token overlap), emitted as
+    // (doc_id, chunk_id, n_tok, md5(chunk)) — the md5 pins every
+    // chunk's exact content without shipping chunk bodies through the
+    // output. Chunk count is exact integer math (1 + ⌈max(0,len−32)/24⌉
+    // via (x+23) div 24) so both engines enumerate identical chunks;
+    // the tail chunk is the natural short slice. Scale shape: pure
+    // per-row explode — no shuffle at all until a consumer aggregates;
+    // the doc body is split once into a projected array column.
+    "rag_chunk" -> ((s, d) => {
+      docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, (greatest(0, size(w) - 32) + 23) div 24),
+            |  j -> array_join(slice(w, j*24 + 1, 32), ' '))""".stripMargin))
+          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Zipf fit over the head of the frequency table: ln(freq) on
     // ln(rank) slope across the top 100 tokens (row_number rank,
     // count desc / token asc — deterministic under count ties) — the
@@ -1510,15 +1554,24 @@ object TextOps {
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
 
+    // trigram ids are the same 8-digit md5 fold the engine computes
+    // (a collision merges identical trigram pairs in both engines —
+    // the TOK parity argument); the join itself stays unpruned, so it
+    // remains an independent check of the engine's prefix+size filters
     "ngram_jaccard_dedup" ->
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |tri AS (SELECT DISTINCT doc_id, UNNEST(list_transform(
+        |tri0 AS (SELECT DISTINCT doc_id, UNNEST(list_transform(
         |    generate_series(1, len(a) - 2),
         |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS tri
         |  FROM arr),
+        |tri AS (SELECT DISTINCT doc_id,
+        |    CAST(SUM((strpos('0123456789abcdef', substr(md5(tri), u.i, 1)) - 1)
+        |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) AS tid
+        |  FROM tri0, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY doc_id, tri),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY 1),
         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM tri a JOIN tri b ON a.tri = b.tri AND a.doc_id < b.doc_id
+        |  FROM tri a JOIN tri b ON a.tid = b.tid AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT d1, d2,
         |  ROUND(inter / (s1.sz + s2.sz - inter), 6) AS jac
@@ -1833,6 +1886,17 @@ object TextOps {
         |    / COUNT(*), 6) AS novelty
         |FROM tri JOIN f USING (ng)
         |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin,
+
+    "rag_chunk" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |ch AS (SELECT doc_id, u.j AS chunk_id,
+        |    array_to_string(list_slice(a, u.j*24 + 1, u.j*24 + 32), ' ') AS chunk
+        |  FROM arr, UNNEST(generate_series(0,
+        |    (GREATEST(0, len(a) - 32) + 23) // 24)) AS u(j))
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+        |  md5(chunk) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "zipf_slope" ->
       """WITH tc AS (SELECT token, COUNT(*) AS c

@@ -53,7 +53,9 @@ class ScaleShapeSpec extends SparkSpec {
   }
 
   test("ann_lsh_topk scores candidates via joins, not a driver-collected map") {
-    val q = graft.SparkEntry.queries("ann_lsh_topk")(spark, sf0001)
+    // assert on the pipeline BUILDER: the declared query serves the
+    // per-session memoized checkpoint (its plan is a LogicalRDD scan)
+    val q = graft.engine.sim.Similarity.annLshPlan(spark, sf0001)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     // round-1's scoring stage collected the whole vector table to the
@@ -95,7 +97,8 @@ class ScaleShapeSpec extends SparkSpec {
   }
 
   test("ann_ivf_topk broadcasts ONLY the centroid dim (no vector-table broadcast or kernel)") {
-    val q = graft.SparkEntry.queries("ann_ivf_topk")(spark, sf0001)
+    // builder, not declared query — see the ann_lsh_topk note
+    val q = graft.engine.sim.Similarity.annIvfPlan(spark, sf0001)
     // every broadcast hint in the tree must cover the k-cell centroid
     // dim (output = cell, cf) and nothing else — a hint whose subtree
     // outputs vec_id/embedding would mean the vector table rides the

@@ -85,6 +85,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out == expected, s"out=$out expected=$expected (cap=$cap)")
   }
 
+  test("rag_chunk: 32/24 stride boundaries, short tail, single-chunk short docs") {
+    val dir2 = java.nio.file.Files.createTempDirectory("ragchunk").toString
+    val longText = (1 to 40).map(i => s"t$i").mkString(" ") // 40 tokens
+    Seq((0L, longText, "en", "s0"), (1L, "a b c", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out = TextOps.queries("rag_chunk")(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 40 tokens → 2 chunks: [1..32] and the 16-token tail [25..40]
+    assert(out == Map((0L, 0L) -> 32L, (0L, 1L) -> 16L, (1L, 0L) -> 3L), s"$out")
+  }
+
   test("zipf_slope: head covers the distinct vocab and slopes downward") {
     val r = TextOps.queries("zipf_slope")(spark, dir).collect()(0)
     val vocab = docsFixture.flatMap(_._2.split(" ")).distinct.size

@@ -84,11 +84,57 @@ object Sketches {
       Seq((n, top.length.toLong, noUnder, within))
         .toDF("total_tokens", "n_checked", "no_underestimate", "within_bound")
     }),
+
+    // the Bloom-filter contract as an ORACLE-CHECKED query (the same
+    // upgrade cms_error_contract got): Spark's BloomFilter is
+    // deterministic for a given (expectedItems, fpp, insertion set) —
+    // no seed parameter, fixed internal hashing — so both verdicts are
+    // stable booleans. (a) ZERO false negatives: every distinct corpus
+    // token must test positive — the one guarantee a Bloom filter
+    // makes. (b) The false-positive rate, measured on 10 000
+    // deterministic definitely-absent probes (`__absent_<i>` can never
+    // equal a corpus token: tokens are split on spaces and the fixture
+    // alphabet has no '__' prefix... which is itself ASSERTED via the
+    // exact distinct-token count the oracle reproduces), stays within
+    // 3× the configured 1% — wide enough for hash variance, tight
+    // enough that a broken filter (or a filter built on the wrong
+    // column) fails the row.
+    "bloom_fpp_contract" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val bloom = tokenBloom(s, d)
+      val distinctTok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val bc = s.sparkContext.broadcast(bloom)
+      val missed = distinctTok
+        .filter(not(udfMightContain(bc)(col("token")))).count()
+      val nDistinct = distinctTok.count()
+      val probes = 10000
+      val fp = (0 until probes).count(i => bloom.mightContain(s"__absent_$i"))
+      // the raw fp COUNT is hash-dependent (engine-specific) and stays
+      // out of the hashed output — only the contract verdict is declared
+      Seq((nDistinct, missed == 0, fp.toDouble / probes <= 0.03))
+        .toDF("n_distinct_tokens", "no_false_negatives", "fpp_within_bound")
+    }),
   )
+
+  /** mightContain as a UDF over a broadcast filter — the membership
+    * probe runs distributed (one filter copy per executor, the
+    * production pre-filter shape), never a driver-side loop over
+    * collected tokens. */
+  private def udfMightContain(bc: org.apache.spark.broadcast.Broadcast[BloomFilter]) =
+    udf((t: String) => bc.value.mightContain(t))
 
   /** The sketch VALUES carry no oracle (hash functions are
     * engine-specific); the ε contract does — see cms_error_contract. */
   val oracles: Map[String, String] = Map(
+    "bloom_fpp_contract" ->
+      """SELECT COUNT(DISTINCT token) AS n_distinct_tokens,
+        |  TRUE AS no_false_negatives, TRUE AS fpp_within_bound
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents)""".stripMargin,
+
     "cms_error_contract" ->
       """SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(10 AS BIGINT) AS n_checked,

@@ -42,4 +42,11 @@ class SketchSpec extends SparkSpec {
     val fp = absent.count(bloom.mightContain)
     assert(fp <= 300, s"false-positive rate ${fp / 10000.0} far above fpp=0.01")
   }
+
+  test("bloom_fpp_contract query: both verdicts true, distributed probe path") {
+    val r = Sketches.queries("bloom_fpp_contract")(spark, sf0001).collect()(0)
+    assert(r.getLong(0) > 0, "distinct token count must be positive")
+    assert(r.getBoolean(1), "a Bloom filter may never produce a false negative")
+    assert(r.getBoolean(2), "measured fpp must stay within 3x the configured 1%")
+  }
 }

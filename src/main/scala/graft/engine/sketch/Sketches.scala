@@ -17,19 +17,27 @@ import graft.engine.Tables
   * treeAggregate-shaped pass — the sketch never exceeds its fixed
   * size no matter the input scale. Seeds are pinned for determinism.
   *
-  * No DuckDB oracle (DuckDB has no CMS/Bloom with matching hash
-  * functions): `heavy_hitters_cms` is declared rows-only ⚙ and its
-  * ε-error / no-underestimate contracts are asserted in SketchSpec
-  * against exact counts.
+  * The sketch VALUES carry no DuckDB oracle (no matching hash
+  * functions); their published CONTRACTS do — `cms_error_contract`
+  * and `bloom_fpp_contract` turn a sketch regression into a hash
+  * mismatch instead of silent quality drift, next to SketchSpec's
+  * unit assertions.
   */
 object Sketches {
 
   /** Count-Min sketch over the token stream: ε = 1e-4 (±0.01% of the
-    * stream length), δ = 1e-3, fixed seed. */
+    * stream length), δ = 1e-3, fixed seed. Memoized per (session,
+    * sfDir): the declared surface (heavy_hitters_cms) and its contract
+    * query (cms_error_contract) both read it, and the corpus-wide
+    * sketch aggregation amortizes like every other shared build. */
+  private val cmsCache =
+    new graft.engine.SessionCache[CountMinSketch]
   def tokenCms(s: SparkSession, d: String): CountMinSketch =
-    Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .stat.countMinSketch("token", 1e-4, 1e-3, seed = 42)
+    cmsCache.get(s, d) {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .stat.countMinSketch("token", 1e-4, 1e-3, seed = 42)
+    }
 
   /** Bloom filter over distinct tokens (pre-filter for "possibly a
     * known token" checks — e.g. skipping the dedup path for docs made
@@ -40,6 +48,23 @@ object Sketches {
       .select(explode(split(col("text"), " ")).as("token"))
       .stat.bloomFilter("token", expectedItems, fpp)
 
+  /** Exact top-10 (token, count), memoized per (session, sfDir) —
+    * shared by the declared heavy-hitter surface and the CMS contract
+    * (count desc, token asc: a deterministic ranking). */
+  private val topCache =
+    new graft.engine.SessionCache[Array[(String, Long)]]
+  private def exactTop10(s: SparkSession, d: String): Array[(String, Long)] = {
+    val sp = s
+    import sp.implicits._
+    topCache.get(s, d) {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("exact"))
+        .orderBy(desc("exact"), col("token")).limit(10)
+        .as[(String, Long)].collect()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // top-10 tokens by EXACT count, with the CMS estimate alongside —
     // the exact side is the per-token hash aggregate, the sketch side
@@ -49,20 +74,16 @@ object Sketches {
       val cms = tokenCms(s, d)
       val sp = s
       import sp.implicits._
-      val top = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("exact"))
-        .orderBy(desc("exact"), col("token")).limit(10)
-        .as[(String, Long)].collect()
-      top.map { case (t, exact) => (t, exact, cms.estimateCount(t)) }
+      exactTop10(s, d)
+        .map { case (t, exact) => (t, exact, cms.estimateCount(t)) }
         .toSeq.toDF("token", "exact", "cms_estimate")
         .orderBy(desc("exact"), col("token"))
     }),
 
     // the CMS ε-contract as an ORACLE-CHECKED query (round-5 verdict,
     // Next-round #6 — the approx_distinct_error pattern applied to the
-    // one remaining un-oracled sketch): DuckDB can't reproduce the CMS
-    // hash functions, but it CAN reproduce the exact token total and
+    // un-oracled sketch): DuckDB can't reproduce the CMS hash
+    // functions, but it CAN reproduce the exact token total and
     // assert the published bound holds — estimate never underestimates,
     // and overshoot on the checked heavy hitters stays ≤ ⌈ε·N⌉. Fixed
     // seed + deterministic fixture ⇒ the verdicts are stable booleans,
@@ -72,11 +93,7 @@ object Sketches {
       val cms = tokenCms(s, d)
       val sp = s
       import sp.implicits._
-      val top = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("exact"))
-        .orderBy(desc("exact"), col("token")).limit(10)
-        .as[(String, Long)].collect()
+      val top = exactTop10(s, d)
       val n = cms.totalCount()
       val bound = math.ceil(1e-4 * n).toLong // ε = tokenCms's 1e-4
       val noUnder = top.forall { case (t, e) => cms.estimateCount(t) >= e }
@@ -103,13 +120,16 @@ object Sketches {
       val sp = s
       import sp.implicits._
       val bloom = tokenBloom(s, d)
-      val distinctTok = Tables.documents(s, d)
+      val bc = s.sparkContext.broadcast(bloom)
+      // one pass computes both numbers: the distinct count and the
+      // missed count (a second action would re-pay the distinct shuffle)
+      val (nDistinct, missed) = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .distinct()
-      val bc = s.sparkContext.broadcast(bloom)
-      val missed = distinctTok
-        .filter(not(udfMightContain(bc)(col("token")))).count()
-      val nDistinct = distinctTok.count()
+        .agg(count(lit(1)).as("n"),
+          sum(when(not(udfMightContain(bc)(col("token"))), 1L).otherwise(0L))
+            .as("missed"))
+        .as[(Long, Long)].collect()(0)
       val probes = 10000
       val fp = (0 until probes).count(i => bloom.mightContain(s"__absent_$i"))
       // the raw fp COUNT is hash-dependent (engine-specific) and stays
@@ -127,7 +147,7 @@ object Sketches {
     udf((t: String) => bc.value.mightContain(t))
 
   /** The sketch VALUES carry no oracle (hash functions are
-    * engine-specific); the ε contract does — see cms_error_contract. */
+    * engine-specific); the published contracts do. */
   val oracles: Map[String, String] = Map(
     "bloom_fpp_contract" ->
       """SELECT COUNT(DISTINCT token) AS n_distinct_tokens,
@@ -135,10 +155,19 @@ object Sketches {
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS token
         |  FROM documents)""".stripMargin,
 
+    // n_checked mirrors the engine's top.length = min(10, |vocab|): a
+    // hardcoded 10 would hash-mismatch on any corpus with fewer than
+    // 10 distinct tokens. Scalar subqueries keep total_tokens and the
+    // vocab count independent — a join of tokens back onto documents
+    // would bill each doc's length once PER TOKEN (Σ len², not Σ len).
     "cms_error_contract" ->
-      """SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  CAST(10 AS BIGINT) AS n_checked,
-        |  TRUE AS no_underestimate, TRUE AS within_bound
-        |FROM documents""".stripMargin,
+      """SELECT
+        |  (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |     FROM documents) AS total_tokens,
+        |  LEAST(CAST(10 AS BIGINT),
+        |    (SELECT COUNT(DISTINCT token)
+        |       FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+        |             FROM documents))) AS n_checked,
+        |  TRUE AS no_underestimate, TRUE AS within_bound""".stripMargin,
   )
 }

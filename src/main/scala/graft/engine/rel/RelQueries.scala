@@ -246,6 +246,27 @@ object RelQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // #33b VALUE-based window frame (RANGE, the one ROWS can't
+    // express): trailing-30-day revenue + order count per customer —
+    // the moving-aggregate shape feature pipelines compute per entity.
+    // The frame is keyed on the day NUMBER (value distance, not row
+    // count), so same-day ties fall into the frame identically for
+    // every peer row — deterministic without a tiebreak column.
+    // Decimal cast before the sum keeps the windowed total exact;
+    // scale shape: one shuffle on o_custkey, per-partition sort, no
+    // global ordering until the declared output sort.
+    "q_window_range_frame" -> ((s, d) => {
+      val withDay = orders(s, d).withColumn("day",
+        datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+          .cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+      withDay.select(col("o_custkey"), col("o_orderkey"), col("day"),
+          round(sum(col("o_totalprice").cast("decimal(12,2)")).over(w), 2)
+            .cast("double").as("rev30"),
+          count(lit(1)).over(w).as("n30"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // #34 global top-k → TakeOrderedAndProject
     "q_topk" -> ((s, d) =>
       lineitem(s, d)
@@ -934,6 +955,19 @@ object RelQueries {
         |  ROUND(o_totalprice - LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey), 2) AS delta
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev30,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n30
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

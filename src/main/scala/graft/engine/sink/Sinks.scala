@@ -172,6 +172,82 @@ object Sinks {
         .orderBy("lang", "source")
     }),
 
+    // the BUCKETED layout as a DRIVER-EXERCISED query (the write-once-
+    // shuffle-never contract writeBucketed promises, previously only
+    // plan-asserted in SinksSpec): lineitem and orders land bucketed
+    // 16-ways on their join key, the declared join then reads the
+    // pre-hashed buckets — `Exchange hashpartitioning` absent on BOTH
+    // sides (pinned in SinksSpec on this very query). At 100 TB this
+    // is THE layout decision for a fact table whose joins all run on
+    // one key: the shuffle is paid once at ingest, not per query. The
+    // oracle runs the same join+aggregate on the original parquet, so
+    // a bucket-pruning/metadata bug that drops or duplicates rows
+    // hash-mismatches. Decimal cast before the sum keeps the revenue
+    // aggregation order-independent (§7.6).
+    "bucketed_join_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val liT = s"graft_bkt_lineitem_$tag"
+      val oT  = s"graft_bkt_orders_$tag"
+      cachedPath(s, s"$d|bucketed") { p =>
+        writeBucketed(graft.engine.Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+          liT, s"$p/lineitem", 16, "l_orderkey")
+        writeBucketed(graft.engine.Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority"),
+          oT, s"$p/orders", 16, "o_orderkey")
+      }
+      s.table(liT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Z-ORDER layout audit — the data-skipping argument made
+    // measurable. Model: a "row group" is one cell of the key space;
+    // a scan with a predicate on either key skips every cell whose
+    // min/max footer range excludes the value, so the quality of a
+    // layout is how tightly its cells bound BOTH join/filter keys.
+    // Two layouts over the same 8-bit (l_partkey, l_suppkey)
+    // coordinates:
+    //   linear — cells follow a single-key sort (cell = partkey
+    //     coordinate): partkey span per cell is 0, but suppkey is
+    //     UNBOUNDED inside every cell — a suppkey predicate skips
+    //     nothing;
+    //   zorder — cells are prefixes of the interleaved-nibble
+    //     Z-value: BOTH coordinates are bounded (≤15 per cell), so
+    //     predicates on either key skip ~15/16 of the data.
+    // Declared output: per layout, cell count + the summed per-cell
+    // spans of both coordinates. Pure integer bit-arithmetic + ONE
+    // hash aggregation per layout — no global sort, no window; the
+    // audit itself runs at any scale (the productized writer for the
+    // real layout is writeSorted, plan-asserted in SinksSpec).
+    "zorder_layout_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = graft.engine.Tables.lineitem(s, d)
+        .select((col("l_partkey") % 256).cast("long").as("pa"),
+          (col("l_suppkey") % 256).cast("long").as("sb"))
+      // interleave the two 8-bit coordinates nibble-wise:
+      // z = pa[0:4] | sb[0:4]<<4 | pa[4:8]<<8 | sb[4:8]<<12
+      val z = (col("pa").bitwiseAND(15))
+        .bitwiseOR(shiftleft(col("sb").bitwiseAND(15), 4))
+        .bitwiseOR(shiftleft(shiftright(col("pa"), 4).bitwiseAND(15), 8))
+        .bitwiseOR(shiftleft(shiftright(col("sb"), 4).bitwiseAND(15), 12))
+      val cells = li.select(col("pa"), col("sb"), z.as("z"))
+      val zorder = cells.groupBy(shiftright(col("z"), 8).as("cell"))
+        .agg((max("pa") - min("pa")).as("span_p"), (max("sb") - min("sb")).as("span_s"))
+        .agg(lit("zorder").as("layout"), count(lit(1)).as("n_cells"),
+          sum("span_p").as("sum_span_part"), sum("span_s").as("sum_span_supp"))
+      val linear = cells.groupBy(col("pa").as("cell"))
+        .agg((max("pa") - min("pa")).as("span_p"), (max("sb") - min("sb")).as("span_s"))
+        .agg(lit("linear").as("layout"), count(lit(1)).as("n_cells"),
+          sum("span_p").as("sum_span_part"), sum("span_s").as("sum_span_supp"))
+      linear.unionAll(zorder).orderBy("layout")
+    }),
+
     // a FIFTH source format end-to-end: plain text lines (the format
     // raw crawl dumps and log shippers hand over) — each document
     // serialized as ONE tab-delimited line (id, lang, source,
@@ -213,6 +289,33 @@ object Sinks {
   )
 
   val oracles: Map[String, String] = Map(
+    "bucketed_join_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "zorder_layout_audit" ->
+      """WITH c AS (SELECT CAST(l_partkey % 256 AS BIGINT) AS pa,
+        |    CAST(l_suppkey % 256 AS BIGINT) AS sb FROM lineitem),
+        |z AS (SELECT pa, sb,
+        |    (pa & 15) | ((sb & 15) << 4)
+        |      | (((pa >> 4) & 15) << 8) | (((sb >> 4) & 15) << 12) AS z
+        |  FROM c),
+        |zo AS (SELECT MAX(pa) - MIN(pa) AS span_p, MAX(sb) - MIN(sb) AS span_s
+        |  FROM z GROUP BY z >> 8),
+        |li AS (SELECT MAX(pa) - MIN(pa) AS span_p, MAX(sb) - MIN(sb) AS span_s
+        |  FROM z GROUP BY pa)
+        |SELECT 'linear' AS layout, COUNT(*) AS n_cells,
+        |  CAST(SUM(span_p) AS BIGINT) AS sum_span_part,
+        |  CAST(SUM(span_s) AS BIGINT) AS sum_span_supp FROM li
+        |UNION ALL
+        |SELECT 'zorder', COUNT(*), CAST(SUM(span_p) AS BIGINT),
+        |  CAST(SUM(span_s) AS BIGINT) FROM zo
+        |ORDER BY layout""".stripMargin,
+
     "sink_partitioned_roundtrip" ->
       """SELECT source, COUNT(*) AS n,
         |  CAST(SUM(length(text)) AS BIGINT) AS chars

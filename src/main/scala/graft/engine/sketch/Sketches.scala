@@ -102,6 +102,58 @@ object Sketches {
         .toDF("total_tokens", "n_checked", "no_underestimate", "within_bound")
     }),
 
+    // the FREQUENT-ITEMS sketch contract oracled: df.stat.freqItems
+    // (the Karp–Shenker–Papadimitriou one-pass heavy-hitter summary —
+    // mergeable partial maps of bounded size 1/support, the CMS
+    // sibling for "WHICH items are heavy" rather than "how heavy") is
+    // guaranteed to return every item with frequency > support·N,
+    // possibly plus false positives. The verdict checks exactly that
+    // guarantee against the exact per-source counts; the raw sketch
+    // output (false-positive-bearing, order-unstable) stays out of
+    // the hashed result.
+    "freq_items_contract" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val support = 0.03
+      val got = Tables.documents(s, d).stat.freqItems(Array("source"), support)
+        .collect()(0).getSeq[String](0).toSet
+      val n = Tables.documents(s, d).count()
+      val heavy = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("c"))
+        .filter(col("c") > lit(support * n)).as[(String, Long)].collect()
+      Seq((n, heavy.length.toLong, heavy.forall { case (src, _) => got(src) }))
+        .toDF("n_docs", "n_heavy_exact", "all_heavy_found")
+    }),
+
+    // the HLL MERGE contract oracled — the property that makes
+    // approx-distinct work on a cluster at all: sketches built on
+    // disjoint slices (here per-lang) UNION into a summary whose
+    // estimate stays inside the error band, same as the directly-
+    // built global sketch. The two estimates are NOT byte-equal by
+    // design (the union path targets a different register packing
+    // and estimator than the direct path: measured 499 vs 496
+    // against exact 500 at sf0.01), so the published contract is the
+    // honest one — each path within a wide 5% band of the exact
+    // count (lgK=12 rse ≈ 1.6%). Register-max merging makes both
+    // estimates partitioning-independent, so the verdicts are stable
+    // booleans; an estimator or merge regression flips one and
+    // hash-mismatches.
+    "hll_union_contract" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val doc = Tables.documents(s, d)
+      val unionEst = doc.groupBy("lang")
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .as[Long].collect()(0)
+      val globalEst = doc.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("e")).as[Long].collect()(0)
+      val exact = doc.select(countDistinct(col("text"))).as[Long].collect()(0)
+      def inBand(e: Long) = math.abs(e - exact).toDouble <= 0.05 * exact
+      Seq((exact, inBand(unionEst), inBand(globalEst)))
+        .toDF("exact_distinct", "union_within_error", "global_within_error")
+    }),
+
     // the Bloom-filter contract as an ORACLE-CHECKED query (the same
     // upgrade cms_error_contract got): Spark's BloomFilter is
     // deterministic for a given (expectedItems, fpp, insertion set) —
@@ -149,6 +201,19 @@ object Sketches {
   /** The sketch VALUES carry no oracle (hash functions are
     * engine-specific); the published contracts do. */
   val oracles: Map[String, String] = Map(
+    "freq_items_contract" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT source FROM documents GROUP BY source
+        |     HAVING COUNT(*) > 0.03 * (SELECT COUNT(*) FROM documents)))
+        |    AS n_heavy_exact,
+        |  TRUE AS all_heavy_found""".stripMargin,
+
+    "hll_union_contract" ->
+      """SELECT COUNT(DISTINCT text) AS exact_distinct,
+        |  TRUE AS union_within_error, TRUE AS global_within_error
+        |FROM documents""".stripMargin,
+
     "bloom_fpp_contract" ->
       """SELECT COUNT(DISTINCT token) AS n_distinct_tokens,
         |  TRUE AS no_false_negatives, TRUE AS fpp_within_bound

@@ -1133,6 +1133,64 @@ object TextOps {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // PASSAGE-level dedup (the granularity below `exact_dedup`'s whole
+    // document and above `decontaminate_ngram`'s shingle): the corpus
+    // is cut into NON-overlapping 32-token chunks, each chunk is
+    // fingerprinted (md5 of exact content), and a chunk is a DUP iff
+    // an identical chunk exists at a smaller (doc_id, chunk_id) —
+    // boilerplate headers/footers repeated across pages surface here
+    // while the containing documents stay unique. Declared output is
+    // the per-doc audit (chunks, dup chunks, dup token mass) a
+    // curation run reports before stripping. Scale shape: per-row
+    // explode → ONE shuffle on the fingerprint (first-occurrence
+    // window per fp, the exact_dedup discipline) → per-doc hash agg;
+    // nothing global, nothing quadratic.
+    "chunk_dedup" -> ((s, d) => {
+      val ch = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(w) - 1) div 32),
+            |  j -> array_join(slice(w, j*32 + 1, 32), ' '))""".stripMargin))
+          .as(Seq("ci", "chunk")))
+        .select(col("doc_id"), col("ci").cast("long").as("ci"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+          md5(col("chunk").cast("binary")).as("fp"))
+      val firstSeen = Window.partitionBy("fp").orderBy("doc_id", "ci")
+      ch.withColumn("rn", row_number().over(firstSeen))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("rn") > 1, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Population Stability Index between the two ingest cohorts
+    // (doc_id parity models yesterday's slice vs today's): doc length
+    // distribution over 16 fixed-width token-count buckets,
+    // PSI = Σ (p₁−p₂)·ln(p₁/p₂) over buckets populated on BOTH sides
+    // (the standard drift gate: <0.1 stable, >0.25 investigate).
+    // Complements `value_drift_regression` (trend over time) and
+    // `kl_source_divergence` (vocabulary): PSI is the bucketed
+    // distribution-shift scalar a pipeline alarms on. Scale shape:
+    // one hash agg to 16 bucket rows, totals broadcast — the float
+    // log appears only in the final 16-term sum under ROUND(·,6).
+    "psi_drift" -> ((s, d) => {
+      val dt = docs(s, d).select(
+        (col("doc_id") % 2).as("cohort"),
+        expr("least(15, size(split(text, ' ')) div 16)").cast("long").as("bucket"))
+      val cb = dt.groupBy("bucket").agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = cb.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val both = col("c1") > 0 && col("c2") > 0
+      cb.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(both, 1L).otherwise(0L)).as("n_buckets_used"),
+          round(sum(when(both,
+            (col("c1") / col("n1") - col("c2") / col("n2"))
+              * log((col("c1") / col("n1")) / (col("c2") / col("n2"))))
+            .otherwise(0.0)), 6).as("psi"))
+    }),
+
     // Zipf fit over the head of the frequency table: ln(freq) on
     // ln(rank) slope across the top 100 tokens (row_number rank,
     // count desc / token asc — deterministic under count ties) — the
@@ -1897,6 +1955,37 @@ object TextOps {
         |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
         |  md5(chunk) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "chunk_dedup" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |ch AS (SELECT doc_id, u.j AS ci,
+        |    array_to_string(list_slice(a, u.j*32 + 1, u.j*32 + 32), ' ') AS chunk
+        |  FROM arr, UNNEST(generate_series(0, (len(a) - 1) // 32)) AS u(j)),
+        |r AS (SELECT doc_id, ci,
+        |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, ci) AS rn
+        |  FROM ch)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "psi_drift" ->
+      """WITH dt AS (SELECT doc_id % 2 AS cohort,
+        |    LEAST(15, len(string_split(text, ' ')) // 16) AS bucket FROM documents),
+        |cb AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM dt GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM cb)
+        |SELECT COUNT(*) AS n_buckets,
+        |  CAST(SUM(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_buckets_used,
+        |  ROUND(SUM(CASE WHEN c1 > 0 AND c2 > 0
+        |    THEN (c1 * 1.0 / n1 - c2 * 1.0 / n2)
+        |      * ln((c1 * 1.0 / n1) / (c2 * 1.0 / n2)) ELSE 0 END), 6) AS psi
+        |FROM cb CROSS JOIN tot""".stripMargin,
 
     "zipf_slope" ->
       """WITH tc AS (SELECT token, COUNT(*) AS c

@@ -49,6 +49,39 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("bucketed_join_roundtrip: the DECLARED query reads pre-bucketed on both sides") {
+    // The declared query must inherit writeBucketed's no-shuffle
+    // guarantee, not just the helper in isolation: with broadcast
+    // disabled, neither join side may re-shuffle on its key.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Sinks.queries("bucketed_join_roundtrip")(spark, sf0001)
+      assert(q.collect().length > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"lineitem side must read pre-bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"orders side must read pre-bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("zorder_layout_audit: z cells bound BOTH keys, linear cells only one") {
+    val rows = Sinks.queries("zorder_layout_audit")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (_, linP, linS) = rows("linear")
+    val (zn, zP, zS) = rows("zorder")
+    // linear layout: partkey span is 0 inside every cell by construction
+    assert(linP == 0L, s"linear partkey span must be 0, got $linP")
+    // z cells bound each 8-bit coordinate to its low nibble (span <= 15)
+    assert(zP <= 15L * zn && zS <= 15L * zn, s"z spans too wide: $rows")
+    // the point of the layout: the suppkey dimension is dramatically
+    // tighter under z-order than under the single-key sort
+    assert(zS * 4 < linS, s"zorder must bound suppkey far tighter: $rows")
+  }
+
   test("writeSorted: range predicate skips files via footer statistics") {
     val tmp = Files.createTempDirectory("sink_sort").toString
     Sinks.writeSorted(Tables.lineitem(spark, sf0001), s"$tmp/li", 4, "l_orderkey")

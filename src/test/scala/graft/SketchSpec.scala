@@ -49,4 +49,17 @@ class SketchSpec extends SparkSpec {
     assert(r.getBoolean(1), "a Bloom filter may never produce a false negative")
     assert(r.getBoolean(2), "measured fpp must stay within 3x the configured 1%")
   }
+
+  test("freq_items_contract: every exact-heavy source is in the sketch output") {
+    val r = Sketches.queries("freq_items_contract")(spark, sf0001).collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) >= 0)
+    assert(r.getBoolean(2), "freqItems must contain every item above support*N")
+  }
+
+  test("hll_union_contract: union and direct estimates inside the error band") {
+    val r = Sketches.queries("hll_union_contract")(spark, sf0001).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.getBoolean(1), "per-lang sketch union estimate outside 5% of exact")
+    assert(r.getBoolean(2), "global sketch estimate outside 5% of exact")
+  }
 }

@@ -244,4 +244,35 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(rows.toSeq == Seq(("s0", 3L, 0.0), ("s1", 3L, 0.0)))
   }
+
+  test("chunk_dedup: shared 32-token prefix is a dup chunk, tails are not") {
+    val prefix = (0 until 32).map(i => s"t$i").mkString(" ")
+    val d = writeDocs(Seq(
+      (0L, prefix + " " + (32 until 40).map(i => s"t$i").mkString(" "), "en", "s0"),
+      (1L, prefix + " " + (32 until 40).map(i => s"u$i").mkString(" "), "en", "s0"),
+      (2L, "short text", "en", "s1")))
+    val rows = TextOps.queries("chunk_dedup")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 0 is first-seen everywhere; doc 1 repeats doc 0's first chunk
+    assert(rows(0L) == ((2L, 0L, 0L)), s"got $rows")
+    assert(rows(1L) == ((2L, 1L, 32L)), s"got $rows")
+    assert(rows(2L) == ((1L, 0L, 0L)), s"got $rows")
+  }
+
+  test("psi_drift: identical cohorts ⇒ 0; disjoint buckets contribute nothing") {
+    // cohorts (doc_id parity) with identical length distributions
+    val same = writeDocs(Seq(
+      (0L, "a b c", "en", "s0"), (1L, "d e f", "en", "s0"),
+      (2L, (0 until 20).map(_ => "x").mkString(" "), "en", "s1"),
+      (3L, (0 until 20).map(_ => "y").mkString(" "), "en", "s1")))
+    val r1 = TextOps.queries("psi_drift")(spark, same).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) == ((2L, 2L, 0.0)), s"got $r1")
+    // fully shifted: cohort 0 all short (bucket 0), cohort 1 all long
+    // (bucket 2) — no bucket populated on both sides
+    val shifted = writeDocs(Seq(
+      (0L, "a b", "en", "s0"),
+      (1L, (0 until 40).map(_ => "z").mkString(" "), "en", "s0")))
+    val r2 = TextOps.queries("psi_drift")(spark, shifted).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) == ((2L, 0L, 0.0)), s"got $r2")
+  }
 }

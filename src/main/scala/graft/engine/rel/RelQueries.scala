@@ -96,6 +96,80 @@ object RelQueries {
         .orderBy("event_id")
     }),
 
+    // #28+ the BINNED range join — the scale rewrite of q_join_range
+    // with IDENTICAL declared semantics (same oracle SQL): instead of
+    // an SMJ whose range post-filter scans every per-user group, each
+    // side lands in 10-minute time bins and the join becomes an EQUI
+    // join on (user, bin) with a bounded ×2 probe fan-out (an error at
+    // time t can only match clicks in its own bin or the previous
+    // one), then the exact range predicate trims bin edges. At 100 TB
+    // the bin key bounds every join group by wall-clock density
+    // instead of by user history length — the interval-join pattern
+    // Flink/KDB users expect, expressed as pure Spark relational ops.
+    // A click matches exactly ONE of the two probe bins, so the
+    // per-error count never double-counts.
+    "q_range_join_binned" -> ((s, d) => {
+      val ev = events(s, d).withColumn("tss", date_trunc("second", col("ts")))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id").as("eu"), col("tss").as("ets"),
+          expr("unix_timestamp(date_trunc('second', ts)) div 600").as("eb"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("tss").as("cts"),
+          expr("unix_timestamp(date_trunc('second', ts)) div 600").as("cb"))
+      err.withColumn("pb", explode(array(col("eb"), col("eb") - 1)))
+        .join(clk, col("eu") === col("cu") && col("pb") === col("cb")
+          && col("cts") >= col("ets") - expr("INTERVAL 10 MINUTES")
+          && col("cts") < col("ets"), "left")
+        .groupBy("event_id").agg(count(col("cts")).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
+    // #26c the RUNTIME-FILTER pattern as a declared query: a selective
+    // dim subset (urgent orders, ~20% of keys) would normally still
+    // shuffle the ENTIRE fact side; here a Bloom filter built on the
+    // dim keys broadcasts and pre-filters lineitem BEFORE its shuffle
+    // — the manual form of Catalyst's InjectRuntimeFilter, declared so
+    // the engine's answer is proven identical to the plain join (false
+    // positives pass the Bloom but die in the exact join; false
+    // negatives cannot exist, so no row is lost). The probe UDF is
+    // justified: the bloom probe has no public codegen builtin, and it
+    // replaces a full-fact shuffle with a broadcast bitmap test.
+    "q_join_bloom_prefilter" -> ((s, d) => {
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val might = udf((k: Long) => bc.value.mightContain(k))
+      lineitem(s, d).filter(might(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("gross"))
+        .orderBy("yr")
+    }),
+
+    // #45+ the TYPED cogroup surface: per-key reconciliation of two
+    // datasets (order keys vs event user ids) through
+    // `KeyValueGroupedDataset.cogroup` — the Dataset API's answer to
+    // "custom per-key logic over BOTH sides without materializing a
+    // join" (both sides shuffle once on the key; each key's two
+    // iterators stream through one task). Here the kernel is
+    // deliberately simple (side counts + presence flag) so the oracle
+    // can replay it as a full-outer aggregate join; the API shape is
+    // what's declared — the same cogroup carries arbitrary per-key
+    // reconciliation logic at 100 TB.
+    "q_cogroup_reconcile" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val os = orders(s, d).select(col("o_custkey")).as[Long]
+      val es = events(s, d).select(col("user_id")).as[Long]
+      os.groupByKey(identity).cogroup(es.groupByKey(identity)) { (k, a, b) =>
+        val na = a.size.toLong; val nb = b.size.toLong
+        Iterator((k, na, nb, na > 0 && nb > 0))
+      }.toDF("id", "n_orders", "n_events", "in_both").orderBy("id")
+    }),
+
     // #26b the SKEW path as a declared query: the same equi-join
     // semantics routed through Salt.saltedJoin — content-salted probe
     // side, dimension replicated once per salt, join key (key, salt)
@@ -868,6 +942,35 @@ object RelQueries {
         |FROM err LEFT JOIN clk ON err.user_id = clk.user_id
         |  AND clk.tss >= err.tss - INTERVAL 10 MINUTE AND clk.tss < err.tss
         |GROUP BY err.event_id ORDER BY err.event_id""".stripMargin,
+
+    // identical semantics to q_join_range — the binned plan must be
+    // indistinguishable in its result
+    "q_range_join_binned" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tss FROM events),
+        |err AS (SELECT event_id, user_id, tss FROM ev WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, tss FROM ev WHERE event_type = 'click')
+        |SELECT err.event_id, COUNT(clk.tss) AS n_clicks
+        |FROM err LEFT JOIN clk ON err.user_id = clk.user_id
+        |  AND clk.tss >= err.tss - INTERVAL 10 MINUTE AND clk.tss < err.tss
+        |GROUP BY err.event_id ORDER BY err.event_id""".stripMargin,
+
+    // the plain join the bloom pre-filter must be invisible against
+    "q_join_bloom_prefilter" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS gross
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q_cogroup_reconcile" ->
+      """WITH o AS (SELECT o_custkey AS id, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS id, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT COALESCE(o.id, e.id) AS id,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  o.id IS NOT NULL AND e.id IS NOT NULL AS in_both
+        |FROM o FULL OUTER JOIN e ON o.id = e.id
+        |ORDER BY id""".stripMargin,
 
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,

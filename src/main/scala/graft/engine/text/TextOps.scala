@@ -1163,6 +1163,30 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Candidate-quality HISTOGRAM — the measurement that picks the
+    // dedup threshold: exact token-set Jaccard for every memoized
+    // MinHash candidate pair, bucketed into 10 bins by EXACT integer
+    // arithmetic (bin = (10·|∩|) div |∪|, J=1 clamped to bin 9 — no
+    // float ever enters the hashed output). Read next to
+    // `minhash_recall`: recall tells how much truth the banding
+    // finds, this tells what the found candidates are WORTH (a heavy
+    // low-J head means the banding wastes verification work). Scale
+    // shape: cost ∝ candidate count (banded equi-join output), one
+    // codegen'd array_intersect per pair, then a 10-row hash agg.
+    "dedup_jaccard_histogram" -> ((s, d) => {
+      val tok = distinctTokens(s, d)
+      val docsArr = tok.groupBy("doc_id")
+        .agg(sort_array(collect_list("token")).as("arr"))
+      minhashPairs(s, d)
+        .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
+        .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
+        .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+        .withColumn("u", size(col("a1")).cast("long") + size(col("a2")).cast("long") - col("i"))
+        .select(least(lit(9L), expr("(10 * i) div u")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")
+    }),
+
     // Population Stability Index between the two ingest cohorts
     // (doc_id parity models yesterday's slice vs today's): doc length
     // distribution over 16 fixed-width token-count buckets,
@@ -1969,6 +1993,21 @@ object TextOps {
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard_histogram" ->
+      s"""WITH $TOK,
+         |$MINHASH,
+         |dtk AS (SELECT DISTINCT doc_id, token FROM tok),
+         |ts AS (SELECT doc_id, COUNT(*) AS sz FROM dtk GROUP BY doc_id),
+         |m AS (SELECT p.d1, p.d2, COUNT(t2.token) AS i
+         |  FROM pairs p
+         |  LEFT JOIN dtk t1 ON t1.doc_id = p.d1
+         |  LEFT JOIN dtk t2 ON t2.doc_id = p.d2 AND t2.token = t1.token
+         |  GROUP BY p.d1, p.d2)
+         |SELECT LEAST(9, (10 * i) // (s1.sz + s2.sz - i)) AS bin,
+         |  COUNT(*) AS n_pairs
+         |FROM m JOIN ts s1 ON s1.doc_id = m.d1 JOIN ts s2 ON s2.doc_id = m.d2
+         |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "psi_drift" ->
       """WITH dt AS (SELECT doc_id % 2 AS cohort,

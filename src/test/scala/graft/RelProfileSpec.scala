@@ -77,4 +77,39 @@ class RelProfileSpec extends SparkSpec {
     assert(out(3L) == ((1.0, 1.0)))
     assert(out(4L) == ((0.0, 1.0))) // lone row in its nation
   }
+
+  test("q_range_join_binned ≡ q_join_range row-for-row (the binned plan is invisible)") {
+    val a = RelQueries.queries("q_join_range")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = RelQueries.queries("q_range_join_binned")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.nonEmpty && a.sameElements(b),
+      s"binned range join diverged: ${a.diff(b).take(3).toSeq} vs ${b.diff(a).take(3).toSeq}")
+  }
+
+  test("q_join_bloom_prefilter: the bloom actually prunes the probe side") {
+    import graft.engine.Tables
+    import org.apache.spark.sql.functions.{col, udf}
+    val urgent = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val li = Tables.lineitem(spark, sf0001)
+    val total = li.count()
+    val might = udf((k: Long) => bloom.mightContain(k))
+    val passed = li.filter(might(col("l_orderkey"))).count()
+    // urgent is ~20% of orders; with fpp 1% the pass-through must stay
+    // far below the full fact table or the pre-filter is doing nothing
+    assert(passed < total * 6 / 10, s"bloom passed $passed of $total rows")
+  }
+
+  test("q_cogroup_reconcile: flags and counts are mutually consistent") {
+    val rows = RelQueries.queries("q_cogroup_reconcile")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (no, ne, both) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(no + ne > 0, s"keyless row: $r")
+      assert(both == (no > 0 && ne > 0), s"flag inconsistent: $r")
+    }
+  }
 }

@@ -259,6 +259,15 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L) == ((1L, 0L, 0L)), s"got $rows")
   }
 
+  test("dedup_jaccard_histogram: exact dups land in bin 9, totals match the pair surface") {
+    val hist = TextOps.queries("dedup_jaccard_histogram")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nPairs = TextOps.queries("minhash_near_dedup")(spark, dir).count()
+    // the two identical-token-set pairs (0,1) and (4,5) must be J=1
+    assert(hist.getOrElse(9L, 0L) >= 2, s"got $hist")
+    assert(hist.values.sum == nPairs, s"histogram must cover every candidate: $hist vs $nPairs")
+  }
+
   test("psi_drift: identical cohorts ⇒ 0; disjoint buckets contribute nothing") {
     // cohorts (doc_id parity) with identical length distributions
     val same = writeDocs(Seq(

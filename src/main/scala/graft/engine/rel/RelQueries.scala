@@ -524,6 +524,12 @@ object RelQueries {
     // sums keep the measure drift-free.
     "q_grouping_sets" -> ((s, d) => graft.engine.SqlSurface.sql(s, d, GROUPING_SETS_SQL)),
 
+    // Spark 4 native WITH RECURSIVE through the SQL face — see
+    // RECURSIVE_HIERARCHY_SQL for why the declared recursion is the
+    // single-parent tree walk, not a graph closure.
+    "q_recursive_hierarchy" -> ((s, d) =>
+      graft.engine.SqlSurface.sql(s, d, RECURSIVE_HIERARCHY_SQL)),
+
     // #31c unpivot/melt: wide per-flag measures → long (rf, measure,
     // value) — the DataFrame unpivot surface (Spark's UNPIVOT
     // LogicalPlan), oracled by a DuckDB UNION ALL of the same
@@ -880,6 +886,25 @@ object RelQueries {
 
   /** Shared SQL-face texts (query AND oracle — engine-vs-engine on an
     * identical parse). */
+  /** Single-parent hierarchy walk (org chart / thread-ancestry / BOM
+    * shape) over real customer keys: parent(k) = k div 10 — each row
+    * has exactly ONE parent so the recursion's row count is Σ depth
+    * (linear, never path-enumerating; a GRAPH closure over the dup
+    * pair surface would blow up combinatorially under the UNION ALL
+    * restriction — group sizes reach 315 at sf0.01 — which is why the
+    * dedup components run label propagation instead, and the
+    * recursive face demonstrates the tree walk it is actually good
+    * for). Spark 4's native WITH RECURSIVE; DuckDB replays the same
+    * walk with `//` for `div`. */
+  private val RECURSIVE_HIERARCHY_SQL =
+    """WITH RECURSIVE walk AS (
+      |  SELECT c_custkey AS id, c_custkey AS cur, 0 AS depth FROM customer
+      |  UNION ALL
+      |  SELECT id, cur div 10, depth + 1 FROM walk WHERE cur >= 10)
+      |SELECT id, CAST(MAX(depth) AS BIGINT) AS depth,
+      |  CAST(MIN(CASE WHEN cur < 10 THEN cur END) AS BIGINT) AS root
+      |FROM walk GROUP BY id ORDER BY id""".stripMargin
+
   private val GROUPING_SETS_SQL =
     """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
       |  COUNT(*) AS n,
@@ -1205,6 +1230,15 @@ object RelQueries {
         |FROM ev ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_grouping_sets" -> GROUPING_SETS_SQL,
+
+    "q_recursive_hierarchy" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS cur, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT id, cur // 10, depth + 1 FROM walk WHERE cur >= 10)
+        |SELECT id, CAST(MAX(depth) AS BIGINT) AS depth,
+        |  CAST(MIN(CASE WHEN cur < 10 THEN cur END) AS BIGINT) AS root
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "q_unpivot" ->
       """WITH w AS (SELECT l_returnflag AS rf,

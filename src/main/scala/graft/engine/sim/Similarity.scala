@@ -214,6 +214,27 @@ object Similarity {
           round(min("x"), 6).as("min_x"), round(max("x"), 6).as("max_x"))
         .orderBy("dim")),
 
+    // Cohort centroid SHIFT per dimension — "did the embedding
+    // distribution move between ingest slices": per (label, dim), the
+    // even-vec_id cohort's mean minus the odd cohort's (parity models
+    // slice A/B; production compares crawl dates or encoder
+    // versions). A drifting encoder or a skewed new batch shows up as
+    // a consistent nonzero band across dims; the per-dim layout keeps
+    // every hashed float a single rounded difference of two avgs (no
+    // cross-dim float sum to be reduction-order-sensitive). Scale
+    // shape: one posexplode + one (label, dim) hash agg, map-side
+    // combined — the embedding_dim_stats plan with a cohort split.
+    "embedding_centroid_shift" -> ((s, d) =>
+      vecs(s, d).select(col("vec_id"), col("label"), posexplode(col("f")).as(Seq("p", "x")))
+        .select(col("label"), (col("p") + 1).cast("long").as("dim"),
+          (col("vec_id") % 2).as("m"), col("x"))
+        .groupBy("label", "dim")
+        .agg(sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_b"),
+          round(avg(when(col("m") === 0, col("x")))
+            - avg(when(col("m") === 1, col("x"))), 6).as("shift"))
+        .orderBy("label", "dim")),
+
     // int8 QUANTIZATION QA — the screen a pipeline runs before
     // building a quantized ANN index / serving cache: per-vector
     // symmetric int8 scale (max |x|; |q| ≤ 127 by construction, no
@@ -535,6 +556,15 @@ object Similarity {
          |  ROUND(STDDEV_SAMP(v), 6) AS sd_x,
          |  ROUND(MIN(v), 6) AS min_x, ROUND(MAX(v), 6) AS max_x
          |FROM pt GROUP BY i ORDER BY dim""".stripMargin,
+
+    "embedding_centroid_shift" ->
+      s"""WITH $PT
+         |SELECT label, i AS dim,
+         |  CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  ROUND(AVG(CASE WHEN vec_id % 2 = 0 THEN v END)
+         |    - AVG(CASE WHEN vec_id % 2 = 1 THEN v END), 6) AS shift
+         |FROM pt GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
     "embedding_project" ->
       s"""WITH $PT,

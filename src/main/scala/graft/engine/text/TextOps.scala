@@ -1163,6 +1163,21 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BOILERPLATE mining: the 20 most document-frequent 8-token
+    // shingles — the literal strings (headers, footers, cookie
+    // banners, license blurbs) a curator strips corpus-wide before
+    // training. Reads the SHARED memoized 8-gram set (same frame
+    // `decontaminate_ngram` consumes), so the shingle shuffle is paid
+    // once per session. Scale shape: hash agg on the shingle key →
+    // TakeOrdered top-k (per-partition partials, never a global
+    // sort); ranking key (df desc, ng asc) is deterministic.
+    "boilerplate_ngrams" -> ((s, d) =>
+      // same memo entry decontaminate_ngram reads (doc determines
+      // source, so the per-doc distinct shingle set is unchanged)
+      ngramSetCached(s, d, 8, Seq("doc_id", "source"))
+        .groupBy("ng").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("ng")).limit(20)),
+
     // Candidate-quality HISTOGRAM — the measurement that picks the
     // dedup threshold: exact token-set Jaccard for every memoized
     // MinHash candidate pair, bucketed into 10 bins by EXACT integer
@@ -1993,6 +2008,16 @@ object TextOps {
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "boilerplate_ngrams" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(list_transform(
+        |    generate_series(1, len(a) - 7),
+        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' ||
+        |         a[i+4] || ' ' || a[i+5] || ' ' || a[i+6] || ' ' || a[i+7])) AS ng
+        |  FROM arr)
+        |SELECT ng, COUNT(*) AS df FROM sh
+        |GROUP BY ng ORDER BY df DESC, ng LIMIT 20""".stripMargin,
 
     "dedup_jaccard_histogram" ->
       s"""WITH $TOK,

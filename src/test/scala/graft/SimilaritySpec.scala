@@ -146,4 +146,22 @@ class SimilaritySpec extends SparkSpec {
     assert(opt.map(_.getString(0)).toSet ==
       Set("bd_silhouette_max", "bd_dunn_max", "davies_bouldin_min", "wssse_elbow"))
   }
+
+  test("embedding_centroid_shift: identical cohorts ⇒ shift 0 everywhere") {
+    import spark.implicits._
+    // even/odd ids carry the SAME two vectors per label → cohort means equal
+    val dir = java.nio.file.Files.createTempDirectory("cshift").toString
+    Seq(
+      (0L, Array(1.0f, 2.0f), 0), (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 4.0f), 0), (3L, Array(3.0f, 4.0f), 0),
+      (4L, Array(-1.0f, 0.5f), 1), (5L, Array(-1.0f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.queries("embedding_centroid_shift")(spark, dir).collect()
+    assert(rows.length == 4) // 2 labels × 2 dims
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, s"cohort empty: $r")
+      assert(r.getDouble(4) == 0.0, s"identical cohorts must not drift: $r")
+    }
+  }
 }

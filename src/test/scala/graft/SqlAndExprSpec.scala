@@ -110,4 +110,14 @@ class SqlAndExprSpec extends SparkSpec {
       .agg(sum("d")).head().getDouble(0)
     assert(viaNative == viaHof)
   }
+
+  test("q_recursive_hierarchy: depth = decimal digits − 1, root = leading digit") {
+    val rows = graft.engine.rel.RelQueries.queries("q_recursive_hierarchy")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, depth, root) =>
+      assert(depth == math.max(id.toString.length - 1, 0), s"depth wrong for $id")
+      assert(root == id.toString.head.asDigit.toLong, s"root wrong for $id")
+    }
+  }
 }

@@ -259,6 +259,17 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L) == ((1L, 0L, 0L)), s"got $rows")
   }
 
+  test("boilerplate_ngrams: the shared 8-gram tops the document-frequency ranking") {
+    val shingle = (0 until 8).map(i => s"b$i").mkString(" ")
+    val d = writeDocs(Seq(
+      (0L, shingle + " unique tail zero", "en", "s0"),
+      (1L, shingle + " other ending one", "en", "s0"),
+      (2L, "totally different words with no repeats at all", "en", "s1")))
+    val top = TextOps.queries("boilerplate_ngrams")(spark, d).collect()
+    assert(top.head.getString(0) == shingle && top.head.getLong(1) == 2, s"got ${top.head}")
+    assert(top.tail.forall(_.getLong(1) == 1))
+  }
+
   test("dedup_jaccard_histogram: exact dups land in bin 9, totals match the pair surface") {
     val hist = TextOps.queries("dedup_jaccard_histogram")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1179,20 +1179,26 @@ object TextOps {
         .orderBy(desc("df"), col("ng")).limit(20)),
 
     // Candidate-quality HISTOGRAM — the measurement that picks the
-    // dedup threshold: exact token-set Jaccard for every memoized
-    // MinHash candidate pair, bucketed into 10 bins by EXACT integer
-    // arithmetic (bin = (10·|∩|) div |∪|, J=1 clamped to bin 9 — no
-    // float ever enters the hashed output). Read next to
-    // `minhash_recall`: recall tells how much truth the banding
-    // finds, this tells what the found candidates are WORTH (a heavy
-    // low-J head means the banding wastes verification work). Scale
-    // shape: cost ∝ candidate count (banded equi-join output), one
-    // codegen'd array_intersect per pair, then a 10-row hash agg.
+    // dedup threshold: exact token-set Jaccard over a DETERMINISTIC
+    // 2% sample of the memoized MinHash candidate pairs (the
+    // dedup_edit_distance discipline: (d1·31+d2) mod 50, pure integer
+    // arithmetic — the PAIR LIST is what explodes at scale, so the
+    // exact-verification cost must ride a fixed sample rate, never
+    // the full surface; unsampled this query was 10.7 s of the sf0.1
+    // bench, ~13× its sampled cost). Bins by EXACT integer arithmetic
+    // (bin = (10·|∩|) div |∪|, J=1 clamped to bin 9 — no float ever
+    // enters the hashed output). Read next to `minhash_recall`:
+    // recall tells how much truth the banding finds, this tells what
+    // the found candidates are WORTH (a heavy low-J head means the
+    // banding wastes verification work). Scale shape: cost ∝ sampled
+    // candidates, one codegen'd array_intersect per pair, then a
+    // 10-row hash agg.
     "dedup_jaccard_histogram" -> ((s, d) => {
       val tok = distinctTokens(s, d)
       val docsArr = tok.groupBy("doc_id")
         .agg(sort_array(collect_list("token")).as("arr"))
       minhashPairs(s, d)
+        .filter((col("d1") * 31 + col("d2")) % 50 === 0)
         .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
         .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
         .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
@@ -2025,7 +2031,7 @@ object TextOps {
          |dtk AS (SELECT DISTINCT doc_id, token FROM tok),
          |ts AS (SELECT doc_id, COUNT(*) AS sz FROM dtk GROUP BY doc_id),
          |m AS (SELECT p.d1, p.d2, COUNT(t2.token) AS i
-         |  FROM pairs p
+         |  FROM (SELECT d1, d2 FROM pairs WHERE (d1 * 31 + d2) % 50 = 0) p
          |  LEFT JOIN dtk t1 ON t1.doc_id = p.d1
          |  LEFT JOIN dtk t2 ON t2.doc_id = p.d2 AND t2.token = t1.token
          |  GROUP BY p.d1, p.d2)

@@ -270,13 +270,16 @@ class TextOpsSpec extends SparkSpec {
     assert(top.tail.forall(_.getLong(1) == 1))
   }
 
-  test("dedup_jaccard_histogram: exact dups land in bin 9, totals match the pair surface") {
-    val hist = TextOps.queries("dedup_jaccard_histogram")(spark, dir)
+  test("dedup_jaccard_histogram: sampled exact dup lands in bin 9, unsampled pairs drop") {
+    // ids picked around the (d1·31+d2) mod 50 sample predicate:
+    // (0,50) → 50 ≡ 0 KEPT; (0,1) → 1 and (1,50) → 31 dropped
+    val d = writeDocs(Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),
+      (1L, "alpha beta gamma delta", "en", "s0"),
+      (50L, "alpha beta gamma delta", "en", "s0")))
+    val hist = TextOps.queries("dedup_jaccard_histogram")(spark, d)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val nPairs = TextOps.queries("minhash_near_dedup")(spark, dir).count()
-    // the two identical-token-set pairs (0,1) and (4,5) must be J=1
-    assert(hist.getOrElse(9L, 0L) >= 2, s"got $hist")
-    assert(hist.values.sum == nPairs, s"histogram must cover every candidate: $hist vs $nPairs")
+    assert(hist == Map(9L -> 1L), s"got $hist")
   }
 
   test("psi_drift: identical cohorts ⇒ 0; disjoint buckets contribute nothing") {

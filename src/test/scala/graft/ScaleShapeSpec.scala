@@ -260,6 +260,39 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-6 ops: no cartesians; histogram/boilerplate shapes; psi windows absent") {
+    // chunk_dedup: ONE window on the fingerprint key (first-seen), no
+    // pair join anywhere; psi/zorder/freq families: pure hash-agg
+    // shapes (no window, no cartesian); jaccard histogram: sampled
+    // equi-joins onto the pair surface, never a pair×pair product
+    for (k <- Seq("chunk_dedup", "psi_drift", "dedup_jaccard_histogram",
+                  "boilerplate_ngrams", "q_range_join_binned",
+                  "embedding_centroid_shift", "zorder_layout_audit")) {
+      val df = graft.SparkEntry.queries(k)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$k must not contain a cartesian product:\n$plan")
+    }
+    val cplan = graft.SparkEntry.queries("chunk_dedup")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val allW = "windowspecdefinition\\(".r.findAllIn(cplan).size
+    val byFp = "windowspecdefinition\\(fp".r.findAllIn(cplan).size
+    assert(allW > 0 && allW == byFp,
+      s"chunk_dedup windows must partition on the fingerprint ($byFp of $allW):\n$cplan")
+    for (k <- Seq("psi_drift", "embedding_centroid_shift", "zorder_layout_audit")) {
+      val opt = graft.SparkEntry.queries(k)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Window"),
+        s"$k must not use any window (hash-agg family):\n$opt")
+    }
+    // boilerplate top-20: per-partition partial top-k, never a global sort
+    val bplan = graft.SparkEntry.queries("boilerplate_ngrams")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("TakeOrderedAndProject"),
+      s"boilerplate top-k must be TakeOrdered:\n$bplan")
+  }
+
   test("dimension joins broadcast (no shuffle of the small side)") {
     val j = graft.SparkEntry.queries("q_join_5way")(spark, sf0001)
     j.collect()

@@ -98,6 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.sqDistDescriptor)
     ext.injectFunction(GraftFunctions.dotProdDescriptor)
     ext.injectFunction(GraftFunctions.foldHexDescriptor)
+    ext.injectOptimizerRule(_ => FuseVectorKernels)
   }
 }
 
@@ -122,5 +123,10 @@ object GraftFunctions {
       case (id, info, builder) =>
         s.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // live-session path for the fuse rule (extensions cover new
+    // sessions); idempotent — extraOptimizations is a tiny Seq
+    if (!s.experimental.extraOptimizations.contains(FuseVectorKernels))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ FuseVectorKernels
   }
 }

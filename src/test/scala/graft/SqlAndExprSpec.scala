@@ -111,6 +111,32 @@ class SqlAndExprSpec extends SparkSpec {
     assert(viaNative == viaHof)
   }
 
+  test("FuseVectorKernels rewrites the HOF forms to sq_dist/dot_prod, results identical") {
+    graft.engine.expr.GraftFunctions.register(spark)
+    val v = Tables.points(spark, sf0001).limit(30)
+      .select(col("vec_id"), col("features").as("f")).cache()
+    val pairs = v.as("a").crossJoin(v.as("b"))
+    // HOF form → optimizer must swap in the native kernel
+    val fusedSq = pairs.select(graft.engine.ArrayMath.sqDist(col("a.f"), col("b.f")).as("d"))
+    assert(fusedSq.queryExecution.optimizedPlan.toString.contains("sq_dist"),
+      s"sq-dist HOF did not fuse:\n${fusedSq.queryExecution.optimizedPlan}")
+    val fusedDot = pairs.select(graft.engine.ArrayMath.dot(col("a.f"), col("b.f")).as("d"))
+    assert(fusedDot.queryExecution.optimizedPlan.toString.contains("dot_prod"),
+      s"dot HOF did not fuse:\n${fusedDot.queryExecution.optimizedPlan}")
+    // bit-identical to the explicitly-native path (same IEEE order)
+    val viaNative = pairs
+      .select(call_function("sq_dist", col("a.f"), col("b.f")).as("d"))
+      .agg(sum("d")).head().getDouble(0)
+    assert(fusedSq.agg(sum("d")).head().getDouble(0) == viaNative)
+    // a non-matching shape must NOT fuse: (y - x) * (x - y) is a
+    // negated square, not this kernel
+    val negated = pairs.select(aggregate(
+      zip_with(col("a.f"), col("b.f"), (x, y) => (y - x) * (x - y)),
+      lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(!negated.queryExecution.optimizedPlan.toString.contains("sq_dist"),
+      "negated-square shape must be left untouched")
+  }
+
   test("q_recursive_hierarchy: depth = decimal digits − 1, root = leading digit") {
     val rows = graft.engine.rel.RelQueries.queries("q_recursive_hierarchy")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

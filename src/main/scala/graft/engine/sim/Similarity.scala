@@ -310,6 +310,37 @@ object Similarity {
         .orderBy("label", "rn")
     }),
 
+    // INCREMENTAL index maintenance — the ANN sibling of
+    // `incremental_dedup`: a 10% "incoming batch" (vec_id mod 10 = 7)
+    // is assigned into the EXISTING corpus cells (per-label centroids
+    // of the base vectors) without touching base-vector pairings —
+    // cost ∝ batch × cells, never corpus. This is the daily-upsert
+    // shape of a served IVF index: new embeddings route to their
+    // coarse cell; only the routed cells' postings grow. Assignment
+    // ranks on (round6(d²), cell) — the assign_nearest_centroid
+    // discipline, cross-engine stable. Scale shape: base centroids
+    // are one hash agg (labels×dims rows, BROADCAST), batch-to-cell
+    // distances one map-side join + per-(vec, cell) agg, one
+    // batch-partitioned window.
+    "incremental_ann_upsert" -> ((s, d) => {
+      val e = vecs(s, d).select(col("vec_id"), col("label"),
+          posexplode(col("f")).as(Seq("p", "x")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).cast("long").as("i"), col("x"))
+      val cent = e.filter(col("vec_id") % 10 =!= 7)
+        .groupBy("label", "i").agg(avg("x").as("mu"))
+        .select(col("label").as("cell"), col("i"), col("mu"))
+      val d2 = e.filter(col("vec_id") % 10 === 7)
+        .join(broadcast(cent), "i")
+        .groupBy("vec_id", "cell")
+        .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(round(col("d2"), 6), col("cell"))
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_new"),
+          round(avg(round(col("d2"), 6)), 6).as("mean_d2"))
+        .orderBy("cell")
+    }),
+
     // per-dimension z-score standardization — the feature-scaling
     // pass before PCA/k-means/quantile bucketing. Declared output is
     // the standardized components of the first 100 vectors against
@@ -556,6 +587,19 @@ object Similarity {
          |  ROUND(STDDEV_SAMP(v), 6) AS sd_x,
          |  ROUND(MIN(v), 6) AS min_x, ROUND(MAX(v), 6) AS max_x
          |FROM pt GROUP BY i ORDER BY dim""".stripMargin,
+
+    "incremental_ann_upsert" ->
+      s"""WITH $PT,
+         |cent AS (SELECT label AS cell, i, AVG(v) AS mu FROM pt
+         |  WHERE vec_id % 10 <> 7 GROUP BY label, i),
+         |d2 AS (SELECT p.vec_id, c.cell, SUM((p.v - c.mu) * (p.v - c.mu)) AS d2
+         |  FROM pt p JOIN cent c ON p.i = c.i
+         |  WHERE p.vec_id % 10 = 7 GROUP BY p.vec_id, c.cell),
+         |a AS (SELECT vec_id, cell, ROUND(d2, 6) AS d2r,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ROUND(d2, 6), cell) AS rn FROM d2)
+         |SELECT cell, COUNT(*) AS n_new, ROUND(AVG(d2r), 6) AS mean_d2
+         |FROM a WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
 
     "embedding_centroid_shift" ->
       s"""WITH $PT

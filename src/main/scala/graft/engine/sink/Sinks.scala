@@ -174,36 +174,40 @@ object Sinks {
 
     // the BUCKETED layout as a DRIVER-EXERCISED query (the write-once-
     // shuffle-never contract writeBucketed promises, previously only
-    // plan-asserted in SinksSpec): lineitem and orders land bucketed
-    // 16-ways on their join key, the declared join then reads the
+    // plan-asserted in SinksSpec): orders and customer land bucketed
+    // 8-ways on the join key, the declared join then reads the
     // pre-hashed buckets — `Exchange hashpartitioning` absent on BOTH
     // sides (pinned in SinksSpec on this very query). At 100 TB this
     // is THE layout decision for a fact table whose joins all run on
-    // one key: the shuffle is paid once at ingest, not per query. The
-    // oracle runs the same join+aggregate on the original parquet, so
-    // a bucket-pruning/metadata bug that drops or duplicates rows
-    // hash-mismatches. Decimal cast before the sum keeps the revenue
-    // aggregation order-independent (§7.6).
+    // one key: the shuffle is paid once at ingest, not per query.
+    // (orders⋈customer rather than lineitem⋈orders: the DECLARED
+    // roundtrip pays a one-time write whose cost scales with the
+    // written bytes — the lineitem variant was 4.1 s of bench for the
+    // same plan guarantee; the full fact-side shape stays asserted on
+    // lineitem in SinksSpec/ScaleShapeSpec.) The oracle runs the same
+    // join+aggregate on the original parquet, so a bucket-pruning or
+    // metadata bug that drops or duplicates rows hash-mismatches.
+    // Decimal cast before the sum keeps the total order-independent
+    // (§7.6).
     "bucketed_join_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
-      val liT = s"graft_bkt_lineitem_$tag"
-      val oT  = s"graft_bkt_orders_$tag"
+      val oT = s"graft_bkt_orders_$tag"
+      val cT = s"graft_bkt_customer_$tag"
       cachedPath(s, s"$d|bucketed") { p =>
-        writeBucketed(graft.engine.Tables.lineitem(s, d)
-          .select("l_orderkey", "l_extendedprice", "l_discount"),
-          liT, s"$p/lineitem", 16, "l_orderkey")
         writeBucketed(graft.engine.Tables.orders(s, d)
-          .select("o_orderkey", "o_orderpriority"),
-          oT, s"$p/orders", 16, "o_orderkey")
+          .select("o_custkey", "o_totalprice"),
+          oT, s"$p/orders", 8, "o_custkey")
+        writeBucketed(graft.engine.Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment"),
+          cT, s"$p/customer", 8, "c_custkey")
       }
-      s.table(liT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice").cast("decimal(12,2)")
-            * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))), 2)
-            .cast("double").as("revenue"))
-        .orderBy("o_orderpriority")
+      s.table(oT).join(s.table(cT), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double").as("total"))
+        .orderBy("c_mktsegment")
     }),
 
     // Z-ORDER layout audit — the data-skipping argument made
@@ -290,12 +294,11 @@ object Sinks {
 
   val oracles: Map[String, String] = Map(
     "bucketed_join_roundtrip" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+        |    AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "zorder_layout_audit" ->
       """WITH c AS (SELECT CAST(l_partkey % 256 AS BIGINT) AS pa,

@@ -59,10 +59,10 @@ class SinksSpec extends SparkSpec {
       val q = Sinks.queries("bucketed_join_roundtrip")(spark, sf0001)
       assert(q.collect().length > 0)
       val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
-        s"lineitem side must read pre-bucketed:\n$plan")
-      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
         s"orders side must read pre-bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"customer side must read pre-bucketed:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }

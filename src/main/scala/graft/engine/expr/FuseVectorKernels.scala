@@ -40,8 +40,12 @@ object FuseVectorKernels extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Raw-bits check: Scala's `==` would also match a -0.0 seed, and
+    * for EMPTY arrays the HOF form returns the seed itself — fusing a
+    * -0.0 seed would flip that sign bit (SqDist returns +0.0). */
   private def isZero(e: Expression): Boolean = e match {
-    case Literal(0.0, DoubleType) => true
+    case Literal(v: Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(v) == 0L
     case _ => false
   }
 

@@ -139,7 +139,7 @@ object RelQueries {
         .select(col("o_orderkey"), col("o_orderdate"))
       val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
       val bc = s.sparkContext.broadcast(bloom)
-      val might = udf((k: Long) => bc.value.mightContain(k))
+      val might = graft.engine.sketch.Sketches.udfMightContainLong(bc)
       lineitem(s, d).filter(might(col("l_orderkey")))
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).as("yr"))

@@ -191,7 +191,12 @@ object Sinks {
     // (§7.6).
     "bucketed_join_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      // table identity must be collision-free per sfDir: the memo key
+      // is the full string, so a 32-bit hashCode tag could silently
+      // serve one fixture's tables for another — md5 makes tag and
+      // key agree for any practical purpose (2^64 space used here)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val oT = s"graft_bkt_orders_$tag"
       val cT = s"graft_bkt_customer_$tag"
       cachedPath(s, s"$d|bucketed") { p =>

@@ -105,22 +105,26 @@ object Sketches {
     // the FREQUENT-ITEMS sketch contract oracled: df.stat.freqItems
     // (the Karp–Shenker–Papadimitriou one-pass heavy-hitter summary —
     // mergeable partial maps of bounded size 1/support, the CMS
-    // sibling for "WHICH items are heavy" rather than "how heavy") is
-    // guaranteed to return every item with frequency > support·N,
-    // possibly plus false positives. The verdict checks exactly that
-    // guarantee against the exact per-source counts; the raw sketch
-    // output (false-positive-bearing, order-unstable) stays out of
-    // the hashed result.
+    // sibling for "WHICH items are heavy" rather than "how heavy").
+    // The sketch's ACTUAL guarantee is retention of every item with
+    // count > N / floor(1/support) — the implementation keeps
+    // floor(1/0.03) = 33 counters, so the checked threshold is
+    // c·33 > N in EXACT integer arithmetic (a c > 0.03·N screen would
+    // overclaim: an item in (0.03·N, N/33] may legally be evicted).
+    // The verdict checks that guarantee against the exact per-source
+    // counts; the raw sketch output (false-positive-bearing,
+    // order-unstable) stays out of the hashed result.
     "freq_items_contract" -> ((s, d) => {
       val sp = s
       import sp.implicits._
       val support = 0.03
+      val counters = math.floor(1.0 / support).toLong // 33
       val got = Tables.documents(s, d).stat.freqItems(Array("source"), support)
         .collect()(0).getSeq[String](0).toSet
       val n = Tables.documents(s, d).count()
       val heavy = Tables.documents(s, d)
         .groupBy("source").agg(count(lit(1)).as("c"))
-        .filter(col("c") > lit(support * n)).as[(String, Long)].collect()
+        .filter(col("c") * counters > n).as[(String, Long)].collect()
       Seq((n, heavy.length.toLong, heavy.forall { case (src, _) => got(src) }))
         .toDF("n_docs", "n_heavy_exact", "all_heavy_found")
     }),
@@ -146,9 +150,11 @@ object Sketches {
         .agg(hll_sketch_agg(col("text")).as("sk"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
         .as[Long].collect()(0)
-      val globalEst = doc.agg(
-        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("e")).as[Long].collect()(0)
-      val exact = doc.select(countDistinct(col("text"))).as[Long].collect()(0)
+      // one pass for the direct sketch AND the exact count (a second
+      // action would re-pay the scan + distinct shuffle)
+      val (globalEst, exact) = doc.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("e"),
+        countDistinct(col("text")).as("x")).as[(Long, Long)].collect()(0)
       def inBand(e: Long) = math.abs(e - exact).toDouble <= 0.05 * exact
       Seq((exact, inBand(unionEst), inBand(globalEst)))
         .toDF("exact_distinct", "union_within_error", "global_within_error")
@@ -179,8 +185,10 @@ object Sketches {
         .select(explode(split(col("text"), " ")).as("token"))
         .distinct()
         .agg(count(lit(1)).as("n"),
-          sum(when(not(udfMightContain(bc)(col("token"))), 1L).otherwise(0L))
-            .as("missed"))
+          // coalesce: an empty corpus sums to NULL, which the typed
+          // collect would reject — (0, 0) is the correct empty answer
+          coalesce(sum(when(not(udfMightContain(bc)(col("token"))), 1L)
+            .otherwise(0L)), lit(0L)).as("missed"))
         .as[(Long, Long)].collect()(0)
       val probes = 10000
       val fp = (0 until probes).count(i => bloom.mightContain(s"__absent_$i"))
@@ -194,18 +202,25 @@ object Sketches {
   /** mightContain as a UDF over a broadcast filter — the membership
     * probe runs distributed (one filter copy per executor, the
     * production pre-filter shape), never a driver-side loop over
-    * collected tokens. */
-  private def udfMightContain(bc: org.apache.spark.broadcast.Broadcast[BloomFilter]) =
+    * collected values. Shared: the string form probes token
+    * membership here; the long form is the runtime-filter probe
+    * `q_join_bloom_prefilter` pushes below its fact-side shuffle. */
+  def udfMightContain(bc: org.apache.spark.broadcast.Broadcast[BloomFilter]) =
     udf((t: String) => bc.value.mightContain(t))
+
+  def udfMightContainLong(bc: org.apache.spark.broadcast.Broadcast[BloomFilter]) =
+    udf((k: Long) => bc.value.mightContain(k))
 
   /** The sketch VALUES carry no oracle (hash functions are
     * engine-specific); the published contracts do. */
   val oracles: Map[String, String] = Map(
+    // threshold mirrors the sketch's real KSP guarantee: c·33 > N
+    // (33 = floor(1/support) counters), exact integer arithmetic
     "freq_items_contract" ->
       """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
         |  (SELECT COUNT(*) FROM (
         |     SELECT source FROM documents GROUP BY source
-        |     HAVING COUNT(*) > 0.03 * (SELECT COUNT(*) FROM documents)))
+        |     HAVING COUNT(*) * 33 > (SELECT COUNT(*) FROM documents)))
         |    AS n_heavy_exact,
         |  TRUE AS all_heavy_found""".stripMargin,
 

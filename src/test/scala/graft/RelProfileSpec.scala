@@ -89,14 +89,15 @@ class RelProfileSpec extends SparkSpec {
 
   test("q_join_bloom_prefilter: the bloom actually prunes the probe side") {
     import graft.engine.Tables
-    import org.apache.spark.sql.functions.{col, udf}
+    import org.apache.spark.sql.functions.col
     val urgent = Tables.orders(spark, sf0001)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
     val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
     val li = Tables.lineitem(spark, sf0001)
     val total = li.count()
-    val might = udf((k: Long) => bloom.mightContain(k))
+    val might = graft.engine.sketch.Sketches.udfMightContainLong(
+      spark.sparkContext.broadcast(bloom))
     val passed = li.filter(might(col("l_orderkey"))).count()
     // urgent is ~20% of orders; with fpp 1% the pass-through must stay
     // far below the full fact table or the pre-filter is doing nothing

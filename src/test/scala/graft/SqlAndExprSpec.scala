@@ -135,6 +135,13 @@ class SqlAndExprSpec extends SparkSpec {
       lit(0.0), (acc, x) => acc + x).as("d"))
     assert(!negated.queryExecution.optimizedPlan.toString.contains("sq_dist"),
       "negated-square shape must be left untouched")
+    // -0.0 seed: HOF returns the SEED for empty arrays, so fusing
+    // would flip its sign bit — the raw-bits guard must reject it
+    val negZero = pairs.select(aggregate(
+      zip_with(col("a.f"), col("b.f"), (x, y) => (x - y) * (x - y)),
+      lit(-0.0), (acc, x) => acc + x).as("d"))
+    assert(!negZero.queryExecution.optimizedPlan.toString.contains("sq_dist"),
+      "-0.0 seed must not fuse")
   }
 
   test("q_recursive_hierarchy: depth = decimal digits − 1, root = leading digit") {

@@ -30,6 +30,25 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
     }
+    // ... and one tiny synthetic query exercising the engine paths the
+    // table counts don't: whole-stage codegen compile, shuffle exchange,
+    // broadcast join, window, HOF — so the framework's first-touch cost
+    // (janino compiler init, shuffle system spin-up: ~4 s measured) is
+    // not billed to whichever query happens to sort first
+    // (ann_ivf_topk carried it for two rounds). No fixture data beyond
+    // a 100-row range is touched — nothing query-specific is warmed.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val t = spark.range(100).select(col("id"), (col("id") % 7).as("k"),
+        transform(sequence(lit(1), lit(4)), i => i * col("id")).as("arr"))
+      t.join(broadcast(t.groupBy("k").agg(avg("id").as("m"))), "k")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(desc("id"))))
+        .filter(col("rn") <= 2)
+        .select(aggregate(col("arr"), lit(0L), (a, x) => a + x).as("s"))
+        .agg(sum("s")).count()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup engine: ${e.getMessage}") }
     // Locale.ROOT: f"$v%.3f" would emit comma decimals under e.g. a
     // German default locale and break the JSON protocol
     def fmt(v: Double): String =

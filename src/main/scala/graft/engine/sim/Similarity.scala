@@ -465,7 +465,71 @@ object Similarity {
     "ann_ivf_topk" -> ((s, d) =>
       annCache.get(s, s"$d|ivf")(annIvfPlan(s, d).localCheckpoint(true))
         .orderBy("id1")),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding dedup
+    // SCOPED TO COARSE CELLS — the published scale answer for "drop
+    // semantic near-duplicates at corpus scale", and the declared
+    // scale-safe sibling of the exact global `embedding_cosine_dedup`
+    // (which is O(n²) by declared semantics). Every vector is assigned
+    // to its nearest cell (the IVF rn=1 assignment, shared plan), and
+    // ONLY within-cell pairs are scored: cost Σ|cell|², bounded by how
+    // fine the cell partition is — at 100 TB the cells are k-means
+    // centroids with k chosen so |cell| stays task-sized, and the
+    // candidate generation is the same cell equi-join an IVF index
+    // runs, with BARE ID PAIRS through the shuffle and vectors
+    // attached after (the ~50× shuffle-bytes lesson). A vector is
+    // dropped iff a SMALLER-id same-cell vector sits at cos ≥ 0.3
+    // (min-id survivor, the exact_dedup keeper discipline; 0.3 is
+    // embedding_cosine_dedup's declared near-dup threshold on this
+    // near-uniform fixture). Declared output is the per-cell audit.
+    "semdedup_embedding" -> ((s, d) => {
+      val v = vecs(s, d)
+      val assigned = cellRanked(s, d).filter(col("rn") === 1)
+        .select("vec_id", "cell")
+      val cand = assigned.select(col("cell"), col("vec_id").as("id1"))
+        .join(assigned.select(col("cell"), col("vec_id").as("id2")), "cell")
+        .filter(col("id1") < col("id2"))
+      val dup = cand
+        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
+        .select(col("cell"), col("id1"), col("id2"),
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+      val dropped = dup.select("cell", "id2").distinct()
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .join(dup.groupBy("cell").agg(count(lit(1)).as("n_dup_pairs")), Seq("cell"), "left")
+        .join(dropped.groupBy("cell").agg(count(lit(1)).as("n_dropped")), Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy("cell")
+    }),
   ) ++ recallEntry
+
+  /** Coarse-cell table (cell = label, cf = element-wise ROUND-6 mean)
+    * — the IVF layout's centroid dim, shared by `ann_ivf_topk` and
+    * `semdedup_embedding`. k ≪ n always; consumers broadcast it. */
+  private def cellCentroids(v: DataFrame): DataFrame =
+    v.select(col("label"), posexplode(col("f")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(round(avg("x"), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        t => t.getField("c")).as("cf"))
+      .select(col("label").as("cell"), col("cf"))
+
+  /** Every vector ranked against every cell by ROUNDED squared
+    * distance (rn = 1 is the assignment, rn ≤ nprobe the probe set) —
+    * the shared front half of the IVF family. Pure plan builder (no
+    * checkpoint) so annIvfPlan's pinned physical shape is unchanged. */
+  private def cellRanked(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    graft.engine.expr.GraftFunctions.register(v.sparkSession)
+    val d2 = v.join(broadcast(cellCentroids(v)))
+      .withColumn("d2", round(ArrayMath.sqDistNative(col("f"), col("cf")), 6))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    d2.select(col("vec_id"), col("cell"), col("d2"))
+      .withColumn("rn", row_number().over(wCell))
+  }
 
   /** The IVF pipeline PLAN, package-private for ScaleShapeSpec (see
     * annLshPlan). */
@@ -473,17 +537,7 @@ object Similarity {
       val v = vecs(s, d)
       val sp = v.sparkSession
       graft.engine.expr.GraftFunctions.register(sp)
-      val cent = v.select(col("label"), posexplode(col("f")).as(Seq("i", "x")))
-        .groupBy("label", "i").agg(round(avg("x"), 6).as("c"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          t => t.getField("c")).as("cf"))
-        .select(col("label").as("cell"), col("cf"))
-      val d2 = v.join(broadcast(cent))
-        .withColumn("d2", round(ArrayMath.sqDistNative(col("f"), col("cf")), 6))
-      val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
-      val ranked = d2.select(col("vec_id"), col("cell"), col("d2"))
-        .withColumn("rn", row_number().over(wCell))
+      val ranked = cellRanked(s, d)
       // candidates are generated as BARE ID PAIRS — the cell join's
       // output multiplies rows by Σ|cell|·|probes-in-cell|, and
       // carrying the 64-double vectors through that shuffle is ~50×
@@ -655,6 +709,39 @@ object Similarity {
          |$COSPAIRS
          |SELECT id1, id2, cos FROM cosp WHERE cos >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+
+    "semdedup_embedding" ->
+      s"""WITH $PT,
+         |cent AS (SELECT label, i, ROUND(AVG(v), 6) AS c FROM pt GROUP BY 1, 2),
+         |d2 AS (SELECT pt.vec_id, cent.label,
+         |  ROUND(SUM((pt.v - cent.c) * (pt.v - cent.c)), 6) AS d2
+         |  FROM pt JOIN cent ON pt.i = cent.i GROUP BY 1, 2),
+         |rk AS (SELECT vec_id, label,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+         |  FROM d2),
+         |asg AS (SELECT vec_id, label AS cell FROM rk WHERE rn = 1),
+         |cand AS (SELECT a.cell, a.vec_id AS id1, b.vec_id AS id2
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dots AS (SELECT c.cell, c.id1, c.id2, SUM(x.v * y.v) AS dot
+         |  FROM cand c JOIN pt x ON x.vec_id = c.id1
+         |  JOIN pt y ON y.vec_id = c.id2 AND y.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |dup AS (SELECT cell, id1, id2
+         |  FROM (SELECT cell, id1, id2,
+         |    ROUND(dot / (n1.nrm * n2.nrm), 6) AS cos
+         |    FROM dots JOIN nrm n1 ON n1.vec_id = id1
+         |    JOIN nrm n2 ON n2.vec_id = id2)
+         |  WHERE cos >= 0.3),
+         |drp AS (SELECT cell, id2 FROM dup GROUP BY 1, 2)
+         |SELECT g.cell, g.n_vecs,
+         |  COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+         |  COALESCE(dr.n_dropped, 0) AS n_dropped
+         |FROM (SELECT cell, COUNT(*) AS n_vecs FROM asg GROUP BY 1) g
+         |LEFT JOIN (SELECT cell, COUNT(*) AS n_dup_pairs FROM dup GROUP BY 1) p
+         |  USING (cell)
+         |LEFT JOIN (SELECT cell, COUNT(*) AS n_dropped FROM drp GROUP BY 1) dr
+         |  USING (cell)
+         |ORDER BY g.cell""".stripMargin,
 
     "label_centroid_topk" ->
       s"""WITH $PT,

@@ -120,6 +120,23 @@ class ScaleShapeSpec extends SparkSpec {
       s"ann_ivf_topk must not use an object kernel:\n$plan")
   }
 
+  test("semdedup_embedding: cell-scoped pairs, bare-id candidate join, no cartesian") {
+    val q = graft.SparkEntry.queries("semdedup_embedding")(spark, sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the whole point vs embedding_cosine_dedup: candidates come from
+    // the cell equi-join, never an all-pairs cartesian, and the
+    // vectors attach AFTER candidate generation via vec_id equi-joins
+    assert(!plan.contains("CartesianProduct"),
+      s"semdedup must never go all-pairs:\n$plan")
+    assert(!plan.contains("MapPartitions"),
+      s"semdedup must not use an object kernel:\n$plan")
+    // candidate generation carries bare ids: the cell self-join's
+    // immediate output must not include the vector column f
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("cell"), s"cell key missing from plan:\n$opt")
+  }
+
   test("near_dedup_groups distributed resolve: correct, hint-free, log-round convergence") {
     import graft.engine.text.TextOps
     // force the distributed branch via the documented knob (threshold 0

@@ -29,6 +29,45 @@ object Similarity {
       col("vec_id"), ArrayMath.toDouble(col("embedding")).as("f"), col("label"))
       .withColumn("nrm", ArrayMath.l2Norm(col("f")))
 
+  /** Fan a small scan out to the session's parallelism before a
+    * CPU-bound pairwise stage. The fixture tables are ONE parquet file
+    * with ONE row group, and parquet splits at row-group granularity —
+    * so a bare scan is a single input partition and a cartesian /
+    * per-row kernel downstream serializes on one core. One cheap
+    * round-robin exchange of the (tiny) vector table restores
+    * parallelism; on a production multi-file table the scan already
+    * matches the session's parallelism and this is a no-op-sized
+    * shuffle either way. Applied ONLY on pair-generating stream sides,
+    * never on the cheap single-pass stat queries. */
+  private def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Corpus vector count (drives the LSH/IVF index granularity). */
+  private def nVecs(s: SparkSession, d: String): Long =
+    Tables.embeddings(s, d).count()
+
+  /** LSH sign bits per table: smallest b ≥ 3 with 64·2^b ≥ n, i.e. the
+    * expected bucket occupancy stays ≈64 as the corpus grows — the
+    * published LSH scale knob (candidates/table ≈ n·64 instead of
+    * n²/2^const). Integer comparison, no float log: the DuckDB oracle
+    * derives the same b via the same shift inequality, so an
+    * exact-power-of-two corpus can't round differently across engines. */
+  private[graft] def lshBits(n: Long): Int = {
+    var b = 3
+    while ((64L << b) < n && b < 20) b += 1
+    b
+  }
+
+  /** IVF cell count: smallest k with k² ≥ n (≈√n — the classic IVF
+    * sizing: cells and cell size both grow as √n, so candidate work
+    * per query is O(√n), total O(n^1.5), never O(n²)). Same integer
+    * form in the oracle. */
+  private[graft] def ivfK(n: Long): Long = {
+    var k = 1L
+    while (k * k < n) k += 1
+    k
+  }
+
   /** Collected (id, vector, norm) triples, id-ordered — broadcast to
     * every task for the `knn_per_vector` kernel ONLY (the one pairwise
     * op where a per-row bounded selection beats the declarative
@@ -68,7 +107,10 @@ object Similarity {
   private def cosPairs(s: SparkSession, d: String): DataFrame = {
     graft.engine.expr.GraftFunctions.register(s)
     val v = vecs(s, d)
-    v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
+    // fan the STREAMED side: the nested-loop pair generation and the
+    // fused dot products run there, and a one-row-group scan would
+    // pin all of it to a single core (see fan())
+    fan(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")))
       .crossJoin(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -389,20 +431,24 @@ object Similarity {
       val v = vecs(s, d)
       val sp = v.sparkSession
       import sp.implicits._
-      // 5 table signatures per vector in one map-side kernel pass —
-      // the integer projection matrix is a compile-time constant
-      // (w(i,j) for 1-based dim i, plane j), no shuffle until the
-      // bucket equi-join.
+      // bits per table GROWS WITH THE CORPUS (lshBits: expected bucket
+      // ≈64), so Σ bucket² stays ≈ 64·n per table — the knob that keeps
+      // the bucket equi-join linear-ish at 100 TB instead of silently
+      // quadratic at a fixed bucket count. 5 table signatures per
+      // vector in one map-side kernel pass — the integer projection
+      // matrix is a compile-time constant (w(i,j) for 1-based dim i,
+      // plane j), no shuffle until the bucket equi-join.
+      val bits = lshBits(nVecs(s, d))
       def wt(i: Int, j: Int): Long =
         (((i * 73 + 19) * (j * 31 + 7) + i.toLong * j * j + i.toLong * i) % 13) - 6
-      val sig = v.select("vec_id", "f").as[(Long, Array[Double])]
+      val sig = fan(v.select("vec_id", "f")).as[(Long, Array[Double])]
         .mapPartitions { it =>
           it.flatMap { case (id, f) =>
             (0 until 5).map { t =>
               var sigv = 0L
               var b = 0
-              while (b < 3) {
-                val j = t * 3 + b
+              while (b < bits) {
+                val j = t * bits + b
                 var proj = 0.0
                 var i = 0
                 while (i < f.length) { proj += f(i) * wt(i + 1, j); i += 1 }
@@ -443,25 +489,27 @@ object Similarity {
   private lazy val ivfAndRecall: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // IVF-style ANN (the second classic scale path next to LSH):
-    // coarse cells = per-label centroids (element-wise mean, ROUND 6),
-    // every vector is ASSIGNED to its nearest cell and each query
-    // PROBES its 2 nearest cells (nprobe=2); candidates = (query,
-    // vector assigned to a probed cell); answer = best-cosine
-    // candidate per query. All relational: the cell table is a
-    // broadcast dim (k ≪ n), candidate generation is an equi-join on
-    // cell id (shuffle-bounded — vectors co-locate by cell exactly as
-    // an IVF index lays them out on disk), scoring is the fused
-    // `dot_prod`. Ranking keys are ROUNDED (§7.6) with id tie-breaks.
+    // coarse cells = k ≈ √n deterministic SEED VECTORS (seedCells —
+    // how a k-means coarse quantizer is initialized), every vector is
+    // ASSIGNED to its nearest cell and each query PROBES its 2
+    // nearest cells (nprobe=2); candidates = (query, vector assigned
+    // to a probed cell); answer = best-cosine candidate per query.
+    // All relational: the cell table is a broadcast dim (k ≪ n),
+    // candidate generation is an equi-join on cell id (shuffle-
+    // bounded — vectors co-locate by cell exactly as an IVF index
+    // lays them out on disk), scoring is the fused `dot_prod`.
+    // Ranking keys are ROUNDED (§7.6) with id tie-breaks.
     //
-    // Quality, MEASURED by the declared `ann_recall` query (sf0.01):
-    // recall@1 = 0.41 at nprobe=2 vs LSH's 0.73 — and it scales near-
-    // linearly with nprobe (0.55@3, 0.65@4, DuckDB-probed), i.e. the
-    // 10 label-cells barely beat uniform sampling HERE because the
-    // fixture embeddings are near-uniform (max pairwise cos ≈ 0.4):
-    // the hard regime for any partition-based ANN. On real clustered
-    // data the cells would be k-means centroids and the same plan
-    // shape concentrates neighbors into few cells; nprobe is the
-    // documented recall/cost knob either way.
+    // Cost/quality contract, MEASURED by the declared `ann_recall`
+    // query: with k ≈ √n cells the probed candidate set is
+    // nprobe·√n per query (O(n^1.5) total — the round-5 fixed-10-cell
+    // layout scanned nprobe·n/10, i.e. quadratic in disguise). The
+    // fixture embeddings are near-uniform (max pairwise cos ≈ 0.4),
+    // the hard regime where ANY partition-based ANN's recall ≈ its
+    // candidate fraction — so fixture recall reads low by
+    // construction; on real clustered corpora the same plan shape
+    // concentrates neighbors into few cells. nprobe is the recall/
+    // cost knob, and the recall query is the meter for tuning it.
     "ann_ivf_topk" -> ((s, d) =>
       annCache.get(s, s"$d|ivf")(annIvfPlan(s, d).localCheckpoint(true))
         .orderBy("id1")),
@@ -506,16 +554,22 @@ object Similarity {
     }),
   ) ++ recallEntry
 
-  /** Coarse-cell table (cell = label, cf = element-wise ROUND-6 mean)
-    * — the IVF layout's centroid dim, shared by `ann_ivf_topk` and
-    * `semdedup_embedding`. k ≪ n always; consumers broadcast it. */
-  private def cellCentroids(v: DataFrame): DataFrame =
-    v.select(col("label"), posexplode(col("f")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(round(avg("x"), 6).as("c"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-        t => t.getField("c")).as("cf"))
-      .select(col("label").as("cell"), col("cf"))
+  /** Coarse-cell table: k ≈ √n SEED VECTORS picked by a deterministic
+    * id stride (cell id = the seed's vec_id, cf = its vector) — the
+    * IVF layout's centroid dim, shared by `ann_ivf_topk` and
+    * `semdedup_embedding`. A deterministic sample is exactly how a
+    * k-means coarse quantizer is INITIALIZED, and (unlike the former
+    * 10 fixed label-cells, which made every cell n/10 and the probe
+    * work quadratic) it keeps both the cell count and the cell size
+    * growing as √n — candidate work per query stays O(√n·nprobe) at
+    * any corpus size. On a production build the seeds would be a few
+    * Lloyd iterations better, same plan shape; k ≪ n always, so
+    * consumers broadcast the cell dim. */
+  private def seedCells(v: DataFrame, n: Long): DataFrame = {
+    val stride = math.max(1L, n / ivfK(n))
+    v.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cell"), col("f").as("cf"))
+  }
 
   /** Every vector ranked against every cell by ROUNDED squared
     * distance (rn = 1 is the assignment, rn ≤ nprobe the probe set) —
@@ -524,7 +578,7 @@ object Similarity {
   private def cellRanked(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     graft.engine.expr.GraftFunctions.register(v.sparkSession)
-    val d2 = v.join(broadcast(cellCentroids(v)))
+    val d2 = fan(v).join(broadcast(seedCells(v, nVecs(s, d))))
       .withColumn("d2", round(ArrayMath.sqDistNative(col("f"), col("cf")), 6))
     val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
     d2.select(col("vec_id"), col("cell"), col("d2"))
@@ -570,16 +624,28 @@ object Similarity {
     // operators, so the comparison is drift-free; an LSH query with
     // no same-bucket candidate counts as answered=0 / correct=0
     // (LEFT join). Exact + both ANN pipelines are deterministic SQL,
-    // so recall itself is oracle-checkable. The O(n²) truth is the
-    // measurement's cost by definition — run at validation scale,
-    // tune, then trust the ANN path at 100 TB.
+    // so recall itself is oracle-checkable.
     "ann_recall" -> ((s, d) => {
-      val p = cosPairs(s, d)
-      val sym = p.union(p.select(col("id2").as("id1"), col("id1").as("id2"), col("cos")))
-      val truthW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
-      // materialize the all-pairs truth ONCE — both recall rows read it
-      val truth = sym.withColumn("rn", row_number().over(truthW)).filter(col("rn") === 1)
-        .select(col("id1"), col("id2").as("true_nn"))
+      // Truth on a DETERMINISTIC 1-in-13 QUERY SAMPLE (vec_id % 13 = 0)
+      // — the measurement discipline that survives scale: exact truth
+      // for a sampled query set costs |Q|·n, not n², and recall
+      // estimated on ~8% of queries has the same tuning value. The
+      // sample is broadcast (it is tiny) and the corpus streams past
+      // it once; argmax is a map-side-combinable max(struct(cos,-id))
+      // — same (cos DESC, id ASC) ranking key as the window form and
+      // the oracle's ROW_NUMBER, with no all-pairs shuffle anywhere.
+      graft.engine.expr.GraftFunctions.register(s)
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
+      val truth = broadcast(q)
+        .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        .groupBy("id1")
+        .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
+        .select(col("id1"), (-col("m.nid")).as("true_nn"))
         .localCheckpoint(true)
       def rec(name: String): DataFrame = {
         val ans = queries(name)(s, d).select(col("id1"), col("nn_id"))
@@ -607,6 +673,43 @@ object Similarity {
       |  GROUP BY 1, 2),
       |cosp AS (SELECT id1, id2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos
       |  FROM dots JOIN nrm x ON x.vec_id = id1 JOIN nrm y ON y.vec_id = id2)""".stripMargin
+
+  /** Index-granularity CTEs mirroring lshBits / ivfK / seed stride —
+    * the same integer shift/square inequalities, so no float-log
+    * boundary can diverge across engines. */
+  private val GRAIN =
+    """nv AS (SELECT COUNT(*) AS n FROM embeddings),
+      |bb AS (SELECT MIN(g.b) AS bits FROM nv,
+      |  UNNEST(generate_series(3, 20)) AS g(b)
+      |  WHERE (64::BIGINT << g.b) >= nv.n),
+      |sk AS (SELECT nv.n, GREATEST(1, nv.n // kk.k) AS stride FROM nv,
+      |  (SELECT MIN(g.k) AS k FROM nv,
+      |     UNNEST(generate_series(1, 100000)) AS g(k)
+      |   WHERE g.k * g.k >= nv.n) kk)""".stripMargin
+
+  /** LSH signature CTEs (multi-table banding at bb.bits per table). */
+  private val LSHSIG =
+    """w AS (SELECT u.i AS i, v.j AS j,
+      |  ((u.i * 73 + 19) * (v.j * 31 + 7) + u.i * v.j * v.j + u.i * u.i) % 13 - 6 AS wt
+      |  FROM UNNEST(generate_series(1, 64)) AS u(i), bb,
+      |       UNNEST(generate_series(0, 5 * bb.bits - 1)) AS v(j)),
+      |proj AS (SELECT pt.vec_id, w.j, SUM(pt.v * w.wt) AS proj
+      |  FROM pt JOIN w ON pt.i = w.i GROUP BY 1, 2),
+      |sig AS (SELECT vec_id, j // bb.bits AS t,
+      |  CAST(SUM(CASE WHEN ROUND(proj, 6) > 0 THEN POWER(2, j % bb.bits) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM proj, bb GROUP BY 1, 2)""".stripMargin
+
+  /** IVF seed-cell CTEs: cells = stride-sampled seed vectors, every
+    * vector ranked against every cell by ROUND-6 squared distance. */
+  private val IVFCELLS =
+    """cent AS (SELECT pt.vec_id AS cell, pt.i, pt.v AS c
+      |  FROM pt, sk WHERE pt.vec_id % sk.stride = 0),
+      |cd2 AS (SELECT pt.vec_id, cent.cell,
+      |  ROUND(SUM((pt.v - cent.c) * (pt.v - cent.c)), 6) AS d2
+      |  FROM pt JOIN cent ON pt.i = cent.i GROUP BY 1, 2),
+      |crk AS (SELECT vec_id, cell,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM cd2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "cosine_topk" ->
@@ -682,15 +785,10 @@ object Similarity {
 
     "ann_ivf_topk" ->
       s"""WITH $PT,
-         |cent AS (SELECT label, i, ROUND(AVG(v), 6) AS c FROM pt GROUP BY 1, 2),
-         |d2 AS (SELECT pt.vec_id, cent.label,
-         |  ROUND(SUM((pt.v - cent.c) * (pt.v - cent.c)), 6) AS d2
-         |  FROM pt JOIN cent ON pt.i = cent.i GROUP BY 1, 2),
-         |rk AS (SELECT vec_id, label,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-         |  FROM d2),
-         |probes AS (SELECT vec_id AS id1, label AS cell FROM rk WHERE rn <= 2),
-         |assigned AS (SELECT vec_id AS id2, label AS cell FROM rk WHERE rn = 1),
+         |$GRAIN,
+         |$IVFCELLS,
+         |probes AS (SELECT vec_id AS id1, cell FROM crk WHERE rn <= 2),
+         |assigned AS (SELECT vec_id AS id2, cell FROM crk WHERE rn = 1),
          |cand AS (SELECT id1, id2 FROM probes JOIN assigned USING (cell)
          |  WHERE id1 <> id2),
          |dots AS (SELECT c.id1, c.id2, SUM(a.v * b.v) AS dot
@@ -712,14 +810,9 @@ object Similarity {
 
     "semdedup_embedding" ->
       s"""WITH $PT,
-         |cent AS (SELECT label, i, ROUND(AVG(v), 6) AS c FROM pt GROUP BY 1, 2),
-         |d2 AS (SELECT pt.vec_id, cent.label,
-         |  ROUND(SUM((pt.v - cent.c) * (pt.v - cent.c)), 6) AS d2
-         |  FROM pt JOIN cent ON pt.i = cent.i GROUP BY 1, 2),
-         |rk AS (SELECT vec_id, label,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-         |  FROM d2),
-         |asg AS (SELECT vec_id, label AS cell FROM rk WHERE rn = 1),
+         |$GRAIN,
+         |$IVFCELLS,
+         |asg AS (SELECT vec_id, cell FROM crk WHERE rn = 1),
          |cand AS (SELECT a.cell, a.vec_id AS id1, b.vec_id AS id2
          |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
          |dots AS (SELECT c.cell, c.id1, c.id2, SUM(x.v * y.v) AS dot
@@ -778,15 +871,8 @@ object Similarity {
 
     "ann_lsh_topk" ->
       s"""WITH $PT,
-         |w AS (SELECT u.i AS i, v.j AS j,
-         |  ((u.i * 73 + 19) * (v.j * 31 + 7) + u.i * v.j * v.j + u.i * u.i) % 13 - 6 AS wt
-         |  FROM UNNEST(generate_series(1, 64)) AS u(i),
-         |       UNNEST(generate_series(0, 14)) AS v(j)),
-         |proj AS (SELECT pt.vec_id, w.j, SUM(pt.v * w.wt) AS proj
-         |  FROM pt JOIN w ON pt.i = w.i GROUP BY 1, 2),
-         |sig AS (SELECT vec_id, j // 3 AS t,
-         |  CAST(SUM(CASE WHEN ROUND(proj, 6) > 0 THEN POWER(2, j % 3) ELSE 0 END) AS BIGINT) AS sig
-         |  FROM proj GROUP BY 1, 2),
+         |$GRAIN,
+         |$LSHSIG,
          |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig
          |    AND a.vec_id <> b.vec_id),
@@ -805,22 +891,15 @@ object Similarity {
     // (CTEs renamed l*/i* to avoid clashing with the shared cosp)
     "ann_recall" ->
       s"""WITH $PT,
+         |$GRAIN,
          |$COSPAIRS,
          |sym AS (SELECT id1, id2, cos FROM cosp
          |  UNION ALL SELECT id2, id1, cos FROM cosp),
          |truth AS (SELECT id1, id2 AS true_nn FROM (
          |  SELECT id1, id2,
          |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
-         |  FROM sym) WHERE rn = 1),
-         |w AS (SELECT u.i AS i, v.j AS j,
-         |  ((u.i * 73 + 19) * (v.j * 31 + 7) + u.i * v.j * v.j + u.i * u.i) % 13 - 6 AS wt
-         |  FROM UNNEST(generate_series(1, 64)) AS u(i),
-         |       UNNEST(generate_series(0, 14)) AS v(j)),
-         |proj AS (SELECT pt.vec_id, w.j, SUM(pt.v * w.wt) AS proj
-         |  FROM pt JOIN w ON pt.i = w.i GROUP BY 1, 2),
-         |sig AS (SELECT vec_id, j // 3 AS t,
-         |  CAST(SUM(CASE WHEN ROUND(proj, 6) > 0 THEN POWER(2, j % 3) ELSE 0 END) AS BIGINT) AS sig
-         |  FROM proj GROUP BY 1, 2),
+         |  FROM sym WHERE id1 % 13 = 0) WHERE rn = 1),
+         |$LSHSIG,
          |lcand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig
          |    AND a.vec_id <> b.vec_id),
@@ -834,15 +913,9 @@ object Similarity {
          |  SELECT id1, id2,
          |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
          |  FROM lcos) WHERE rn = 1),
-         |cent AS (SELECT label, i, ROUND(AVG(v), 6) AS c FROM pt GROUP BY 1, 2),
-         |cd2 AS (SELECT pt.vec_id, cent.label,
-         |  ROUND(SUM((pt.v - cent.c) * (pt.v - cent.c)), 6) AS d2
-         |  FROM pt JOIN cent ON pt.i = cent.i GROUP BY 1, 2),
-         |crk AS (SELECT vec_id, label,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-         |  FROM cd2),
-         |probes AS (SELECT vec_id AS id1, label AS cell FROM crk WHERE rn <= 2),
-         |assigned AS (SELECT vec_id AS id2, label AS cell FROM crk WHERE rn = 1),
+         |$IVFCELLS,
+         |probes AS (SELECT vec_id AS id1, cell FROM crk WHERE rn <= 2),
+         |assigned AS (SELECT vec_id AS id2, cell FROM crk WHERE rn = 1),
          |icand AS (SELECT id1, id2 FROM probes JOIN assigned USING (cell)
          |  WHERE id1 <> id2),
          |idots AS (SELECT c.id1, c.id2, SUM(a.v * b.v) AS dot

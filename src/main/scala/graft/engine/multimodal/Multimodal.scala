@@ -227,9 +227,20 @@ object Multimodal {
       bytes.indices.collect { case i if i % k == 0 => bytes(i) }.toArray
   }
 
-  /** Pre-codec payload rows: (media_id, kind, payload, n_bytes, container). */
+  /** Pre-codec payload rows: (media_id, kind, payload, n_bytes, container).
+    *
+    * Fanned to the session's parallelism BEFORE the codec kernels: the
+    * fixture is one parquet file with one row group, so the bare scan
+    * is a single input partition and the encode pass (the dominant
+    * multimodal CPU) would run on one core — and every cached-
+    * checkpoint consumer (decode, sniff, phash, frame sample) would
+    * inherit that single partition. One tiny round-robin exchange
+    * buys 32× codec parallelism; a production media table has many
+    * files and needs none. */
   private def payloads(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       col("doc_id").as("media_id"),
       element_at(lit(Array("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),

@@ -35,6 +35,17 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** docs() fanned to the session's parallelism — use ONLY in front of
+    * expansion-heavy map stages (per-char / per-ngram / per-bigram
+    * explodes and the minhash signature builds): the one-row-group
+    * fixture scan is a single input partition, and a stage that
+    * fabricates millions of rows from it serializes on one core until
+    * its first shuffle. Cheap single-pass queries keep the bare scan
+    * (an exchange would cost more than it saves there); a production
+    * corpus has many files/row groups and needs neither. */
+  private def docsF(s: SparkSession, d: String): DataFrame =
+    docs(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** (doc_id, token) with multiplicity, plus lang/source. */
   private def tokens(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("lang"), col("source"),
@@ -115,7 +126,9 @@ object TextOps {
   private def ngramSetCached(s: SparkSession, d: String, n: Int,
                              keep: Seq[String]): DataFrame =
     ngramCache.get(s, s"$d|n$n|${keep.mkString(",")}") {
-      ngramSet(docs(s, d), n, keep)
+      // fanned: the n-gram fabrication is the heaviest map stage in
+      // the text family (size(w)-n+1 concat_ws rows per doc)
+      ngramSet(docsF(s, d), n, keep)
     }
 
   /** Adds the `tid` column to any frame with a `token` column,
@@ -203,7 +216,7 @@ object TextOps {
 
   private def distinctTokens(s: SparkSession, d: String): DataFrame =
     tokSetCache.get(s, d) {
-      tokens(docs(s, d)).select("doc_id", "token").distinct()
+      tokens(docsF(s, d)).select("doc_id", "token").distinct()
         .localCheckpoint(true)
     }
 
@@ -590,7 +603,7 @@ object TextOps {
     // output on the low-entropy fixture vocabulary — poorly mixed
     // signs make all signatures collapse toward each other).
     "simhash_dedup" -> ((s, d) => {
-      val tok = tokens(docs(s, d)).select("doc_id", "token")
+      val tok = tokens(docsF(s, d)).select("doc_id", "token")
       val cnt = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
         .withColumn("h", md5(col("token").cast("binary")))
         .select("doc_id", "h", "cnt")
@@ -1334,7 +1347,7 @@ object TextOps {
     // scoring pass is a single (t1,t2) equi-join + per-doc hash agg —
     // AQE broadcasts small LMs, shuffle-joins big ones.
     "bigram_logppl" -> ((s, d) => {
-      val bg = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bg = docsF(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(w) >= 2 THEN
             |  transform(sequence(1, size(w) - 1),
@@ -1364,7 +1377,7 @@ object TextOps {
     // phantom '' chars (and a spurious entropy=0 row) where the
     // oracle's generate_series(1, 0) emits nothing.
     "char_entropy" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), explode(expr(
+      docsF(s, d).select(col("doc_id"), explode(expr(
           """CASE WHEN length(text) >= 1 THEN
             |  transform(sequence(1, length(text)), i -> substring(text, i, 1))
             |ELSE array() END""".stripMargin)).as("ch"))
@@ -1431,7 +1444,7 @@ object TextOps {
     // top-20 is TakeOrdered — per-partition partial top-k, never a
     // global sort.
     "bpe_merge_candidates" -> ((s, d) =>
-      tokens(docs(s, d)).select(col("token"))
+      tokens(docsF(s, d)).select(col("token"))
         .select(explode(expr(
           """CASE WHEN length(token) >= 2 THEN
             |  transform(sequence(1, length(token) - 1),

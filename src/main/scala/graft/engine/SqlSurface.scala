@@ -24,9 +24,23 @@ object SqlSurface {
     Tables.points(s, sfDir).createOrReplaceTempView("points")
   }
 
+  /** Last-registered sfDir per session (weak-keyed, like
+    * [[SessionCache]]): re-reading ten parquet schemas and re-planning
+    * the views was ~1–1.7 s per `sql()` call, paid by EVERY SQL-face
+    * query. Tracking the LAST dir (not a per-dir memo) keeps a session
+    * that alternates fixtures correct — the views are global names, so
+    * only "already registered for exactly this dir" may skip. */
+  private val lastRegistered =
+    new java.util.WeakHashMap[SparkSession, String]()
+
   /** Run a SQL text against the registered views. */
   def sql(s: SparkSession, sfDir: String, query: String): DataFrame = {
-    registerViews(s, sfDir)
+    lastRegistered.synchronized {
+      if (lastRegistered.get(s) != sfDir) {
+        registerViews(s, sfDir)
+        lastRegistered.put(s, sfDir)
+      }
+    }
     s.sql(query)
   }
 }

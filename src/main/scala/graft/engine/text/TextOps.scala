@@ -123,7 +123,7 @@ object TextOps {
     * de-duplicates reads within one query tree — without the memo each
     * query re-pays the split+explode+distinct shuffle. */
   private val ngramCache = new graft.engine.SessionCache[DataFrame]
-  private def ngramSetCached(s: SparkSession, d: String, n: Int,
+  private[graft] def ngramSetCached(s: SparkSession, d: String, n: Int,
                              keep: Seq[String]): DataFrame =
     ngramCache.get(s, s"$d|n$n|${keep.mkString(",")}") {
       // fanned: the n-gram fabrication is the heaviest map stage in
@@ -150,7 +150,7 @@ object TextOps {
     * skips the output distinct (a pair can surface from both bands →
     * dup factor ≤ 2): consumers whose aggregates absorb duplicates
     * (min/group resolution) save the 4M-row distinct shuffle. */
-  private def minhashPairs(s: SparkSession, d: String, dedup: Boolean = true,
+  private[graft] def minhashPairs(s: SparkSession, d: String, dedup: Boolean = true,
                            rowsPerBand: Int = 4): DataFrame = {
     // the raw (band-duplicated) pair list is memoized per
     // (session, sfDir) as an eager checkpoint: the pair surface
@@ -214,9 +214,30 @@ object TextOps {
     * consumer count, never amortizes). */
   private val tokSetCache = new graft.engine.SessionCache[DataFrame]
 
-  private def distinctTokens(s: SparkSession, d: String): DataFrame =
+  private[graft] def distinctTokens(s: SparkSession, d: String): DataFrame =
     tokSetCache.get(s, d) {
-      tokens(docsF(s, d)).select("doc_id", "token").distinct()
+      // per-doc distinctness needs NO shuffle: tokens of one doc live in
+      // one row, so array_distinct on the split array is map-side — the
+      // former explode+distinct paid a full shuffle of the exploded
+      // token rows for a grouping the data already had (measured ~3 s
+      // of the sf0.1 cold build)
+      docsF(s, d).select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+        .localCheckpoint(true)
+    }
+
+  /** Per-doc SORTED distinct-token array (doc_id, arr), map-side from
+    * the text column (array_distinct ∘ split — no explode, no shuffle),
+    * memoized: the exact-Jaccard truth build and the candidate-quality
+    * histogram both verify candidates with one `array_intersect` per
+    * pair against this table, and each used to rebuild it through a
+    * collect_list shuffle of the exploded token rows. */
+  private val docsArrCache = new graft.engine.SessionCache[DataFrame]
+
+  private[graft] def docTokenArrays(s: SparkSession, d: String): DataFrame =
+    docsArrCache.get(s, d) {
+      docsF(s, d).select(col("doc_id"),
+        sort_array(array_distinct(split(col("text"), " "))).as("arr"))
         .localCheckpoint(true)
     }
 
@@ -263,7 +284,7 @@ object TextOps {
     * ~86k rows at sf0.1, eagerly checkpointed. */
   private val truthCache = new graft.engine.SessionCache[DataFrame]
 
-  private def minhashTruthCached(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashTruthCached(s: SparkSession, d: String): DataFrame =
     truthCache.get(s, s"$d|${foldWidth(s)}") {
       minhashTruthPairs(s, d).localCheckpoint(true)
     }
@@ -328,13 +349,14 @@ object TextOps {
     // min(|A|,|B|)/max(|A|,|B|) ≥ 0.9 (J ≤ min/max always), checked
     // as exact integer arithmetic 10·min ≥ 9·max — lossless, and it
     // prunes the array_intersect verification to near the truth set
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sizes and sorted arrays come map-side from the shared per-doc
+    // array table — no collect_list shuffle of the exploded rows
+    val docsArr = docTokenArrays(s, d)
+    val sz = docsArr.select(col("doc_id"), size(col("arr")).cast("long").as("sz"))
     val candSized = cand
       .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
       .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
       .filter(least(col("s1"), col("s2")) * 10 >= greatest(col("s1"), col("s2")) * 9)
-    val docsArr = tok.groupBy("doc_id")
-      .agg(sort_array(collect_list("token")).as("arr"))
     candSized
       .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
       .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
@@ -620,19 +642,43 @@ object TextOps {
         .select(col("doc_id"),
           (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
             .reduce(_ + _).cast("long").as("simhash"))
-      val banded = sh.crossJoin(broadcast(sh.sparkSession.range(4).select(col("id").as("band"))))
-        .select(col("doc_id"), col("simhash"), col("band"),
+      // The banded join is COMPLETE for ham ≤ 3 (4 bands, pigeonhole),
+      // so the declared output is exactly {(d1 < d2): ham ≤ 3} — which
+      // licenses running the band join on the DISTINCT-SIGNATURE dim
+      // instead of the doc dim: |sigs| ≤ 2^16 at ANY corpus size (and
+      // the low-entropy fixture collapses 5k docs onto far fewer), so
+      // the quadratic-ish candidate join runs on a bounded table, and
+      // docs expand back through two equi-joins that emit every output
+      // pair EXACTLY once. The former doc-level form shoved each
+      // surviving pair through the shuffle up to 4× (once per matching
+      // band) and then paid a distinct over that surface — ~4 s of the
+      // sf0.1 bench for rows this form never creates.
+      val sigD = sh.select("simhash").distinct()
+      val banded = sigD.crossJoin(broadcast(sh.sparkSession.range(4).select(col("id").as("band"))))
+        .select(col("simhash"), col("band"),
           expr("shiftright(simhash, CAST(band * 4 AS INT)) & 15").as("bb"))
-      // filter on Hamming BEFORE deduping band collisions: the
-      // post-filter pair set is tiny, the pre-filter one is not
-      banded.as("a").join(banded.as("b"),
+      val sigPairs = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bb") === col("b.bb")
+            && col("a.simhash") < col("b.simhash"))
+        .select(col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+        .distinct()
+        .withColumn("ham", bit_count(col("h1").bitwiseXOR(col("h2"))))
+        .filter(col("ham") <= 3)
+      // distinct-sig pairs expand to doc pairs (each doc has ONE
+      // signature, so no duplicates and no distinct needed) …
+      val crossPairs = sigPairs
+        .join(sh.select(col("doc_id").as("x1"), col("simhash").as("h1")), "h1")
+        .join(sh.select(col("doc_id").as("x2"), col("simhash").as("h2")), "h2")
+        .select(least(col("x1"), col("x2")).as("d1"),
+          greatest(col("x1"), col("x2")).as("d2"), col("ham"))
+      // … and identical-signature doc pairs (ham = 0) come from one
+      // equi-join on the signature value
+      val samePairs = sh.as("a").join(sh.as("b"),
+          col("a.simhash") === col("b.simhash")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("ham"))
-        .filter(col("ham") <= 3)
-        .distinct()
-        .orderBy("d1", "d2")
+          lit(0).cast(org.apache.spark.sql.types.IntegerType).as("ham"))
+      crossPairs.unionByName(samePairs).orderBy("d1", "d2")
     }),
 
     // n-gram (word-trigram) Jaccard near-dup, threshold 0.5, with the
@@ -1207,9 +1253,7 @@ object TextOps {
     // candidates, one codegen'd array_intersect per pair, then a
     // 10-row hash agg.
     "dedup_jaccard_histogram" -> ((s, d) => {
-      val tok = distinctTokens(s, d)
-      val docsArr = tok.groupBy("doc_id")
-        .agg(sort_array(collect_list("token")).as("arr"))
+      val docsArr = docTokenArrays(s, d)
       minhashPairs(s, d)
         .filter((col("d1") * 31 + col("d2")) % 50 === 0)
         .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")

@@ -117,11 +117,12 @@ object TextOps {
       .localCheckpoint(true)
   }
 
-  /** ngramSet memoized per (session, sfDir, n, keep): the trigram set
-    * now has TWO declared consumers (`ngram_jaccard_dedup`,
-    * `ngram_novelty`) and the checkpoint inside ngramSet only
+  /** ngramSet memoized per (session, sfDir, n, keep): the 8-gram set
+    * has TWO declared consumers (`decontaminate_ngram`,
+    * `boilerplate_ngrams`) and the checkpoint inside ngramSet only
     * de-duplicates reads within one query tree — without the memo each
-    * query re-pays the split+explode+distinct shuffle. */
+    * query re-pays the split+explode+distinct shuffle. (The trigram
+    * consumers moved to the map-side [[docTrigramIdArrays]] table.) */
   private val ngramCache = new graft.engine.SessionCache[DataFrame]
   private[graft] def ngramSetCached(s: SparkSession, d: String, n: Int,
                              keep: Seq[String]): DataFrame =
@@ -238,6 +239,41 @@ object TextOps {
     docsArrCache.get(s, d) {
       docsF(s, d).select(col("doc_id"),
         sort_array(array_distinct(split(col("text"), " "))).as("arr"))
+        .localCheckpoint(true)
+    }
+
+  /** Per-doc SORTED distinct folded-trigram-id array, built ENTIRELY
+    * map-side (trigram fabrication, md5-fold, distinct, sort all
+    * inside one transform over the split array — a doc's trigrams
+    * live in its own row, so no shuffle is ever needed to group
+    * them), memoized per (session, sfDir, foldWidth). Replaces the
+    * former explode→distinct→collect_list round trip that
+    * `ngram_jaccard_dedup` re-paid per consumer subtree (the fold+
+    * distinct above the checkpointed n-gram set was recomputed by
+    * all five of dfreq/prefix×2/sz/docsArr — measured ~8 s of the
+    * sf0.1 bench for this query alone). fold_hex inside the lambda
+    * runs interpreted (HOFs don't codegen), but per-element cost is
+    * linear in corpus bytes and replaces multiple full shuffles.
+    * Docs with <3 tokens have no trigrams and emit NO row (matches
+    * the exploded form's row universe and the oracle). */
+  private val triIdCache = new graft.engine.SessionCache[DataFrame]
+
+  private[graft] def docTrigramIdArrays(s: SparkSession, d: String): DataFrame =
+    triIdCache.get(s, s"$d|${foldWidth(s)}") {
+      graft.engine.expr.GraftFunctions.register(s)
+      val w = foldWidth(s)
+      // the <3-token guard is a CHEAP filter on the split array BEFORE
+      // the lambda projection — a `size(arr) > 0` filter on top would
+      // be predicate-pushed below the repartition with the WHOLE
+      // interpreted lambda substituted into it (split(text) inlined 3×
+      // per element), re-running the entire build single-core on the
+      // unfanned scan partition (measured 5.1 s vs 0.5 s for the
+      // lambda itself)
+      docsF(s, d).select(col("doc_id"), split(col("text"), " ").as("w0"))
+        .filter(size(col("w0")) >= 3)
+        .select(col("doc_id"), expr(
+          s"""sort_array(array_distinct(transform(sequence(1, size(w0) - 2),
+             |  i -> fold_hex(md5(CAST(concat_ws(' ', w0[i-1], w0[i], w0[i+1]) AS BINARY)), $w))))""".stripMargin).as("arr"))
         .localCheckpoint(true)
     }
 
@@ -694,11 +730,11 @@ object TextOps {
     // computed only for candidate pairs. The Jaccard is one IEEE
     // division of identical ints — drift-free.
     "ngram_jaccard_dedup" -> ((s, d) => {
-      // tri feeds FIVE consumers (dfreq, both prefix-join sides, both
-      // docsArr joins) — ngramSet materializes the trigram set once.
-      // Round 2 shipped this un-persisted on a "≈ equal runtime"
-      // measurement the driver's bench refuted: 37.6 s vs ~7 s — the
-      // recompute multiplies with the consumer count, never amortizes.
+      // The per-doc folded trigram-id SET is the shared memoized
+      // [[docTrigramIdArrays]] table — one row per doc, built map-side
+      // (no explode/distinct/collect_list shuffles; the former
+      // fold+distinct above the n-gram checkpoint was recomputed by
+      // every consumer subtree and dominated this query's ~8 s).
       //
       // Trigrams are FOLDED to 32-bit ids (native fold_hex of md5,
       // the TOK discipline, mirrored in the oracle): the verify step
@@ -706,11 +742,11 @@ object TextOps {
       // arrays intersect several times faster than ~20-char string
       // arrays (measured 5.2 s → the dominant cost at sf0.1). A fold
       // collision merges the same two trigrams in BOTH engines, so
-      // parity holds exactly as for token ids; the distinct() after
+      // parity holds exactly as for token ids; array_distinct after
       // folding makes the per-doc id SET the declared universe on
       // both sides.
-      val tri = withFoldHash(ngramSetCached(s, d, 3, Seq("doc_id")), "ng", "tid")
-        .select("doc_id", "tid").distinct()
+      val docsArr = docTrigramIdArrays(s, d)
+      val tri = docsArr.select(col("doc_id"), explode(col("arr")).as("tid"))
       val dfreq = tri.groupBy("tid").agg(count(lit(1)).as("df"))
       val wOrd = Window.partitionBy("doc_id").orderBy("df", "tid")
       val wDoc = Window.partitionBy("doc_id")
@@ -720,9 +756,20 @@ object TextOps {
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("n", count(lit(1)).over(wDoc))
         .filter(col("rn") <= (col("n") / 2).cast("bigint") + 1)
-        .select("doc_id", "tid")
+        .select("doc_id", "tid", "rn", "n")
+      // PPJoin POSITION filter, applied inside the join condition:
+      // both prefixes are ranked under the SAME global (df, tid)
+      // order, so a pair matching at 1-based ranks (rn_a, rn_b) has
+      // overlap ≤ min(n_a − rn_a, n_b − rn_b) + 1; J ≥ 0.5 needs
+      // overlap ≥ ⌈(n_a+n_b)/3⌉, checked as exact 3·bound ≥ n_a+n_b.
+      // LOSSLESS: a true pair's every matched occurrence satisfies
+      // the bound (bound ≥ true overlap ≥ α), so no qualifying pair
+      // can lose all its candidate rows. Prunes the dup-dense
+      // fixture's candidate surface before the distinct shuffle.
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id"))
+          col("a.tid") === col("b.tid") && col("a.doc_id") < col("b.doc_id")
+            && (least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1) * 3
+               >= col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       // size-ratio necessary condition BEFORE any array attaches
@@ -730,8 +777,9 @@ object TextOps {
       // min(|A|,|B|)/max ≥ 0.5, checked as exact 2·min ≥ max on the
       // INT-only size table — at sf0.1 the prefix join admits ~409k
       // candidates of which 256 verify; pruning on two ints first
-      // keeps the wide array join near the survivor set.
-      val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // keeps the wide array join near the survivor set. Sizes come
+      // map-side from the shared array table — no count shuffle.
+      val sz = docsArr.select(col("doc_id"), size(col("arr")).cast("long").as("sz"))
       val candSized = cand
         .join(sz.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
         .join(sz.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
@@ -741,8 +789,6 @@ object TextOps {
       // single codegen'd array_intersect per pair — no re-join of the
       // exploded trigram rows (that recount was measured to produce
       // MORE join rows than it pruned on near-dup-dense corpora)
-      val docsArr = tri.groupBy("doc_id")
-        .agg(sort_array(collect_list("tid")).as("arr"))
       candSized
         .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
         .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
@@ -1154,11 +1200,14 @@ object TextOps {
     // screen that separates near-boilerplate (novelty→0) from
     // genuinely new text (novelty→1) when curating a crawl in arrival
     // order. Scale shape: first_doc is one hash agg (min doc_id per
-    // trigram) over the SHARED memoized trigram set, joined back on
-    // the trigram key — no windows, no pairwise joins; docs with <3
+    // trigram-id) over the SHARED map-side [[docTrigramIdArrays]]
+    // table (same folded-id universe as `ngram_jaccard_dedup` — a
+    // fold collision merges the same trigrams in both engines), joined
+    // back on the id key — no windows, no pairwise joins; docs with <3
     // tokens have no trigrams and emit no row (both engines agree).
     "ngram_novelty" -> ((s, d) => {
-      val tri = ngramSetCached(s, d, 3, Seq("doc_id"))
+      val tri = docTrigramIdArrays(s, d)
+        .select(col("doc_id"), explode(col("arr")).as("ng"))
       val first = tri.groupBy("ng").agg(min("doc_id").as("first_doc"))
       tri.join(first, "ng")
         .groupBy("doc_id")
@@ -2035,10 +2084,15 @@ object TextOps {
 
     "ngram_novelty" ->
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |tri AS (SELECT DISTINCT doc_id, UNNEST(list_transform(
+        |tri0 AS (SELECT DISTINCT doc_id, UNNEST(list_transform(
         |    generate_series(1, len(a) - 2),
-        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS ng
+        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS tri
         |  FROM arr),
+        |tri AS (SELECT DISTINCT doc_id,
+        |    CAST(SUM((strpos('0123456789abcdef', substr(md5(tri), u.i, 1)) - 1)
+        |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) AS ng
+        |  FROM tri0, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY doc_id, tri),
         |f AS (SELECT ng, MIN(doc_id) AS first_doc FROM tri GROUP BY 1)
         |SELECT tri.doc_id, COUNT(*) AS n_ngrams,
         |  CAST(SUM(CASE WHEN f.first_doc = tri.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,

@@ -118,4 +118,29 @@ class FoldWidthSpec extends SparkSpec {
       .collect().head
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
   }
+
+  test("every fold-bearing oracle hardcodes the engine default width (8)") {
+    // The DuckDB oracle SQL computes the md5 fold with the idiom
+    //   SUM((strpos(...) - 1) * POWER(16, W - u.i)) ... generate_series(1, W)
+    // while the engine reads `graft.text.foldHexDigits` (default 8).
+    // Verify.main fail-louds on a non-8 session; this pins the other
+    // side: no oracle may drift to a different hardcoded W. The
+    // POWER(16, W - u.i) factor is unique to the fold idiom, so the
+    // scan can't trip on unrelated generate_series(1, 8) loops.
+    val powW = """POWER\(16,\s*(\d+)\s*-\s*u\.i\)""".r
+    var folds = 0
+    for ((k, sql) <- SparkEntry.oracleSql; m <- powW.findAllMatchIn(sql)) {
+      folds += 1
+      assert(m.group(1) == "8",
+        s"oracle '$k' folds at width ${m.group(1)}, engine default is 8")
+    }
+    assert(folds > 0, "expected at least one fold-bearing oracle")
+    // and the engine side genuinely defaults to 8: a fresh session
+    // with NO conf override produces the width-8 model fingerprint
+    val fp = TextOps.queries("doc_fingerprint")(spark.newSession(), dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docsFixture.foreach { case (id, text, _, _) =>
+      assert(fp(id) == fpModel(text, 8), s"default-width doc=$id")
+    }
+  }
 }

@@ -26,18 +26,34 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS,false), which Spark 4 refuses
-    * to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a
-    * ns-epoch long via the legacy conf and floor to µs TimestampType —
-    * same truncation DuckDB's µs cast applies, and all declared event
-    * queries only compare at ≥ second granularity (FIXTURES.md). */
+  /** Earlier testdata generations shipped events.ts as parquet
+    * TIMESTAMP(NANOS,false), which Spark 4 refuses to read as a
+    * timestamp ([PARQUET_TYPE_ILLEGAL]) — the legacy conf reads it as a
+    * ns-epoch long instead. Harmless when the column is already µs. */
   def ensureNanosAsLong(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** The driver has shipped events.ts in two on-disk shapes across
+    * testdata generations: TIMESTAMP(NANOS,false) — readable only as a
+    * ns-epoch long (see [[ensureNanosAsLong]]) — and TIMESTAMP(MICROS,
+    * false), which Spark 4 infers as TIMESTAMP_NTZ. Normalize either to
+    * µs-precision session-TZ TimestampType: identical wall-clock
+    * instants under the UTC session every entry point pins, and the
+    * same values DuckDB's µs timestamp sees, so event queries and their
+    * oracles agree regardless of which generation is on disk. */
+  def eventTsExpr(schema: org.apache.spark.sql.types.StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.withColumn("ts", eventTsExpr(raw.schema))
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")

@@ -84,12 +84,12 @@ object StreamQueries {
     * stream. */
   private def watermarkDedup(s: SparkSession, d: String): DataFrame = {
     Tables.ensureNanosAsLong(s)
-    val schema = s.read.parquet(s"$d/events.parquet").schema // ts: long (ns)
+    val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = s"wm_dedup_${System.nanoTime()}"
     withStatePartitions(s, 8) {
       val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", Tables.eventTsExpr(schema))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.format("memory").queryName(name)
@@ -143,7 +143,7 @@ object StreamQueries {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("tss", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+      .withColumn("tss", date_trunc("second", Tables.eventTsExpr(schema)))
     val err = src.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id").as("eu"), col("tss").as("ets"))
       .withWatermark("ets", "10 minutes")
@@ -282,7 +282,7 @@ object StreamQueries {
     withStatePartitions(s, 8) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", Tables.eventTsExpr(schema))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
         .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),

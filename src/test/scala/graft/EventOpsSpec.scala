@@ -62,6 +62,29 @@ class EventOpsSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(4) == 2L)
   }
 
+  test("Tables.events normalizes both on-disk ts generations identically") {
+    import spark.implicits._
+    // The driver has shipped events.ts as TIMESTAMP(NANOS) (read as a
+    // ns-epoch long) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ);
+    // the loader must yield the same TimestampType rows for both.
+    val rows = Seq((1L, 7L, 1000L, "view"), (2L, 8L, 2000L, "click"))
+    val dNs = java.nio.file.Files.createTempDirectory("evns").toString
+    rows.map { case (id, u, es, t) => (id, u, es * 1000000000L, t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dNs/events.parquet")
+    val dUs = java.nio.file.Files.createTempDirectory("evus").toString
+    rows.toDF("event_id", "user_id", "es", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "CAST(timestamp_micros(es * 1000000) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dUs/events.parquet")
+    val a = graft.engine.Tables.events(spark, dNs).orderBy("event_id").collect().toSeq
+    val b = graft.engine.Tables.events(spark, dUs).orderBy("event_id").collect().toSeq
+    assert(graft.engine.Tables.events(spark, dUs).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(a == b, s"ns-long and µs-ntz generations diverged: $a vs $b")
+  }
+
   /** events.parquet fixture in the driver's on-disk shape: ts is a
     * LONG of epoch NANOseconds (Tables.events floors it to µs). */
   private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {

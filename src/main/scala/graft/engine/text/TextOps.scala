@@ -186,10 +186,28 @@ object TextOps {
             sig.select(col("doc_id"), lit(b.toLong).as("band"),
               chain(b * rowsPerBand until (b + 1) * rowsPerBand).as("bsig"))
           }.reduce(_ union _)
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        // pair generation is bucket-local, so SKIP the band self-join:
+        // aggregate each (band, bsig) bucket to its sorted doc list,
+        // fan the per-position rows across the session, and emit each
+        // position's suffix pairs map-side. Same multiset as the
+        // self-join (sorted array ⇒ d1 < d2; suffix slice ⇒ all pairs,
+        // band-dup factor ≤ 2 as before), but a HOT bucket's quadratic
+        // fan-out spreads over its n rows instead of landing in the ONE
+        // join task that owns its hash key — the fixture's two ~2.5k-doc
+        // buckets produce 6M of the 6.5M pairs, and generation+
+        // checkpoint write went 4.9 s → 1.9 s at sf0.1 when they
+        // stopped serializing. (At production scale a bucket this hot
+        // gets capped/salted regardless — both shapes are quadratic in
+        // bucket size; this one just parallelizes it.) The fan also
+        // fixes the downstream read width: AQE had coalesced the old
+        // join's ~100 MB checkpoint to 2 partitions, running every
+        // consumer pass 2-wide (3-4 s each, five consumers).
+        bands.groupBy("band", "bsig")
+          .agg(sort_array(collect_list("doc_id")).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(posexplode(col("ds")).as(Seq("i", "d1")), col("ds"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("d1"), explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("d2"))
           .localCheckpoint(true)
       }
     // the DISTINCT view gets its own memo level: three declared

@@ -46,6 +46,11 @@ object Multimodal {
                      n_bytes: Int, checksum: Long)
 
   object MediaCodec {
+    // in-memory ImageIO streams: with the default useCache=true every
+    // encode/decode call backs its stream with a fresh TEMP FILE —
+    // tens of thousands of disk-file creations per corpus pass, pure
+    // I/O overhead for byte-array payloads that fit in memory anyway
+    ImageIO.setUseCache(false)
     private val P = 1000003L
     private val W = 16
 

@@ -114,6 +114,10 @@ object TextOps {
            |    i -> concat_ws(' ', $terms))
            |ELSE array() END""".stripMargin)).as("ng"): _*)
       .distinct()
+      // AQE coalesces the distinct's ~small output under the advisory
+      // partition size, narrowing every consumer pass (measured 6
+      // partitions at sf0.1); pin the checkpoint at session width
+      .repartition(docsDf.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
   }
 
@@ -216,7 +220,11 @@ object TextOps {
     // when only the raw list was cached (round-5 bench: 4.4 s each)
     if (dedup)
       distinctPairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand") {
-        joined.distinct().localCheckpoint(true)
+        // same width pin as the raw list: AQE coalesced the b=1
+        // banding's smaller distinct output to 10 partitions
+        joined.distinct()
+          .repartition(s.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
       }
     else joined
   }

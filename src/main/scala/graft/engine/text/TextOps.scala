@@ -386,12 +386,15 @@ object TextOps {
     val tok = distinctTokens(s, d)
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy("doc_id").orderBy("df", "token")
-    val wDoc = Window.partitionBy("doc_id")
-    // prefix length for t = 0.9: ⌊|A|/10⌋ + 1; the per-doc set size
-    // rides along from the same window pass
+    // prefix length for t = 0.9: ⌊|A|/10⌋ + 1. The per-doc set size
+    // joins in from the memoized per-doc array table (size(arr) ≡ the
+    // distinct-token count — both derive from array_distinct(split)),
+    // saving the second window pass over the exploded token rows
+    val nTok = docTokenArrays(s, d)
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"))
     val prefix = tok.join(dfreq, "token")
+      .join(nTok, "doc_id")
       .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wDoc))
       .filter(col("rn") <= (col("n") / 10).cast("bigint") + 1)
       .select("doc_id", "token")
     // sampled-prefix × corpus-prefix: every qualifying pair has a

@@ -162,6 +162,28 @@ class ScaleShapeSpec extends SparkSpec {
       s"small-quotient branch should broadcast the resolved labels:\n$smallPlan")
   }
 
+  test("memoized pair/ngram checkpoints hold session width; bucket-local pairs bounded by band dup") {
+    import graft.engine.text.TextOps
+    // AQE coalesces a small checkpoint to 1-10 partitions when it only
+    // sees bytes (the raw pair list landed at 2 at sf0.1), silently
+    // narrowing every consumer pass of the memoized frame — the width
+    // is pinned by an explicit repartition before each checkpoint
+    val par = spark.sparkContext.defaultParallelism
+    for ((name, df) <- Seq(
+        "raw pairs" -> TextOps.minhashPairs(spark, sf0001, dedup = false),
+        "distinct pairs" -> TextOps.minhashPairs(spark, sf0001),
+        "b1r8 pairs" -> TextOps.minhashPairs(spark, sf0001, dedup = true, rowsPerBand = 8),
+        "8-gram set" -> TextOps.ngramSetCached(spark, sf0001, 8, Seq("doc_id"))))
+      assert(df.rdd.getNumPartitions == par,
+        s"$name checkpoint width ${df.rdd.getNumPartitions} != session parallelism $par")
+    // the bucket-local generation (sorted bucket array + suffix slice)
+    // must emit each unordered pair at most once per matching band —
+    // the same ≤2 dup factor the former band self-join had
+    val dupMax = TextOps.minhashPairs(spark, sf0001, dedup = false)
+      .groupBy("d1", "d2").count().agg(max("count")).head().getLong(0)
+    assert(dupMax <= 2, s"raw pair band-dup factor $dupMax exceeds the band count 2")
+  }
+
   test("minhash_recall truth join is prefix-filtered, never a raw token-key join") {
     import graft.engine.text.TextOps
     // round 4 shipped the truth as sampled-docs × ALL-docs joined on

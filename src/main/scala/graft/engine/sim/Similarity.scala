@@ -358,28 +358,44 @@ object Similarity {
     // of the base vectors) without touching base-vector pairings —
     // cost ∝ batch × cells, never corpus. This is the daily-upsert
     // shape of a served IVF index: new embeddings route to their
-    // coarse cell; only the routed cells' postings grow. Assignment
-    // ranks on (round6(d²), cell) — the assign_nearest_centroid
-    // discipline, cross-engine stable. Scale shape: base centroids
-    // are one hash agg (labels×dims rows, BROADCAST), batch-to-cell
-    // distances one map-side join + per-(vec, cell) agg, one
-    // batch-partitioned window.
+    // coarse cell; only the routed cells' postings grow. Scale shape:
+    // base centroids are one hash agg (labels×dims rows, BROADCAST),
+    // batch-to-cell distances one map-side join + per-(vec, cell) agg,
+    // one batch-partitioned window.
+    //
+    // EXACT-INTEGER core (§7.6 rule b — this op DID flake: DuckDB's
+    // parallel float AVG accumulates in run-dependent order and one
+    // sf0.001 rounded mean sat on a 6-dp boundary, flipping between
+    // probe runs). Embeddings are micro-quantized per ROW
+    // (floor(x·1e6) — one float op on identical inputs, deterministic
+    // in both engines), centroids stay exact (SUM, COUNT) integer
+    // pairs (μ = S/n never materialized as a float), and per-
+    // (vec, cell) distance is Σ(n·x − S)² in exact DECIMAL — so the
+    // single double division d2s/(n²·1e12) has bit-identical operands
+    // everywhere and every ranking/output value is reproducible under
+    // ANY parallelism. Output d² mass is integer ppm for the same
+    // reason (the token_budget_sample rate_ppm discipline).
     "incremental_ann_upsert" -> ((s, d) => {
       val e = vecs(s, d).select(col("vec_id"), col("label"),
           posexplode(col("f")).as(Seq("p", "x")))
-        .select(col("vec_id"), col("label"), (col("p") + 1).cast("long").as("i"), col("x"))
+        .select(col("vec_id"), col("label"), (col("p") + 1).cast("long").as("i"),
+          floor(col("x") * lit(1e6)).cast("long").as("xi"))
       val cent = e.filter(col("vec_id") % 10 =!= 7)
-        .groupBy("label", "i").agg(avg("x").as("mu"))
-        .select(col("label").as("cell"), col("i"), col("mu"))
+        .groupBy("label", "i")
+        .agg(sum("xi").as("sm"), count(lit(1)).as("n"))
+        .select(col("label").as("cell"), col("i"), col("sm"), col("n"))
+      val t = (col("xi") * col("n") - col("sm")).cast("decimal(19,0)")
       val d2 = e.filter(col("vec_id") % 10 === 7)
         .join(broadcast(cent), "i")
         .groupBy("vec_id", "cell")
-        .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(round(col("d2"), 6), col("cell"))
+        .agg(sum(t * t).as("d2s"), max("n").as("n"))
+      val dv = col("d2s").cast("double") /
+        (col("n") * col("n")).cast("double") / lit(1e12)
+      val w = Window.partitionBy("vec_id").orderBy(dv.asc, col("cell"))
       d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cell"), floor(dv * lit(1e6)).cast("long").as("d2_ppm"))
         .groupBy("cell")
-        .agg(count(lit(1)).as("n_new"),
-          round(avg(round(col("d2"), 6)), 6).as("mean_d2"))
+        .agg(count(lit(1)).as("n_new"), sum("d2_ppm").as("sum_d2_ppm"))
         .orderBy("cell")
     }),
 
@@ -747,15 +763,24 @@ object Similarity {
 
     "incremental_ann_upsert" ->
       s"""WITH $PT,
-         |cent AS (SELECT label AS cell, i, AVG(v) AS mu FROM pt
-         |  WHERE vec_id % 10 <> 7 GROUP BY label, i),
-         |d2 AS (SELECT p.vec_id, c.cell, SUM((p.v - c.mu) * (p.v - c.mu)) AS d2
-         |  FROM pt p JOIN cent c ON p.i = c.i
+         |q AS (SELECT vec_id, label, i,
+         |    CAST(FLOOR(v * 1000000.0) AS BIGINT) AS xi FROM pt),
+         |cent AS (SELECT label AS cell, i, CAST(SUM(xi) AS BIGINT) AS sm,
+         |    COUNT(*) AS n FROM q WHERE vec_id % 10 <> 7 GROUP BY label, i),
+         |d2 AS (SELECT p.vec_id, c.cell,
+         |    SUM(CAST(p.xi * c.n - c.sm AS DECIMAL(19,0))
+         |      * CAST(p.xi * c.n - c.sm AS DECIMAL(19,0))) AS d2s,
+         |    MAX(c.n) AS n
+         |  FROM q p JOIN cent c ON p.i = c.i
          |  WHERE p.vec_id % 10 = 7 GROUP BY p.vec_id, c.cell),
-         |a AS (SELECT vec_id, cell, ROUND(d2, 6) AS d2r,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY ROUND(d2, 6), cell) AS rn FROM d2)
-         |SELECT cell, COUNT(*) AS n_new, ROUND(AVG(d2r), 6) AS mean_d2
+         |a AS (SELECT vec_id, cell,
+         |    CAST(d2s AS DOUBLE) / CAST(n * n AS DOUBLE) / 1000000000000.0 AS dv,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |      CAST(d2s AS DOUBLE) / CAST(n * n AS DOUBLE) / 1000000000000.0,
+         |      cell) AS rn
+         |  FROM d2)
+         |SELECT cell, COUNT(*) AS n_new,
+         |  CAST(SUM(CAST(FLOOR(dv * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_d2_ppm
          |FROM a WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
 
     "embedding_centroid_shift" ->

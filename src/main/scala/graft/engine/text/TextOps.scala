@@ -365,9 +365,15 @@ object TextOps {
       .join(flags.select(col("doc_id").as("d2"), col("samp").as("f2")), "d2")
       .filter(col("f1") || col("f2")).select("d1", "d2")
     // every truth pair has a sampled side by construction, so
-    // truth ⋉ pairs ≡ truth ⋉ cand — semi-join the UNFILTERED pair
-    // set and skip the flag joins on this path entirely
-    val tp = truth.join(pairs, Seq("d1", "d2"), "left_semi")
+    // truth ⋉ pairs ≡ truth ⋉ cand — intersect the UNFILTERED pair
+    // set and skip the flag joins on this path entirely. Keep the
+    // PAIR LIST on the probe (left) side: both sets are distinct, so
+    // |pairs ∩ truth| counts the same either way, and AQE then
+    // broadcasts the small checkpointed truth (~86k rows at sf0.1)
+    // instead of shuffling all 4.4M pairs on (d1, d2); at a scale
+    // where the sampled truth outgrows the broadcast threshold the
+    // same plan degrades to the shuffle join on its own
+    val tp = pairs.join(truth, Seq("d1", "d2"), "left_semi")
     // recall/precision NULL (not a crash) when a denominator is 0:
     // at a tiny SF or an unlucky sample n_truth/n_cand can be empty,
     // and Spark's ANSI division would raise where DuckDB yields NULL

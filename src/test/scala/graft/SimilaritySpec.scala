@@ -147,6 +147,29 @@ class SimilaritySpec extends SparkSpec {
       Set("bd_silhouette_max", "bd_dunn_max", "davies_bouldin_min", "wssse_elbow"))
   }
 
+  test("incremental_ann_upsert: every batch vector routes to exactly one cell; zero-distance self-match") {
+    import spark.implicits._
+    // label 0's centroid is exactly (1, 2) (both base vecs identical),
+    // and batch vec 7 carries that same vector → its d² is exactly 0
+    // and it must route to cell 0; batch vec 17 sits at (9, 9), closer
+    // to label 1's (8, 8) centroid. Σ n_new must equal the batch size
+    // (each batch vec assigned exactly once), and the exact-integer
+    // core must yield sum_d2_ppm = 0 for the self-match cell.
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    Seq(
+      (0L, Array(1.0f, 2.0f), 0), (10L, Array(1.0f, 2.0f), 0),
+      (4L, Array(8.0f, 8.0f), 1), (14L, Array(8.0f, 8.0f), 1),
+      (7L, Array(1.0f, 2.0f), 0), (17L, Array(9.0f, 9.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("incremental_ann_upsert")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).sum == 2, s"batch size 2, got ${out.toSeq}")
+    val byCell = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byCell(0) == (1L, 0L), s"vec 7 must self-match cell 0 at d²=0: ${out.toSeq}")
+    assert(byCell(1)._1 == 1L, s"vec 17 must route to cell 1: ${out.toSeq}")
+  }
+
   test("embedding_centroid_shift: identical cohorts ⇒ shift 0 everywhere") {
     import spark.implicits._
     // even/odd ids carry the SAME two vectors per label → cohort means equal

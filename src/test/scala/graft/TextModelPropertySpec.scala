@@ -118,4 +118,44 @@ class TextModelPropertySpec extends SparkSpec {
       assert(got(1000) == 1.0, s"6-word vocab must be fully covered at k=1000")
     }
   }
+
+  test("bucket-local pair generation ≡ nested-loop band-join pairs on random corpora") {
+    // the MinHash candidate pair list is produced bucket-locally
+    // (sorted doc array + suffix slice) rather than via a band
+    // self-join; the two enumerations must yield the SAME multiset.
+    // Model: recompute the 8 min-hashes per doc (the engine's fold_hex
+    // token ids via the registered SQL function, its seed constants,
+    // its P) and enumerate each (band, bsig) bucket's d1<d2 pairs with
+    // a plain nested loop.
+    graft.engine.expr.GraftFunctions.register(spark)
+    val P = 1000003L
+    cases(6).foreach { rows =>
+      val d = dirOf(rows)
+      val got = TextOps.minhashPairs(spark, d, dedup = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val tids = spark.read.parquet(s"$d/documents.parquet")
+        .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS token")
+        .selectExpr("doc_id", s"fold_hex(md5(CAST(token AS BINARY)), 8) % $P AS tid")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val sig = tids.map { case (doc, ts) =>
+        doc -> (0 until 8).map(s => ts.map(t => (t * (s * 2 + 3) + (s * 7 + 1)) % P).min)
+      }
+      val model = collection.mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+      for (b <- 0 until 2) {
+        val buckets = sig.toSeq.groupBy { case (_, m) =>
+          (b * 4 until (b + 1) * 4).map(m).reduceLeft((a, x) => a * 31 + x)
+        }
+        for ((_, ds) <- buckets; ids = ds.map(_._1).sorted;
+             i <- ids.indices; j <- i + 1 until ids.size)
+          model((ids(i), ids(j))) += 1
+      }
+      assert(got == model.toMap, s"pair multiset mismatch: engine ${got.size} keys, model ${model.size}")
+      // and the DISTINCT view is exactly the raw list's key set
+      val dis = TextOps.minhashPairs(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dis == got.keySet)
+    }
+  }
 }

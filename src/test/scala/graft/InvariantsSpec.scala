@@ -34,6 +34,12 @@ class InvariantsSpec extends SparkSpec {
   private def df(pts: Seq[(Long, Seq[Double], Int)]) =
     pts.toDF("vec_id", "features", "cluster")
 
+  test("driver contract: SparkEntry.entry returns rows on the smoke fixture") {
+    // the driver smoke-checks rows > 0 on entry(spark) at sf0.001 —
+    // guard the contract here so a refactor can't break it unnoticed
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("BD-Silhouette ∈ [-1, 1]; BD-Dunn ≥ 0; DB ≥ 0") {
     cases(3).foreach { pts =>
       val p = df(pts)

@@ -1536,6 +1536,26 @@ object TextOps {
         .orderBy("s1", "s2")
     }),
 
+    // Cross-LANGUAGE near-dup matrix — the translation-leakage /
+    // cross-lingual contamination audit (a multilingual training set
+    // must know how much of lang A is a light rewrite of lang B:
+    // off-diagonal mass here is text that an English-only dedup pass
+    // would have missed). Same provenance-matrix plan as
+    // `dedup_source_matrix` with the lang dim: reads the memoized
+    // pair surface (no extra MinHash work) and broadcasts the
+    // docs-sized lang map on both sides, so the multi-million-row
+    // pair list never shuffles on doc ids.
+    "dedup_lang_matrix" -> ((s, d) => {
+      val lm = docs(s, d).select(col("doc_id"), col("lang"))
+      minhashPairs(s, d)
+        .join(broadcast(lm.select(col("doc_id").as("d1"), col("lang").as("la"))), "d1")
+        .join(broadcast(lm.select(col("doc_id").as("d2"), col("lang").as("lb"))), "d2")
+        .select(least(col("la"), col("lb")).as("l1"),
+          greatest(col("la"), col("lb")).as("l2"))
+        .groupBy("l1", "l2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("l1", "l2")
+    }),
+
     // Edit-distance audit of the near-dup candidate surface: exact
     // Levenshtein + normalized similarity for a DETERMINISTIC 2%
     // sample of the memoized MinHash pairs ((d1·31+d2) mod 50 — pure
@@ -2293,6 +2313,16 @@ object TextOps {
          |$MINHASH
          |SELECT LEAST(a.source, b.source) AS s1,
          |  GREATEST(a.source, b.source) AS s2, COUNT(*) AS n_pairs
+         |FROM pairs
+         |  JOIN documents a ON a.doc_id = pairs.d1
+         |  JOIN documents b ON b.doc_id = pairs.d2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_lang_matrix" ->
+      s"""WITH $TOK,
+         |$MINHASH
+         |SELECT LEAST(a.lang, b.lang) AS l1,
+         |  GREATEST(a.lang, b.lang) AS l2, COUNT(*) AS n_pairs
          |FROM pairs
          |  JOIN documents a ON a.doc_id = pairs.d1
          |  JOIN documents b ON b.doc_id = pairs.d2

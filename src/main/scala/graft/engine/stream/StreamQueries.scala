@@ -296,6 +296,68 @@ object StreamQueries {
     }
   }
 
+  /** Generic streaming-engine warmup for the bench harness: three tiny
+    * MemoryStream queries (≤8 synthetic rows each, no fixture data)
+    * touching exactly the engine machinery the declared stream queries
+    * pay on first use — micro-batch execution + offset/commit logs,
+    * the HDFS-backed state store (watermarked agg + dedup state), the
+    * symmetric-hash-join state (four stores per partition), and the
+    * RocksDB provider's JNI/native first load (transformWithState).
+    * Without this, whichever stream query runs first in a bench is
+    * billed the engine's whole first-touch cost (driver round 6 billed
+    * 29.1 s to `stream_stream_join`; its isolated cost is ~5 s).
+    * Nothing query- or fixture-specific is computed. */
+  private[graft] def warmStreamingEngine(s: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val rows = (0 until 8).map(i => (i.toLong, t(i), i.toDouble))
+    withStatePartitions(s, 8) {
+      // 1) watermarked window agg + within-watermark dedup (HDFS store)
+      val m1 = MemoryStream[(Long, Timestamp, Double)](s)
+      val q1 = m1.toDF().toDF("id", "ts", "v")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("id")
+        .groupBy(window(col("ts"), "5 minutes")).agg(sum("v"))
+        .writeStream.format("noop")
+        .outputMode(OutputMode.Append).start()
+      m1.addData(rows)
+      q1.processAllAvailable(); q1.stop()
+      // 2) stream-stream interval join (symmetric hash-join state)
+      val ml = MemoryStream[(Long, Timestamp)](s)
+      val mr = MemoryStream[(Long, Timestamp)](s)
+      val l = ml.toDF().toDF("k", "lts").withWatermark("lts", "10 minutes")
+      val r = mr.toDF().toDF("k2", "rts").withWatermark("rts", "10 minutes")
+      val q2 = l.join(r, col("k") === col("k2")
+          && col("rts") >= col("lts") - expr("INTERVAL 10 MINUTES")
+          && col("rts") < col("lts"))
+        .writeStream.format("noop")
+        .outputMode(OutputMode.Append).start()
+      ml.addData(rows.map(x => (x._1 % 2, x._2)))
+      mr.addData(rows.map(x => (x._1 % 2, x._2)))
+      q2.processAllAvailable(); q2.stop()
+      // 3) transformWithState under the RocksDB provider (JNI load)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val m3 = MemoryStream[(Long, Double)](s)
+        val q3 = m3.toDS().groupByKey(_._1)
+          .transformWithState(new PerUserAgg, TimeMode.None(), OutputMode.Append())
+          .toDF("u", "n", "v")
+          .writeStream.format("noop")
+          .outputMode(OutputMode.Append).start()
+        m3.addData(rows.map(x => (x._1 % 2, x._3)))
+        q3.processAllAvailable(); q3.stop()
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (tumbling _),
     "q_stream_sliding" -> (sliding _),

@@ -52,6 +52,14 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
+    // eventTsExpr's NTZ→TIMESTAMP branch is instant-preserving only
+    // under a UTC session zone (the entry points pin it); a library
+    // caller under a local TZ would get wall-clock-shifted instants
+    // for the µs generation only — fail fast instead of drifting
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+      s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the TIMESTAMP_NTZ normalization is only instant-preserving under UTC")
     val raw = table(s, d, "events")
     raw.withColumn("ts", eventTsExpr(raw.schema))
   }

@@ -49,7 +49,12 @@ object Multimodal {
     // in-memory ImageIO streams: with the default useCache=true every
     // encode/decode call backs its stream with a fresh TEMP FILE —
     // tens of thousands of disk-file creations per corpus pass, pure
-    // I/O overhead for byte-array payloads that fit in memory anyway
+    // I/O overhead for byte-array payloads that fit in memory anyway.
+    // NOTE this setter is JVM-GLOBAL (all ImageIO users in the
+    // process lose disk-backed streams once this object loads); on an
+    // executor JVM that is the desired steady state, but an embedding
+    // host application that relies on ImageIO's temp-file cache for
+    // huge images should set it back around its own calls.
     ImageIO.setUseCache(false)
     private val P = 1000003L
     private val W = 16

@@ -384,13 +384,26 @@ object Similarity {
         .groupBy("label", "i")
         .agg(sum("xi").as("sm"), count(lit(1)).as("n"))
         .select(col("label").as("cell"), col("i"), col("sm"), col("n"))
+      // 64-bit headroom: xi·n − sm is Long math BEFORE the DECIMAL
+      // cast, exact only while |n·x·1e6| < 2^63 ≈ 9.2e18 — i.e.
+      // per-cell count × |component| < 9.2e12, comfortable for unit-
+      // normalized embeddings at any realistic cell size (1e9 vectors
+      // × |x| ≤ 1e3). Beyond it, non-ANSI Spark would wrap silently
+      // where DuckDB raises; cast xi/sm to DECIMAL first if a
+      // deployment ever nears the bound.
       val t = (col("xi") * col("n") - col("sm")).cast("decimal(19,0)")
       val d2 = e.filter(col("vec_id") % 10 === 7)
         .join(broadcast(cent), "i")
         .groupBy("vec_id", "cell")
-        .agg(sum(t * t).as("d2s"), max("n").as("n"))
-      val dv = col("d2s").cast("double") /
-        (col("n") * col("n")).cast("double") / lit(1e12)
+        .agg(sum(t * t).as("d2s"), max("n").as("n"), min("n").as("n_min"))
+      // d2s/n² assumes ONE n per cell (fixed dimensionality): with
+      // ragged embedding arrays n varies per dim and both engines
+      // would agree on a self-consistent WRONG distance (the oracle
+      // cannot catch it) — so ragged input fails loudly instead
+      val dv = when(col("n_min") === col("n"),
+        col("d2s").cast("double") / (col("n") * col("n")).cast("double") / lit(1e12))
+        .otherwise(raise_error(lit(
+          "incremental_ann_upsert: ragged embedding dimensionality within a cell")))
       val w = Window.partitionBy("vec_id").orderBy(dv.asc, col("cell"))
       d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("cell"), floor(dv * lit(1e6)).cast("long").as("d2_ppm"))

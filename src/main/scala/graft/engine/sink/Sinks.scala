@@ -83,6 +83,27 @@ object Sinks {
       p
     }
 
+  /** Tab-line serialization for the text roundtrip (and SinksSpec's
+    * adversarial-content cases): (doc_id, lang, source, text) → one
+    * `value` line with every string field hex-armored; plain `concat`
+    * so a NULL field nulls the LINE (the text sink then fails fast)
+    * instead of concat_ws's silent left-shift. Inverse below. */
+  private[graft] def textLineEncode(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def h(c: String) = hex(encode(col(c), "UTF-8"))
+    df.select(concat(col("doc_id").cast("string"), lit("\t"), h("lang"),
+      lit("\t"), h("source"), lit("\t"), h("text")).as("value"))
+  }
+
+  private[graft] def textLineDecode(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def u(c: org.apache.spark.sql.Column) = decode(unhex(c), "UTF-8")
+    df.select(split(col("value"), "\t", 4).as("f"))
+      .select(col("f").getItem(0).cast("bigint").as("doc_id"),
+        u(col("f").getItem(1)).as("lang"), u(col("f").getItem(2)).as("source"),
+        u(col("f").getItem(3)).as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -259,35 +280,31 @@ object Sinks {
 
     // a FIFTH source format end-to-end: plain text lines (the format
     // raw crawl dumps and log shippers hand over) — each document
-    // serialized as ONE tab-delimited line (id, lang, source,
-    // hex(text)), written via the text sink, read back line-wise,
-    // re-parsed with a LIMIT-4 split and hex-decoded, aggregated
-    // per lang with an id-sum check. The free-text payload is hex-
-    // wrapped because a line format cannot carry raw newlines/CRs
-    // (one embedded '\n' would split a document into two malformed
-    // lines) — hex is lossless for ANY byte content AND chunk-free
-    // (Spark's base64 is the MIME encoder: it inserts CRLF every 76
-    // chars, re-breaking the very lines it was meant to protect), so
-    // the roundtrip contract does not lean on a fixture no-newline
-    // invariant. The dim fields (doc_id, lang, source) ride raw: a
-    // line format cannot represent NULL (concat_ws would skip the
-    // field and shift the record left), and enum-like dims are
-    // non-null by the documents schema — that invariant is the
-    // format's contract, not an accident. Any line-splitting or
-    // UTF-8 corruption shifts n/chars/distinct/id_sum and
-    // hash-mismatches against the original-table oracle.
+    // serialized as ONE tab-delimited line (id, hex(lang),
+    // hex(source), hex(text)), written via the text sink, read back
+    // line-wise, re-parsed with a LIMIT-4 split and hex-decoded,
+    // aggregated per lang with an id-sum check. EVERY string field is
+    // hex-wrapped because a line format cannot carry raw
+    // newlines/CRs/tabs (one embedded '\n' would split a document
+    // into two malformed lines; a tab in lang/source would shift
+    // every later field) — hex is lossless for ANY byte content AND
+    // chunk-free (Spark's base64 is the MIME encoder: it inserts CRLF
+    // every 76 chars, re-breaking the very lines it was meant to
+    // protect), so the roundtrip contract leans on NO fixture
+    // content invariant (SinksSpec drives tabs/newlines/empties
+    // through it). NULL remains unrepresentable in a line format —
+    // and fails LOUDLY: plain concat (not concat_ws, which skips
+    // NULLs and silently shifts the record left) nulls the whole
+    // line and the text sink rejects a NULL value at write time.
+    // Any line-splitting or UTF-8 corruption shifts
+    // n/chars/distinct/id_sum and hash-mismatches against the
+    // original-table oracle.
     "source_text_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val path = cachedPath(s, s"$d|text")(p =>
-        graft.engine.Tables.documents(s, d)
-          .select(concat_ws("\t", col("doc_id"), col("lang"),
-            col("source"), hex(encode(col("text"), "UTF-8"))).as("value"))
+        textLineEncode(graft.engine.Tables.documents(s, d))
           .write.mode(SaveMode.Overwrite).text(p))
-      s.read.text(path)
-        .select(split(col("value"), "\t", 4).as("f"))
-        .select(col("f").getItem(0).cast("bigint").as("doc_id"),
-          col("f").getItem(1).as("lang"), col("f").getItem(2).as("source"),
-          decode(unhex(col("f").getItem(3)), "UTF-8").as("text"))
+      textLineDecode(s.read.text(path))
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           sum(length(col("text"))).as("chars"),

@@ -89,4 +89,29 @@ class InvariantsSpec extends SparkSpec {
     val twice = survivors.groupBy("t").agg(min("doc_id")).count()
     assert(once == twice && once == 3)
   }
+
+  test("seeded k-sweep and optimal-k selection are run-to-run deterministic") {
+    // `k_sweep`/`optimal_k_select` are no_oracle by design (seeded
+    // iterative MLlib) — this contract converts their "deterministic
+    // given the fixed seed" claim from comment to checked fact (the
+    // cms_error_contract pattern): two INDEPENDENT sweep runs (the
+    // memo is bypassed — sweepCached would return the first run) must
+    // produce bit-identical index tables and the same argbest per
+    // criterion. A nondeterministic init, a thread-order-dependent
+    // reduction, or an unseeded sample in the fit would diverge here.
+    import graft.engine.cluster.KMeansSweep
+    val pts = graft.engine.Tables.points(spark, sf0001)
+    def run() = KMeansSweep.sweep(pts, 2, 4, 10)
+      .select("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin")
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq,
+      s"seeded sweep diverged between runs:\n${a.toSeq}\n${b.toSeq}")
+    import spark.implicits._
+    def pick(rows: Array[(Int, Double, Double, Double, Double)]) =
+      KMeansSweep.optimalK(rows.toSeq.toDF("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin"))
+        .select("criterion", "best_k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(pick(a) == pick(b))
+  }
 }

@@ -366,4 +366,37 @@ class ScaleShapeSpec extends SparkSpec {
       assert(hashEx == 1, s"$k: expected exactly 1 hash exchange, got $hashEx:\n$phys")
     }
   }
+
+  test("dedup-chain billing: warm consumers read checkpoints, never re-derive the chain") {
+    // Round-6 bench billing was order-dependent: whichever dedup
+    // consumer ran first paid the whole token→signature→pair→truth
+    // build (driver billed 14.2 s to minhash_recall; incremental cost
+    // ~1 s). Bench now pre-touches the shared memos; this pin makes
+    // the warm-consumer contract order-INDEPENDENT: once the chain is
+    // materialized, each recall consumer's physical plan reads the
+    // checkpointed RDDs (pairs + truth) and touches the documents
+    // parquet only for the two per-doc sample-flag dim joins — a
+    // chain re-derivation would put the signature/pair fabrication
+    // (posexplode + suffix slice) or the truth verification
+    // (array_intersect) back into these plans and fail the pins below.
+    import graft.engine.text.TextOps
+    TextOps.distinctTokens(spark, sf0001).count()
+    TextOps.docTokenArrays(spark, sf0001).count()
+    TextOps.minhashPairs(spark, sf0001, rowsPerBand = 4).count()
+    TextOps.minhashPairs(spark, sf0001, rowsPerBand = 8).count()
+    TextOps.minhashTruthCached(spark, sf0001).count()
+    for (k <- Seq("minhash_recall", "minhash_recall_b1r8")) {
+      val q = graft.SparkEntry.queries(k)(spark, sf0001)
+      q.collect()
+      val phys = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val parquetScans = "Scan parquet".r.findAllIn(phys).size
+      val rddScans = "Scan ExistingRDD".r.findAllIn(phys).size
+      assert(parquetScans <= 2,
+        s"$k warm plan re-scans parquet $parquetScans times (chain re-derivation?):\n$phys")
+      assert(rddScans >= 2,
+        s"$k warm plan must read the pair + truth checkpoints (got $rddScans RDD scans):\n$phys")
+      assert(!phys.contains("posexplode") && !phys.contains("array_intersect"),
+        s"$k warm plan rebuilds the pair surface or the truth:\n$phys")
+    }
+  }
 }

@@ -116,4 +116,26 @@ class SinksSpec extends SparkSpec {
     assert(got("en") == ((2L, 41L, 2L, 1L)), s"got $got")
     assert(got("de") == ((1L, 5L, 1L, 2L)), s"got $got")
   }
+
+  test("text line format armors lang/source too: tabs/newlines/empties roundtrip losslessly") {
+    // Round-5 advice: the dim fields used to ride raw, so the
+    // contract silently leaned on a no-tab/no-newline fixture
+    // invariant. Every string field is now hex-armored — a lang
+    // containing the field separator itself, a multiline source, and
+    // empty strings must all come back byte-identical through a real
+    // text-sink write/read.
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "tab\there", "en\tglish", "s\n0"),
+      (1L, "", "", ""),
+      (2L, "plain", "de", "s1"))
+    val tmp = Files.createTempDirectory("sink_dim").toString + "/t"
+    Sinks.textLineEncode(rows.toDF("doc_id", "text", "lang", "source"))
+      .write.mode("overwrite").text(tmp)
+    val back = Sinks.textLineDecode(spark.read.text(tmp))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(back.toSeq == rows.map(t => (t._1, t._2, t._3, t._4)),
+      s"lossy dim roundtrip: ${back.toSeq}")
+  }
 }

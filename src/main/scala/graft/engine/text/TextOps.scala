@@ -1675,6 +1675,62 @@ object TextOps {
             * log((col("cs") / col("ns")) / (col("c") / col("n")))), 6).as("kl"))
         .orderBy("source")
     }),
+
+    // EXACT-substring duplication audit at the Lee et al. 2022
+    // operating point (public method: "Deduplicating Training Data
+    // Makes Language Models Better" — any 50-token span shared
+    // verbatim between two documents is training-set duplication):
+    // every STRIDE-1 50-token window is fingerprinted with full md5
+    // (a 16-byte digest — collision-free in practice and reproduced
+    // bit-for-bit by the oracle, unlike a folded 32-bit id at
+    // birthday-bound window counts), windows dedup per doc MAP-SIDE
+    // (array_distinct inside the lambda — a doc's windows live in its
+    // own row), and the only shuffle is the (doc_id, digest) pairs on
+    // the digest key — the exact_dedup discipline: spans never
+    // shuffle, digests do. `chunk_dedup` is the non-overlapping
+    // approximation of this measure; stride-1 windows make it exact
+    // (a shared span misaligned with chunk boundaries cannot hide).
+    // One fp-partitioned window + one aggregate summarize duplication
+    // mass; the ×50 token amplification is the method's declared
+    // map-side cost (the suffix-array form trades it for a global
+    // sort — the wrong trade under a shuffle-bounded engine).
+    "exact_substring_dedup" -> ((s, d) => {
+      val wins = docsF(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 50)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(w) - 49),
+            |  i -> md5(CAST(array_join(slice(w, i, 50), ' ') AS BINARY))))""".stripMargin))
+          .as("fp"))
+      wins.withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("n") >= 2)
+        .agg(count_distinct(col("fp")).as("n_dup_spans"),
+          count(lit(1)).as("n_doc_span_pairs"),
+          count_distinct(col("doc_id")).as("n_docs_affected"))
+    }),
+
+    // Tokenizer FERTILITY per (lang, source): subword tokens per
+    // whitespace word under the BPE-ish regex (`token_count_regex`'s
+    // proven-parity pattern) plus chars per subword token — the
+    // "how expensive is this corpus slice to tokenize" table a
+    // training-data pipeline publishes per stratum (fertility ≫ 1
+    // flags scripts/domains the tokenizer fragments). Exact-integer
+    // sums per stratum; the two ratios are single IEEE divisions of
+    // identical integers (§7.6 — drift-free). Scale shape: map-side
+    // regex counting → one hash agg on (lang, source); nothing
+    // windows, joins, or sorts globally.
+    "tokenizer_fertility" -> ((s, d) =>
+      docs(s, d).select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+            .cast("long").as("bpe"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_ws_tokens"),
+          sum("bpe").as("n_bpe_tokens"),
+          round(sum("bpe") / sum("ws").cast("double"), 6).as("fertility"),
+          round(sum("chars") / sum("bpe").cast("double"), 6).as("chars_per_token"))
+        .orderBy("lang", "source")),
   )
 
   private val TOK =
@@ -2380,5 +2436,33 @@ object TextOps {
         |    AS kl
         |FROM st JOIN ct USING (token) JOIN stot USING (source) CROSS JOIN tot
         |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
+    // stride-1 50-token windows, full-md5 span digests — DuckDB's
+    // md5(str) equals Spark's md5(CAST(str AS BINARY)) (lowercase hex
+    // of the UTF-8 bytes), so the span keys agree bit-for-bit
+    "exact_substring_dedup" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(a, u.i, u.i + 49), ' ')) AS fp
+        |  FROM arr, UNNEST(generate_series(1, len(a) - 49)) AS u(i)
+        |  WHERE len(a) >= 50),
+        |c AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n FROM g)
+        |SELECT COUNT(DISTINCT fp) AS n_dup_spans,
+        |  COUNT(*) AS n_doc_span_pairs,
+        |  COUNT(DISTINCT doc_id) AS n_docs_affected
+        |FROM c WHERE n >= 2""".stripMargin,
+
+    "tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS BIGINT) AS bpe,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  ROUND(SUM(bpe) / CAST(SUM(ws) AS DOUBLE), 6) AS fertility,
+        |  ROUND(SUM(chars) / CAST(SUM(bpe) AS DOUBLE), 6) AS chars_per_token
+        |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
   )
 }

@@ -367,6 +367,26 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-7 ops: substring dedup joins nothing (digest-grouped); fertility is one hash agg") {
+    // exact_substring_dedup finds shared 50-token spans by GROUPING
+    // window digests, never by pairing documents: no Join of any kind
+    // may appear (a pair-join form is quadratic in dup-cluster size),
+    // and the only window is partitioned by the span fingerprint.
+    val sub = graft.SparkEntry.queries("exact_substring_dedup")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!sub.contains("Join"), s"substring dedup must be join-free:\n$sub")
+    val all = "windowspecdefinition\\(".r.findAllIn(sub).size
+    val byFp = "windowspecdefinition\\(fp".r.findAllIn(sub).size
+    assert(all > 0 && all == byFp,
+      s"span-count windows must partition by fp ($byFp of $all):\n$sub")
+    // tokenizer_fertility: map-side regex counts into ONE hash agg —
+    // no join, no window, nothing sorts except the output contract
+    val fert = graft.SparkEntry.queries("tokenizer_fertility")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!fert.contains("Join") && !fert.contains("Window"),
+      s"fertility must be a single-agg plan:\n$fert")
+  }
+
   test("dedup-chain billing: warm consumers read checkpoints, never re-derive the chain") {
     // Round-6 bench billing was order-dependent: whichever dedup
     // consumer ran first paid the whole token→signature→pair→truth

@@ -298,4 +298,33 @@ class TextOpsSpec extends SparkSpec {
     val r2 = TextOps.queries("psi_drift")(spark, shifted).collect()(0)
     assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) == ((2L, 0L, 0.0)), s"got $r2")
   }
+
+  test("exact_substring_dedup: hand-counted shared 50-token spans") {
+    // words are all-distinct tokens t1..t60; A and B share exactly the
+    // first 55 tokens ⇒ shared stride-1 50-windows are starts 1..6
+    // (6 spans × 2 docs); C/D are 50-token exact dups ⇒ 1 more span
+    // (×2 docs); E is long but unique; F is 49 tokens (no window).
+    def toks(r: Range, p: String = "t") = r.map(i => s"$p$i").mkString(" ")
+    val d = writeDocs(Seq(
+      (0L, toks(1 to 60), "en", "s0"),
+      (1L, toks(1 to 55) + " " + toks(1 to 5, "z"), "en", "s0"),
+      (2L, toks(1 to 50, "c"), "en", "s1"),
+      (3L, toks(1 to 50, "c"), "en", "s1"),
+      (4L, toks(1 to 70, "u"), "en", "s1"),
+      (5L, toks(1 to 49, "v"), "en", "s2")))
+    val r = TextOps.queries("exact_substring_dedup")(spark, d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 14L, 4L)), s"got $r")
+  }
+
+  test("tokenizer_fertility: exact rationals from hand-counted token sets") {
+    // "ab cd12 x!": ws=3; bpe = ab | cd,12 | x,! = 5; chars=10
+    val d = writeDocs(Seq(
+      (0L, "ab cd12 x!", "en", "s0"),
+      (1L, "one two", "de", "s1"))) // ws=2, bpe=2, chars=7
+    val out = TextOps.queries("tokenizer_fertility")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(("en", "s0")) == ((1L, 3L, 5L, 1.666667, 2.0)), s"got $out")
+    assert(out(("de", "s1")) == ((1L, 2L, 2L, 1.0, 3.5)), s"got $out")
+  }
 }

@@ -27,6 +27,27 @@ final class SessionCache[V] {
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => build)
+    perSession.computeIfAbsent(SessionCache.epoch + key, _ => build)
+  }
+}
+
+object SessionCache {
+  /** Global memo EPOCH, folded into every cache key ("" in normal
+    * operation). [[freshEpoch]] lets the bench time an honest COLD
+    * re-execution of a query whose own work product is memoized
+    * (sweep table, sink layouts, checkpointed ANN plans, sketches):
+    * under a plain re-run those queries would serve their memo and
+    * bill a lookup as the query's time. The previous epoch is
+    * restored afterward, so entries built under the temporary epoch
+    * are simply orphaned (bounded: one per re-timed query per run)
+    * and the original memos keep serving subsequent queries.
+    * Single-threaded use only (the bench loop) — queries themselves
+    * never change the epoch. */
+  @volatile private[graft] var epoch: String = ""
+
+  def freshEpoch[T](tag: String)(f: => T): T = {
+    val prev = epoch
+    epoch = s"~$tag~"
+    try f finally epoch = prev
   }
 }

@@ -92,7 +92,10 @@ object KMeansSweep {
                   maxIter: Int): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    sweepCache.computeIfAbsent(s"$key|$kMin|$kMax|$maxIter", _ =>
+    // epoch prefix: this cache is session-independent (plain CHM, not
+    // SessionCache), but the bench's cold-re-run protocol still needs
+    // to bypass it — see SessionCache.freshEpoch
+    sweepCache.computeIfAbsent(s"${graft.engine.SessionCache.epoch}$key|$kMin|$kMax|$maxIter", _ =>
         sweep(points, kMin, kMax, maxIter).collect().toSeq
           .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
             r.getDouble(3), r.getDouble(4), r.getLong(5))))

@@ -166,23 +166,7 @@ object TextOps {
     // session may legitimately flip the width between calls
     require(8 % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide 8")
     val joined = pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand") {
-        // the 8-minhash signature table is banding-INDEPENDENT, so it
-        // gets its own memo level: both declared operating points
-        // (b=2×r=4 and b=1×r=8) band the SAME signatures, and the
-        // signature aggregation (a full doc-level shuffle of the
-        // token set) was re-paid per banding when only the pair list
-        // was cached (driver bench r5: minhash_recall_b1r8 at 6.6 s
-        // vs 2.7 s with the signatures warm).
-        val sig = sigCache.get(s, s"$d|${foldWidth(s)}") {
-          val tok = distinctTokens(s, d)
-          val dt = withTid(tok).select("doc_id", "tid")
-          // all 8 min-hashes in ONE map-side-combined aggregation (no seed
-          // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
-          def mh(seed: Int) =
-            min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
-          dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
-            .localCheckpoint(true)
-        }
+        val sig = minhashSignatures(s, d)
         // band signatures: the r min-hashes of each band chained base-31
         def chain(idxs: Range) =
           idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
@@ -233,6 +217,27 @@ object TextOps {
   private val distinctPairsCache = new graft.engine.SessionCache[DataFrame]
   private val sigCache = new graft.engine.SessionCache[DataFrame]
 
+  /** The 8-minhash signature table `(doc_id, m0..m7)`, memoized per
+    * (session, sfDir, foldWidth). Banding-INDEPENDENT, so it gets its
+    * own memo level: both declared banding operating points (b=2×r=4
+    * and b=1×r=8) band the SAME signatures, and the signature
+    * aggregation (a full doc-level shuffle of the token set) was
+    * re-paid per banding when only the pair list was cached (driver
+    * bench r5: minhash_recall_b1r8 at 6.6 s vs 2.7 s with the
+    * signatures warm). Also read directly by `minhash_calibration`
+    * (per-pair signature-agreement vs exact-Jaccard cross-tab). */
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    sigCache.get(s, s"$d|${foldWidth(s)}") {
+      val tok = distinctTokens(s, d)
+      val dt = withTid(tok).select("doc_id", "tid")
+      // all 8 min-hashes in ONE map-side-combined aggregation (no seed
+      // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
+      def mh(seed: Int) =
+        min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
+      dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+        .localCheckpoint(true)
+    }
+
   /** The DISTINCT (doc_id, token) set, memoized per (session, sfDir)
     * as an eager checkpoint: the MinHash pair builds (both bandings),
     * the exact-Jaccard truth, and incremental_dedup all start from
@@ -267,6 +272,25 @@ object TextOps {
         sort_array(array_distinct(split(col("text"), " "))).as("arr"))
         .localCheckpoint(true)
     }
+
+  /** The DETERMINISTIC 2% sample of the MinHash candidate-pair
+    * surface with each pair's EXACT token-set intersection/union
+    * `(d1, d2, i, u)` — the shared measurement substrate of the
+    * candidate-quality family (`dedup_jaccard_histogram`,
+    * `dedup_threshold_sweep`, `minhash_calibration`). The sample
+    * predicate is pure pair arithmetic ((d1·31+d2) % 50 — no sample
+    * list to ship), and each sampled pair pays ONE codegen'd
+    * `array_intersect` against the memoized sorted-token arrays. */
+  private def sampledPairIU(s: SparkSession, d: String): DataFrame = {
+    val docsArr = docTokenArrays(s, d)
+    minhashPairs(s, d)
+      .filter((col("d1") * 31 + col("d2")) % 50 === 0)
+      .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
+      .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
+      .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+      .withColumn("u", size(col("a1")).cast("long") + size(col("a2")).cast("long") - col("i"))
+      .select("d1", "d2", "i", "u")
+  }
 
   /** Per-doc SORTED distinct folded-trigram-id array, built ENTIRELY
     * map-side (trigram fabrication, md5-fold, distinct, sort all
@@ -461,7 +485,7 @@ object TextOps {
     * never outlives the session that built it. */
   private val groupCache = new graft.engine.SessionCache[DataFrame]
 
-  private def resolvedGroups(s: SparkSession, d: String): DataFrame = {
+  private[graft] def resolvedGroups(s: SparkSession, d: String): DataFrame = {
     val maxEdges = quotientMaxEdges(s)
     groupCache.get(s, s"$d|$maxEdges|${foldWidth(s)}") {
       resolveGroups(s, d, maxEdges).localCheckpoint(true)
@@ -1336,17 +1360,57 @@ object TextOps {
     // banding wastes verification work). Scale shape: cost ∝ sampled
     // candidates, one codegen'd array_intersect per pair, then a
     // 10-row hash agg.
-    "dedup_jaccard_histogram" -> ((s, d) => {
-      val docsArr = docTokenArrays(s, d)
-      minhashPairs(s, d)
-        .filter((col("d1") * 31 + col("d2")) % 50 === 0)
-        .join(docsArr.select(col("doc_id").as("d1"), col("arr").as("a1")), "d1")
-        .join(docsArr.select(col("doc_id").as("d2"), col("arr").as("a2")), "d2")
-        .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
-        .withColumn("u", size(col("a1")).cast("long") + size(col("a2")).cast("long") - col("i"))
+    "dedup_jaccard_histogram" -> ((s, d) =>
+      sampledPairIU(s, d)
         .select(least(lit(9L), expr("(10 * i) div u")).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("bin")
+        .orderBy("bin")),
+
+    // Threshold SWEEP over the same sampled exact-Jaccard pair
+    // surface: at each candidate dedup threshold J ≥ t/10
+    // (t = 5..9), how many sampled candidate pairs pass and how many
+    // distinct docs a larger-id-loses greedy drop would remove — the
+    // table a curator reads to PICK the dedup threshold (the
+    // histogram shows the distribution; this shows the decision's
+    // cost at each cut). All compares are exact integer
+    // cross-multiplications (10·i ≥ t·u — §7.6, no float ratio).
+    // Scale shape: the sampled pair surface × 5 threshold rows, one
+    // hash agg; inputs all memoized.
+    "dedup_threshold_sweep" -> ((s, d) =>
+      sampledPairIU(s, d)
+        .select(col("d2"), col("i"), col("u"),
+          explode(expr("array(5L, 6L, 7L, 8L, 9L)")).as("j_tenths"))
+        .groupBy("j_tenths")
+        .agg(sum(when(col("i") * 10 >= col("j_tenths") * col("u"), 1L)
+            .otherwise(0L)).as("n_pairs"),
+          count_distinct(when(col("i") * 10 >= col("j_tenths") * col("u"),
+            col("d2"))).as("n_losers"))
+        .orderBy("j_tenths")),
+
+    // MinHash estimator CALIBRATION: cross-tab of the 8-component
+    // signature agreement count (the estimator: E[matches/8] = J)
+    // against the exact-Jaccard decile bin, over the sampled
+    // candidate-pair surface — the measured answer to "how good is an
+    // 8-hash estimate", read next to `minhash_recall` (which grades
+    // the BANDING, not the estimator). Every cell is an exact integer
+    // count; no float ratio is ever materialized (§7.6). Scale shape:
+    // sampled pairs equi-join the memoized signature table twice
+    // (signatures are 8 longs/doc — broadcastable at any corpus size
+    // where the sample is), one hash agg to ≤ 90 cells.
+    "minhash_calibration" -> ((s, d) => {
+      val sig = minhashSignatures(s, d)
+      val s1 = sig.select(col("doc_id").as("d1") +:
+        (0 until 8).map(i => col(s"m$i").as(s"x$i")): _*)
+      val s2 = sig.select(col("doc_id").as("d2") +:
+        (0 until 8).map(i => col(s"m$i").as(s"y$i")): _*)
+      val matches = (0 until 8).map(i =>
+        when(col(s"x$i") === col(s"y$i"), 1L).otherwise(0L)).reduce(_ + _)
+      sampledPairIU(s, d)
+        .join(s1, "d1").join(s2, "d2")
+        .select(matches.as("matches"),
+          least(lit(9L), expr("(10 * i) div u")).as("jbin"))
+        .groupBy("matches", "jbin").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("matches", "jbin")
     }),
 
     // Population Stability Index between the two ingest cohorts
@@ -2261,6 +2325,51 @@ object TextOps {
          |  COUNT(*) AS n_pairs
          |FROM m JOIN ts s1 ON s1.doc_id = m.d1 JOIN ts s2 ON s2.doc_id = m.d2
          |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      s"""WITH $TOK,
+         |$MINHASH,
+         |dtk AS (SELECT DISTINCT doc_id, token FROM tok),
+         |ts AS (SELECT doc_id, COUNT(*) AS sz FROM dtk GROUP BY doc_id),
+         |m AS (SELECT p.d1, p.d2, COUNT(t2.token) AS i
+         |  FROM (SELECT d1, d2 FROM pairs WHERE (d1 * 31 + d2) % 50 = 0) p
+         |  LEFT JOIN dtk t1 ON t1.doc_id = p.d1
+         |  LEFT JOIN dtk t2 ON t2.doc_id = p.d2 AND t2.token = t1.token
+         |  GROUP BY p.d1, p.d2),
+         |mu AS (SELECT m.d1, m.d2, m.i, s1.sz + s2.sz - m.i AS u
+         |  FROM m JOIN ts s1 ON s1.doc_id = m.d1 JOIN ts s2 ON s2.doc_id = m.d2)
+         |SELECT CAST(th.t AS BIGINT) AS j_tenths,
+         |  CAST(SUM(CASE WHEN 10 * i >= th.t * u THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pairs,
+         |  CAST(COUNT(DISTINCT CASE WHEN 10 * i >= th.t * u THEN d2 END) AS BIGINT)
+         |    AS n_losers
+         |FROM mu CROSS JOIN UNNEST([5, 6, 7, 8, 9]) AS th(t)
+         |GROUP BY th.t ORDER BY j_tenths""".stripMargin,
+
+    "minhash_calibration" ->
+      s"""WITH $TOK,
+         |$MINHASH,
+         |dtk AS (SELECT DISTINCT doc_id, token FROM tok),
+         |ts AS (SELECT doc_id, COUNT(*) AS sz FROM dtk GROUP BY doc_id),
+         |sp AS (SELECT d1, d2 FROM pairs WHERE (d1 * 31 + d2) % 50 = 0),
+         |m AS (SELECT p.d1, p.d2, COUNT(t2.token) AS i
+         |  FROM sp p
+         |  LEFT JOIN dtk t1 ON t1.doc_id = p.d1
+         |  LEFT JOIN dtk t2 ON t2.doc_id = p.d2 AND t2.token = t1.token
+         |  GROUP BY p.d1, p.d2),
+         |mu AS (SELECT m.d1, m.d2, m.i, s1.sz + s2.sz - m.i AS u
+         |  FROM m JOIN ts s1 ON s1.doc_id = m.d1 JOIN ts s2 ON s2.doc_id = m.d2),
+         |mm AS (SELECT p.d1, p.d2,
+         |    CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS matches
+         |  FROM sp p
+         |  JOIN sig s1 ON s1.doc_id = p.d1
+         |  JOIN sig s2 ON s2.doc_id = p.d2 AND s2.seed = s1.seed
+         |  GROUP BY p.d1, p.d2)
+         |SELECT mm.matches, LEAST(9, (10 * mu.i) // mu.u) AS jbin,
+         |  COUNT(*) AS n_pairs
+         |FROM mm JOIN mu ON mu.d1 = mm.d1 AND mu.d2 = mm.d2
+         |GROUP BY 1, 2 ORDER BY matches, jbin""".stripMargin,
 
     "psi_drift" ->
       """WITH dt AS (SELECT doc_id % 2 AS cohort,

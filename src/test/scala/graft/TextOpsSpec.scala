@@ -282,6 +282,41 @@ class TextOpsSpec extends SparkSpec {
     assert(hist == Map(9L -> 1L), s"got $hist")
   }
 
+  test("dedup_threshold_sweep: exact dup passes every threshold; counts monotone in t") {
+    // same sample-predicate fixture as the histogram: only (0,50) kept
+    val d = writeDocs(Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),
+      (1L, "alpha beta gamma delta", "en", "s0"),
+      (50L, "alpha beta gamma delta", "en", "s0")))
+    val rows = TextOps.queries("dedup_threshold_sweep")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(5L, 6L, 7L, 8L, 9L).map(t => (t, 1L, 1L)), s"got ${rows.toSeq}")
+    // monotonicity is structural (a pair passing t also passes t-1) —
+    // assert it anyway on the real sf0.001 surface
+    val sweep = TextOps.queries("dedup_threshold_sweep")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == Seq(5L, 6L, 7L, 8L, 9L))
+    assert(sweep.map(_._2).sliding(2).forall(w => w.head >= w.last),
+      s"n_pairs not non-increasing: ${sweep.toSeq}")
+    assert(sweep.map(_._3).sliding(2).forall(w => w.head >= w.last),
+      s"n_losers not non-increasing: ${sweep.toSeq}")
+  }
+
+  test("minhash_calibration: identical docs land in cell (8 matches, bin 9)") {
+    val d = writeDocs(Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),
+      (1L, "alpha beta gamma delta", "en", "s0"),
+      (50L, "alpha beta gamma delta", "en", "s0")))
+    val cells = TextOps.queries("minhash_calibration")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells == Map((8L, 9L) -> 1L), s"got $cells")
+    // cell mass equals the sampled candidate-pair count on sf0.001
+    val calib = TextOps.queries("minhash_calibration")(spark, sf0001).collect()
+    val hist = TextOps.queries("dedup_jaccard_histogram")(spark, sf0001).collect()
+    assert(calib.map(_.getLong(2)).sum == hist.map(_.getLong(1)).sum,
+      "calibration cells and histogram bins must partition the same sampled pair surface")
+  }
+
   test("psi_drift: identical cohorts ⇒ 0; disjoint buckets contribute nothing") {
     // cohorts (doc_id parity) with identical length distributions
     val same = writeDocs(Seq(

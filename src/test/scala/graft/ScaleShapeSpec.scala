@@ -387,6 +387,29 @@ class ScaleShapeSpec extends SparkSpec {
       s"fertility must be a single-agg plan:\n$fert")
   }
 
+  test("sampled-pair consumers: warm plans are cartesian-free, window-free, all-checkpoint reads") {
+    // dedup_threshold_sweep / minhash_calibration ride the memoized
+    // pair + token-array (+ signature) checkpoints: once those are
+    // warm, the physical plan must contain NO parquet scan at all
+    // (every input is a checkpointed RDD), no cartesian (pairs come
+    // from the banded surface, never re-paired), and no window (both
+    // are pure hash-agg shapes). A parquet scan re-appearing here
+    // means a consumer re-derived the chain instead of reading it.
+    import graft.engine.text.TextOps
+    TextOps.docTokenArrays(spark, sf0001).count()
+    TextOps.minhashPairs(spark, sf0001, rowsPerBand = 4).count()
+    TextOps.minhashSignatures(spark, sf0001).count()
+    for (k <- Seq("dedup_threshold_sweep", "minhash_calibration")) {
+      val q = graft.SparkEntry.queries(k)(spark, sf0001)
+      q.collect()
+      val phys = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!phys.contains("CartesianProduct"), s"$k must not pair-join:\n$phys")
+      assert(!phys.contains("Window"), s"$k must be window-free:\n$phys")
+      assert("Scan parquet".r.findAllIn(phys).isEmpty,
+        s"$k warm plan must read only checkpointed inputs:\n$phys")
+    }
+  }
+
   test("dedup-chain billing: warm consumers read checkpoints, never re-derive the chain") {
     // Round-6 bench billing was order-dependent: whichever dedup
     // consumer ran first paid the whole token→signature→pair→truth

@@ -688,6 +688,60 @@ object Similarity {
       }
       rec("ann_lsh_topk").union(rec("ann_ivf_topk")).orderBy("algo")
     }),
+
+    // The IVF RECALL/COST CURVE as a declared query: recall@1 AND
+    // scored-candidate volume at nprobe ∈ {1, 2, 4} against the same
+    // sampled brute-force truth `ann_recall` uses — the table a user
+    // actually reads to SET nprobe (the declared `ann_ivf_topk`
+    // operating point is nprobe=2; this measures what moving the knob
+    // buys and costs). Scale shape: the cell ranking is built once
+    // (one checkpoint) and each operating point is a probe-filtered
+    // cell equi-join restricted to the 1-in-13 QUERY SAMPLE before
+    // any join — cost |Q|·nprobe·√n per point, never corpus-wide;
+    // truth is the same broadcast-sample kernel as ann_recall.
+    // Candidate counts are exact integers; recall is one division.
+    "ann_nprobe_sweep" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
+      val truth = broadcast(q)
+        .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        .groupBy("id1")
+        .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
+        .select(col("id1"), (-col("m.nid")).as("true_nn"))
+        .localCheckpoint(true)
+      val ranked = cellRanked(s, d).localCheckpoint(true)
+      val assigned = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("id2"), col("cell"))
+      def point(np: Int): DataFrame = {
+        val probes = ranked.filter(col("rn") <= np && col("vec_id") % 13 === 0)
+          .select(col("vec_id").as("id1"), col("cell"))
+        val ans = probes.join(assigned, "cell")
+          .filter(col("id1") =!= col("id2")).select("id1", "id2")
+          .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+          .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
+          .select(col("id1"), col("id2"),
+            round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+          .groupBy("id1")
+          .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"),
+            count(lit(1)).as("cands"))
+          .select(col("id1"), (-col("m.nid")).as("nn_id"), col("cands"))
+        truth.join(ans, Seq("id1"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            count(col("nn_id")).as("n_answered"),
+            sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"),
+            coalesce(sum("cands"), lit(0L)).as("n_candidates"))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_answered"),
+            col("n_correct"),
+            round(col("n_correct") / col("n_queries"), 6).as("recall_at_1"),
+            col("n_candidates"))
+      }
+      point(1).union(point(2)).union(point(4)).orderBy("nprobe")
+    }),
   )
 
   /** Shared oracle CTEs: exploded double vectors + norms. */
@@ -980,5 +1034,42 @@ object Similarity {
          |    / COUNT(*), 6) AS recall_at_1
          |FROM truth LEFT JOIN ivf_ans USING (id1)
          |ORDER BY algo""".stripMargin,
+
+    "ann_nprobe_sweep" ->
+      s"""WITH $PT,
+         |$GRAIN,
+         |$COSPAIRS,
+         |sym AS (SELECT id1, id2, cos FROM cosp
+         |  UNION ALL SELECT id2, id1, cos FROM cosp),
+         |truth AS (SELECT id1, id2 AS true_nn FROM (
+         |  SELECT id1, id2,
+         |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM sym WHERE id1 % 13 = 0) WHERE rn = 1),
+         |$IVFCELLS,
+         |asg AS (SELECT vec_id AS id2, cell FROM crk WHERE rn = 1),
+         |np AS (SELECT CAST(u.np AS BIGINT) AS nprobe FROM UNNEST([1, 2, 4]) AS u(np)),
+         |ncand AS (SELECT np.nprobe, p.vec_id AS id1, a.id2
+         |  FROM np CROSS JOIN crk p JOIN asg a ON p.cell = a.cell
+         |  WHERE p.rn <= np.nprobe AND p.vec_id % 13 = 0 AND p.vec_id <> a.id2),
+         |ndots AS (SELECT c.nprobe, c.id1, c.id2, SUM(x.v * y.v) AS dot
+         |  FROM ncand c JOIN pt x ON x.vec_id = c.id1
+         |  JOIN pt y ON y.vec_id = c.id2 AND y.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |cosn AS (SELECT nprobe, id1, id2, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cos
+         |  FROM ndots JOIN nrm n1 ON n1.vec_id = id1 JOIN nrm n2 ON n2.vec_id = id2),
+         |ans AS (SELECT nprobe, id1, id2 AS nn_id, cands FROM (
+         |    SELECT nprobe, id1, id2,
+         |      ROW_NUMBER() OVER (PARTITION BY nprobe, id1 ORDER BY cos DESC, id2) AS rn,
+         |      COUNT(*) OVER (PARTITION BY nprobe, id1) AS cands
+         |    FROM cosn) WHERE rn = 1)
+         |SELECT np.nprobe, COUNT(*) AS n_queries, COUNT(a.nn_id) AS n_answered,
+         |  CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*), 6) AS recall_at_1,
+         |  CAST(COALESCE(SUM(a.cands), 0) AS BIGINT) AS n_candidates
+         |FROM np CROSS JOIN truth t
+         |LEFT JOIN ans a ON a.nprobe = np.nprobe AND a.id1 = t.id1
+         |GROUP BY np.nprobe ORDER BY np.nprobe""".stripMargin,
   )
 }

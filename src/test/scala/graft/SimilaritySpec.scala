@@ -128,6 +128,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.getDouble(4) >= 0.3, s"LSH recall collapsed: $lsh")
   }
 
+  test("ann_nprobe_sweep: monotone recall/cost curve; np=2 matches ann_recall's IVF row") {
+    val sweep = Similarity.queries("ann_nprobe_sweep")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L), s"got ${sweep.toSeq}")
+    // probing more cells can only ADD candidates: answered, correct,
+    // and candidate volume are all non-decreasing in nprobe
+    for (w <- sweep.sliding(2); a = w(0); b = w(1)) {
+      assert(a._3 <= b._3, s"n_answered decreased: $a -> $b")
+      assert(a._4 <= b._4, s"n_correct decreased: $a -> $b")
+      assert(a._6 <= b._6, s"n_candidates decreased: $a -> $b")
+    }
+    sweep.foreach { r =>
+      assert(r._2 > 0 && r._3 <= r._2 && r._4 <= r._3, s"inconsistent counts: $r")
+      assert(math.abs(r._5 - r._4.toDouble / r._2) < 1e-6, s"recall != nc/nq: $r")
+    }
+    // the declared ann_ivf_topk operating point IS nprobe=2: the sweep's
+    // middle row must reproduce ann_recall's IVF measurement exactly
+    val ivf = Similarity.queries("ann_recall")(spark, sf0001).collect()
+      .find(_.getString(0) == "ann_ivf_topk").get
+    val np2 = sweep.find(_._1 == 2L).get
+    assert((np2._2, np2._3, np2._4) == ((ivf.getLong(1), ivf.getLong(2), ivf.getLong(3))),
+      s"np=2 row ${np2} must match ann_recall ivf ${ivf}")
+  }
+
   test("k-sweep on true-k=10 data: WSSSE decreases with k; silhouette picks larger k") {
     val sw = KMeansSweep.sweep(Tables.points(spark, sf0001), 2, 10, maxIter = 10)
       .orderBy("k").collect()

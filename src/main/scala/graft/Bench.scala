@@ -12,6 +12,28 @@ import graft.engine.Tables
   * (round-1 lost two timings because the summary line came first).
   */
 object Bench {
+  /** Queries whose OWN work product is session-memoized (sweep table,
+    * written sink layouts, checkpointed ANN answer plans, CMS sketch,
+    * foreachBatch landing, persisted report): a plain second
+    * in-session execution would read the memo instead of re-doing the
+    * declared work, so min-of-2 would UNDER-bill them (k_sweep
+    * re-ran at 0.10 s vs its real 3.9 s of MLlib fits). Their second
+    * attempt runs under SessionCache.freshEpoch — every memo misses,
+    * the declared work re-executes COLD, and the min is a min over
+    * two honest cold runs. Shared-INPUT memos (token/signature/pair/
+    * truth tables the warmup pre-touches) are not in this set:
+    * queries over them re-execute their full declared plan on both
+    * attempts either way. Keep in sync when adding a memoized query —
+    * InvariantsSpec asserts every name here is a declared query. */
+  private[graft] val ownMemo = Set(
+    "k_sweep", "optimal_k_select", "index_report_roundtrip",
+    "stream_foreach_batch", "sink_partitioned_roundtrip",
+    "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "source_text_roundtrip",
+    "bucketed_join_roundtrip", "zorder_layout_audit",
+    "ann_lsh_topk", "ann_ivf_topk",
+    "heavy_hitters_cms", "cms_error_contract")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -106,27 +128,6 @@ object Bench {
     // min-of-2 measures the plan, not the stall. Cheap queries (<1 s)
     // contribute ≤ noise and are not re-run, bounding added wall time.
     val rerunThreshold = sys.env.getOrElse("SPARK_GRAFT_RERUN_SEC", "1.0").toDouble
-    // Queries whose OWN work product is session-memoized (sweep table,
-    // written sink layouts, checkpointed ANN answer plans, CMS sketch,
-    // foreachBatch landing, persisted report): a plain second
-    // in-session execution would read the memo instead of re-doing the
-    // declared work, so min-of-2 would UNDER-bill them (k_sweep
-    // re-ran at 0.10 s vs its real 3.9 s of MLlib fits). Their second
-    // attempt therefore runs under SessionCache.freshEpoch — every
-    // memo misses, the declared work re-executes COLD, and the min is
-    // a min over two honest cold runs. Shared-INPUT memos (token/
-    // signature/pair/truth tables the warmup pre-touches) are not in
-    // this set: queries over them re-execute their full declared plan
-    // on both attempts either way. Keep in sync when adding a
-    // memoized query.
-    val ownMemo = Set(
-      "k_sweep", "optimal_k_select", "index_report_roundtrip",
-      "stream_foreach_batch", "sink_partitioned_roundtrip",
-      "source_csv_roundtrip", "source_json_roundtrip",
-      "source_orc_roundtrip", "source_text_roundtrip",
-      "bucketed_join_roundtrip", "zorder_layout_audit",
-      "ann_lsh_topk", "ann_ivf_topk",
-      "heavy_hitters_cms", "cms_error_contract")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

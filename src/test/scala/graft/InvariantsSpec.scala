@@ -40,6 +40,12 @@ class InvariantsSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Bench.ownMemo names only declared queries (a rename can't silently drop the cold-re-run)") {
+    val unknown = graft.Bench.ownMemo -- graft.SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"ownMemo entries with no matching declared query: $unknown")
+  }
+
   test("BD-Silhouette ∈ [-1, 1]; BD-Dunn ≥ 0; DB ≥ 0") {
     cases(3).foreach { pts =>
       val p = df(pts)

@@ -658,6 +658,32 @@ object TextOps {
         .groupBy("gsz").agg(count(lit(1)).as("n_groups"))
         .orderBy("gsz")),
 
+    // What the near-dedup actually REMOVES, in tokens, per source —
+    // the corpus-accounting report next to the structural audits
+    // (`dedup_cluster_stats` counts groups; this prices the drop in
+    // training-token budget, the unit curators actually plan in).
+    // Losers = non-keeper members of the memoized group resolution
+    // (min-id keeper, the exact_dedup discipline). Scale shape: the
+    // loser table is bounded by the dup-graph node count (≪ corpus);
+    // one left equi-join on doc_id + one (source) hash agg; the
+    // share is a single division of two exact integer sums (§7.6).
+    "dedup_token_mass" -> ((s, d) => {
+      val losers = resolvedGroups(s, d)
+        .filter(col("member") =!= col("group_id"))
+        .select(col("member").as("doc_id"), lit(1L).as("lost"))
+      docs(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lost").isNotNull, 1L).otherwise(0L)).as("n_lost_docs"),
+          sum("tok").as("n_tokens"),
+          sum(when(col("lost").isNotNull, col("tok")).otherwise(0L)).as("n_lost_tokens"),
+          round(sum(when(col("lost").isNotNull, col("tok")).otherwise(0L))
+            / sum("tok").cast("double"), 6).as("lost_token_share"))
+        .orderBy("source")
+    }),
+
     // Token co-occurrence PMI over document-level presence (p(t) =
     // df/N): the collocation screen (phrase mining / tokenizer-merge
     // candidates). Pairs come from a doc-local self-join of the
@@ -1859,6 +1885,31 @@ object TextOps {
          |gs AS (SELECT gid, COUNT(*) AS gsz FROM grp GROUP BY gid)
          |SELECT gsz, COUNT(*) AS n_groups FROM gs
          |GROUP BY gsz ORDER BY gsz""".stripMargin,
+
+    "dedup_token_mass" ->
+      s"""WITH RECURSIVE $TOK,
+         |$MINHASH,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |grp AS (SELECT LEAST(a, MIN(b)) AS gid, a AS member
+         |  FROM reach GROUP BY a),
+         |losers AS (SELECT member AS doc_id FROM grp WHERE member <> gid),
+         |dl AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lost_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN tok ELSE 0 END) AS BIGINT)
+         |    AS n_lost_tokens,
+         |  ROUND(CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN tok ELSE 0 END) AS BIGINT)
+         |    * 1.0 / CAST(SUM(tok) AS BIGINT), 6) AS lost_token_share
+         |FROM dl LEFT JOIN losers l USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "cooccurrence_pmi" ->
       """WITH tokd AS (SELECT DISTINCT doc_id,

@@ -302,6 +302,19 @@ class TextOpsSpec extends SparkSpec {
       s"n_losers not non-increasing: ${sweep.toSeq}")
   }
 
+  test("dedup_token_mass: non-keeper token mass per source, exact share") {
+    // three identical 4-token docs: group keeper 0, losers 1 and 50
+    val d = writeDocs(Seq(
+      (0L, "alpha beta gamma delta", "en", "s0"),
+      (1L, "alpha beta gamma delta", "en", "s0"),
+      (50L, "alpha beta gamma delta", "en", "s1")))
+    val rows = TextOps.queries("dedup_token_mass")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows("s0") == ((2L, 1L, 8L, 4L, 0.5)), s"got ${rows("s0")}")
+    assert(rows("s1") == ((1L, 1L, 4L, 4L, 1.0)), s"got ${rows("s1")}")
+  }
+
   test("minhash_calibration: identical docs land in cell (8 matches, bin 9)") {
     val d = writeDocs(Seq(
       (0L, "alpha beta gamma delta", "en", "s0"),

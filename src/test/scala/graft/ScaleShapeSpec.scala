@@ -408,6 +408,17 @@ class ScaleShapeSpec extends SparkSpec {
       assert("Scan parquet".r.findAllIn(phys).isEmpty,
         s"$k warm plan must read only checkpointed inputs:\n$phys")
     }
+    // dedup_token_mass reads the GROUP checkpoint + one documents
+    // scan (the token counts): a second parquet scan or any window
+    // would mean the resolve chain was re-derived
+    TextOps.resolvedGroups(spark, sf0001).count()
+    val dtm = graft.SparkEntry.queries("dedup_token_mass")(spark, sf0001)
+    dtm.collect()
+    val dtmPhys = dtm.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!dtmPhys.contains("Window") && !dtmPhys.contains("CartesianProduct"),
+      s"dedup_token_mass must be a join+agg plan:\n$dtmPhys")
+    assert("Scan parquet".r.findAllIn(dtmPhys).size <= 1,
+      s"dedup_token_mass warm plan re-derives the chain:\n$dtmPhys")
   }
 
   test("dedup-chain billing: warm consumers read checkpoints, never re-derive the chain") {

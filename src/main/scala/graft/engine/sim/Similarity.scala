@@ -97,6 +97,32 @@ object Similarity {
     * declared queries re-apply their total order on read. */
   private val annCache = new graft.engine.SessionCache[DataFrame]
 
+  /** The sampled brute-force nearest-neighbor TRUTH (1-in-13 query
+    * sample, broadcast-kernel argmax — see `ann_recall` for the
+    * measurement rationale), memoized per (session, sfDir): three
+    * declared measurement queries (`ann_recall`, `ann_nprobe_sweep`,
+    * `lsh_tables_sweep`) grade against the SAME truth table, and each
+    * re-deriving the |Q|·n kernel was ~0.6 s of duplicated work per
+    * consumer. Shared-INPUT memo (the Bench re-run discipline):
+    * consumers still execute their full declared measurement plan
+    * over it. */
+  private def sampledTruth(s: SparkSession, d: String): DataFrame =
+    annCache.get(s, s"$d|truth13") {
+      graft.engine.expr.GraftFunctions.register(s)
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
+      broadcast(q)
+        .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        .groupBy("id1")
+        .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
+        .select(col("id1"), (-col("m.nid")).as("true_nn"))
+        .localCheckpoint(true)
+    }
+
   /** Exact all-pairs cosine over the declarative block-cartesian join
     * (`crossJoin` → CartesianProduct: partitions pair block-wise
     * across executors, NO driver collect / broadcast of the table) +
@@ -456,21 +482,23 @@ object Similarity {
   /** The LSH pipeline PLAN, package-private so ScaleShapeSpec keeps
     * asserting its physical shape (the declared query serves the
     * memoized checkpoint, whose plan is an opaque LogicalRDD scan). */
-  private[graft] def annLshPlan(s: SparkSession, d: String): DataFrame = {
+  /** The 5-table sign-LSH signature table `(vec_id, t, sig)`.
+    * Bits per table GROW WITH THE CORPUS (lshBits: expected bucket
+    * ≈64), so Σ bucket² stays ≈ 64·n per table — the knob that keeps
+    * the bucket equi-join linear-ish at 100 TB instead of silently
+    * quadratic at a fixed bucket count. 5 table signatures per
+    * vector in one map-side kernel pass — the integer projection
+    * matrix is a compile-time constant (w(i,j) for 1-based dim i,
+    * plane j), no shuffle until the bucket equi-join. Shared by
+    * `ann_lsh_topk` and `lsh_tables_sweep`. */
+  private def lshSignatures(s: SparkSession, d: String): DataFrame = {
       val v = vecs(s, d)
       val sp = v.sparkSession
       import sp.implicits._
-      // bits per table GROWS WITH THE CORPUS (lshBits: expected bucket
-      // ≈64), so Σ bucket² stays ≈ 64·n per table — the knob that keeps
-      // the bucket equi-join linear-ish at 100 TB instead of silently
-      // quadratic at a fixed bucket count. 5 table signatures per
-      // vector in one map-side kernel pass — the integer projection
-      // matrix is a compile-time constant (w(i,j) for 1-based dim i,
-      // plane j), no shuffle until the bucket equi-join.
       val bits = lshBits(nVecs(s, d))
       def wt(i: Int, j: Int): Long =
         (((i * 73 + 19) * (j * 31 + 7) + i.toLong * j * j + i.toLong * i) % 13) - 6
-      val sig = fan(v.select("vec_id", "f")).as[(Long, Array[Double])]
+      fan(v.select("vec_id", "f")).as[(Long, Array[Double])]
         .mapPartitions { it =>
           it.flatMap { case (id, f) =>
             (0 until 5).map { t =>
@@ -491,6 +519,12 @@ object Similarity {
             }
           }
         }.toDF("vec_id", "t", "sig")
+  }
+
+  private[graft] def annLshPlan(s: SparkSession, d: String): DataFrame = {
+      val v = vecs(s, d)
+      val sp = v.sparkSession
+      val sig = lshSignatures(s, d)
       val cand = sig.as("a").join(sig.as("b"),
           col("a.t") === col("b.t") && col("a.sig") === col("b.sig")
             && col("a.vec_id") =!= col("b.vec_id"))
@@ -663,19 +697,7 @@ object Similarity {
       // it once; argmax is a map-side-combinable max(struct(cos,-id))
       // — same (cos DESC, id ASC) ranking key as the window form and
       // the oracle's ROW_NUMBER, with no all-pairs shuffle anywhere.
-      graft.engine.expr.GraftFunctions.register(s)
-      val v = vecs(s, d)
-      val q = v.filter(col("vec_id") % 13 === 0)
-        .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
-      val truth = broadcast(q)
-        .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))))
-        .filter(col("id1") =!= col("id2"))
-        .select(col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
-        .groupBy("id1")
-        .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
-        .select(col("id1"), (-col("m.nid")).as("true_nn"))
-        .localCheckpoint(true)
+      val truth = sampledTruth(s, d)
       def rec(name: String): DataFrame = {
         val ans = queries(name)(s, d).select(col("id1"), col("nn_id"))
         truth.join(ans, Seq("id1"), "left")
@@ -703,17 +725,7 @@ object Similarity {
     "ann_nprobe_sweep" -> ((s, d) => {
       graft.engine.expr.GraftFunctions.register(s)
       val v = vecs(s, d)
-      val q = v.filter(col("vec_id") % 13 === 0)
-        .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
-      val truth = broadcast(q)
-        .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))))
-        .filter(col("id1") =!= col("id2"))
-        .select(col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
-        .groupBy("id1")
-        .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
-        .select(col("id1"), (-col("m.nid")).as("true_nn"))
-        .localCheckpoint(true)
+      val truth = sampledTruth(s, d)
       val ranked = cellRanked(s, d).localCheckpoint(true)
       val assigned = ranked.filter(col("rn") === 1)
         .select(col("vec_id").as("id2"), col("cell"))
@@ -741,6 +753,51 @@ object Similarity {
             col("n_candidates"))
       }
       point(1).union(point(2)).union(point(4)).orderBy("nprobe")
+    }),
+
+    // The LSH TABLE-COUNT curve, symmetric with `ann_nprobe_sweep`:
+    // recall@1 + distinct-candidate volume using the FIRST 1 / 3 / 5
+    // of the banded signature tables (candidates(t) ⊆ candidates(t+1)
+    // by construction, so the curve is monotone — spec-pinned). The
+    // declared `ann_lsh_topk` operating point is all 5 tables; this
+    // measures what each extra table buys and costs. Scale shape: the
+    // signature table is built once (one map-side kernel pass,
+    // checkpointed), the query side filters to the 1-in-13 sample
+    // BEFORE the bucket equi-join, and each point is one
+    // (t, sig)-keyed join — never corpus × corpus.
+    "lsh_tables_sweep" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      val v = vecs(s, d)
+      val truth = sampledTruth(s, d)
+      val sig = lshSignatures(s, d).localCheckpoint(true)
+      val sigq = sig.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id1"), col("t"), col("sig"))
+      val sigAll = sig.select(col("vec_id").as("id2"), col("t"), col("sig"))
+      def point(tables: Int): DataFrame = {
+        val cand = sigq.filter(col("t") < tables)
+          .join(sigAll.filter(col("t") < tables), Seq("t", "sig"))
+          .filter(col("id1") =!= col("id2"))
+          .select("id1", "id2").distinct()
+        val ans = cand
+          .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+          .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
+          .select(col("id1"), col("id2"),
+            round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+          .groupBy("id1")
+          .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"),
+            count(lit(1)).as("cands"))
+          .select(col("id1"), (-col("m.nid")).as("nn_id"), col("cands"))
+        truth.join(ans, Seq("id1"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            count(col("nn_id")).as("n_answered"),
+            sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"),
+            coalesce(sum("cands"), lit(0L)).as("n_candidates"))
+          .select(lit(tables.toLong).as("n_tables"), col("n_queries"),
+            col("n_answered"), col("n_correct"),
+            round(col("n_correct") / col("n_queries"), 6).as("recall_at_1"),
+            col("n_candidates"))
+      }
+      point(1).union(point(3)).union(point(5)).orderBy("n_tables")
     }),
   )
 
@@ -1071,5 +1128,42 @@ object Similarity {
          |FROM np CROSS JOIN truth t
          |LEFT JOIN ans a ON a.nprobe = np.nprobe AND a.id1 = t.id1
          |GROUP BY np.nprobe ORDER BY np.nprobe""".stripMargin,
+
+    "lsh_tables_sweep" ->
+      s"""WITH $PT,
+         |$GRAIN,
+         |$COSPAIRS,
+         |sym AS (SELECT id1, id2, cos FROM cosp
+         |  UNION ALL SELECT id2, id1, cos FROM cosp),
+         |truth AS (SELECT id1, id2 AS true_nn FROM (
+         |  SELECT id1, id2,
+         |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM sym WHERE id1 % 13 = 0) WHERE rn = 1),
+         |$LSHSIG,
+         |tb AS (SELECT CAST(u.t AS BIGINT) AS n_tables FROM UNNEST([1, 3, 5]) AS u(t)),
+         |tcand AS (SELECT DISTINCT tb.n_tables, a.vec_id AS id1, b.vec_id AS id2
+         |  FROM tb CROSS JOIN sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig
+         |  WHERE a.t < tb.n_tables AND b.t < tb.n_tables
+         |    AND a.vec_id % 13 = 0 AND a.vec_id <> b.vec_id),
+         |tdots AS (SELECT c.n_tables, c.id1, c.id2, SUM(x.v * y.v) AS dot
+         |  FROM tcand c JOIN pt x ON x.vec_id = c.id1
+         |  JOIN pt y ON y.vec_id = c.id2 AND y.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |tcos AS (SELECT n_tables, id1, id2, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cos
+         |  FROM tdots JOIN nrm n1 ON n1.vec_id = id1 JOIN nrm n2 ON n2.vec_id = id2),
+         |tans AS (SELECT n_tables, id1, id2 AS nn_id, cands FROM (
+         |    SELECT n_tables, id1, id2,
+         |      ROW_NUMBER() OVER (PARTITION BY n_tables, id1 ORDER BY cos DESC, id2) AS rn,
+         |      COUNT(*) OVER (PARTITION BY n_tables, id1) AS cands
+         |    FROM tcos) WHERE rn = 1)
+         |SELECT tb.n_tables, COUNT(*) AS n_queries, COUNT(a.nn_id) AS n_answered,
+         |  CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*), 6) AS recall_at_1,
+         |  CAST(COALESCE(SUM(a.cands), 0) AS BIGINT) AS n_candidates
+         |FROM tb CROSS JOIN truth t
+         |LEFT JOIN tans a ON a.n_tables = tb.n_tables AND a.id1 = t.id1
+         |GROUP BY tb.n_tables ORDER BY tb.n_tables""".stripMargin,
   )
 }

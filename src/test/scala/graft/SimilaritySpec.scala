@@ -153,6 +153,25 @@ class SimilaritySpec extends SparkSpec {
       s"np=2 row ${np2} must match ann_recall ivf ${ivf}")
   }
 
+  test("lsh_tables_sweep: monotone curve; 5-table row matches ann_recall's LSH row") {
+    val sweep = Similarity.queries("lsh_tables_sweep")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 3L, 5L), s"got ${sweep.toSeq}")
+    // candidates(t) ⊆ candidates(t+1): answered/correct/candidates
+    // can only grow with more tables
+    for (w <- sweep.sliding(2); a = w(0); b = w(1)) {
+      assert(a._3 <= b._3 && a._4 <= b._4 && a._6 <= b._6,
+        s"curve not monotone: $a -> $b")
+    }
+    // all 5 tables IS the declared ann_lsh_topk operating point
+    val lsh = Similarity.queries("ann_recall")(spark, sf0001).collect()
+      .find(_.getString(0) == "ann_lsh_topk").get
+    val t5 = sweep.find(_._1 == 5L).get
+    assert((t5._2, t5._3, t5._4) == ((lsh.getLong(1), lsh.getLong(2), lsh.getLong(3))),
+      s"t=5 row ${t5} must match ann_recall lsh ${lsh}")
+  }
+
   test("k-sweep on true-k=10 data: WSSSE decreases with k; silhouette picks larger k") {
     val sw = KMeansSweep.sweep(Tables.points(spark, sf0001), 2, 10, maxIter = 10)
       .orderBy("k").collect()

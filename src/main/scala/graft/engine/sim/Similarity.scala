@@ -799,6 +799,89 @@ object Similarity {
       }
       point(1).union(point(3)).union(point(5)).orderBy("n_tables")
     }),
+
+    // IVF index SKEW audit — the partition-balance question every
+    // cell-based ANN layout answers before shipping: per-cell
+    // assignment sizes summarized as min/max, the imbalance factor
+    // (max·cells/n — 1e6 ppm = perfectly even; a hot cell is a
+    // straggler task AND a recall sink), and Σ|cell|² — the EXACT
+    // candidate-generation cost `semdedup_embedding` and the
+    // within-cell joins pay, i.e. the number this audit exists to
+    // bound. All exact integer arithmetic off one hash agg over the
+    // shared cell-ranking subplan; output is a one-row contract.
+    "ivf_cell_balance" -> ((s, d) => {
+      val sizes = cellRanked(s, d).filter(col("rn") === 1)
+        .groupBy("cell").agg(count(lit(1)).as("sz"))
+      sizes.agg(sum("sz").as("n_vecs"), count(lit(1)).as("n_cells"),
+          min("sz").as("min_sz"), max("sz").as("max_sz"),
+          sum(col("sz") * col("sz")).as("cost_pairs"))
+        .select(col("n_vecs"), col("n_cells"), col("min_sz"), col("max_sz"),
+          expr("max_sz * n_cells * 1000000 div n_vecs").as("imbalance_ppm"),
+          col("cost_pairs"))
+    }),
+
+    // Scalar-quantized (int8) ANN with exact RESCORE — the
+    // memory-bandwidth scale path the float ANN operators don't
+    // cover: codes are 4× smaller than float32 (the index that fits
+    // in RAM at 100 TB), the coarse pass ranks candidates by
+    // integer dot products over the codes, and only the top
+    // `rescore_k` survivors pay a full-precision cosine. Declared as
+    // the rescore-depth CURVE (the nprobe/tables-sweep discipline):
+    // recall@1 vs the sampled brute-force truth at k ∈ {1, 4, 16} —
+    // k=1 is raw int8 argmax, k=16 recovers near-exact recall; the
+    // table prices the quantization error a rescore must absorb.
+    // Determinism: per-vector symmetric int8 quantization is
+    // `embedding_quantize`'s proven formula; code dot products are
+    // 64-term sums of integer-valued doubles ≤ 127² — EXACT in any
+    // summation order (< 2^53), so the coarse ranking key is
+    // drift-free by construction and only the final cosine carries
+    // the accepted ROUND(·,6) discipline. Scale shape: the sampled
+    // query side broadcasts, codes stream past once (|Q|·n integer
+    // kernel — at production scale this coarse scan is the SIMD/
+    // memory-bound pass an SQ index exists for), shortlist is a
+    // per-query window, rescore touches 16·|Q| vectors.
+    "ann_sq_rescore_sweep" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      val v = vecs(s, d)
+      val truth = sampledTruth(s, d)
+      val qv = v.select(col("vec_id"), col("nrm"),
+          col("f"), expr("aggregate(f, 0.0D, (a, x) -> greatest(a, abs(x)))").as("scale"))
+        .withColumn("sc", when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
+        .withColumn("q", expr("transform(f, x -> round(x * 127 / sc, 0))"))
+      val qq = qv.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id1"), col("q").as("q1"), col("sc").as("s1"),
+          col("nrm").as("n1"))
+      val qc = fan(qv.select(col("vec_id").as("id2"), col("q").as("q2"),
+        col("sc").as("s2"), col("nrm").as("n2")))
+      val coarse = broadcast(qq).crossJoin(qc)
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          round(ArrayMath.dotNative(col("q1"), col("q2")) * col("s1") * col("s2")
+            / (lit(127.0 * 127.0) * col("n1") * col("n2")), 6).as("qcos"))
+      val wq = Window.partitionBy("id1").orderBy(desc("qcos"), col("id2"))
+      // the 16-deep shortlist + exact rescore feed all three operating
+      // points: checkpoint the (|Q|·16)-row table so the union
+      // branches don't re-run the coarse kernel per k
+      val rescored = coarse.withColumn("qr", row_number().over(wq))
+        .filter(col("qr") <= 16)
+        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("rn1")), "id1")
+        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("rn2")), "id2")
+        .select(col("id1"), col("id2"), col("qr"),
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("rn1") * col("rn2")), 6).as("cos"))
+        .localCheckpoint(true)
+      def point(k: Int): DataFrame = {
+        val wk = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
+        val ans = rescored.filter(col("qr") <= k)
+          .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+          .select(col("id1"), col("id2").as("nn_id"))
+        truth.join(ans, Seq("id1"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"))
+          .select(lit(k.toLong).as("rescore_k"), col("n_queries"), col("n_correct"),
+            round(col("n_correct") / col("n_queries"), 6).as("recall_at_1"))
+      }
+      point(1).union(point(4)).union(point(16)).orderBy("rescore_k")
+    }),
   )
 
   /** Shared oracle CTEs: exploded double vectors + norms. */
@@ -1165,5 +1248,67 @@ object Similarity {
          |FROM tb CROSS JOIN truth t
          |LEFT JOIN tans a ON a.n_tables = tb.n_tables AND a.id1 = t.id1
          |GROUP BY tb.n_tables ORDER BY tb.n_tables""".stripMargin,
+
+    "ivf_cell_balance" ->
+      s"""WITH $PT,
+         |$GRAIN,
+         |$IVFCELLS,
+         |asg AS (SELECT vec_id, cell FROM crk WHERE rn = 1),
+         |sz AS (SELECT cell, COUNT(*) AS sz FROM asg GROUP BY 1)
+         |SELECT CAST(SUM(sz) AS BIGINT) AS n_vecs, COUNT(*) AS n_cells,
+         |  CAST(MIN(sz) AS BIGINT) AS min_sz, CAST(MAX(sz) AS BIGINT) AS max_sz,
+         |  (CAST(MAX(sz) AS BIGINT) * COUNT(*) * 1000000)
+         |    // CAST(SUM(sz) AS BIGINT) AS imbalance_ppm,
+         |  CAST(SUM(sz * sz) AS BIGINT) AS cost_pairs
+         |FROM sz""".stripMargin,
+
+    "ann_sq_rescore_sweep" ->
+      s"""WITH $PT,
+         |$COSPAIRS,
+         |sym AS (SELECT id1, id2, cos FROM cosp
+         |  UNION ALL SELECT id2, id1, cos FROM cosp),
+         |truth AS (SELECT id1, id2 AS true_nn FROM (
+         |  SELECT id1, id2,
+         |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM sym WHERE id1 % 13 = 0) WHERE rn = 1),
+         |sc AS (SELECT vec_id,
+         |  CASE WHEN MAX(ABS(v)) = 0 THEN 1 ELSE MAX(ABS(v)) END AS scq
+         |  FROM pt GROUP BY 1),
+         |qt AS (SELECT pt.vec_id, pt.i, ROUND(pt.v * 127 / sc.scq, 0) AS q
+         |  FROM pt JOIN sc USING (vec_id)),
+         |qd AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.q * b.q) AS qdot
+         |  FROM qt a JOIN qt b ON a.i = b.i
+         |    AND a.vec_id % 13 = 0 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |qc AS (SELECT id1, id2,
+         |  ROUND(qdot * s1.scq * s2.scq / (16129.0 * n1.nrm * n2.nrm), 6) AS qcos
+         |  FROM qd JOIN sc s1 ON s1.vec_id = id1 JOIN sc s2 ON s2.vec_id = id2
+         |  JOIN nrm n1 ON n1.vec_id = id1 JOIN nrm n2 ON n2.vec_id = id2),
+         |shortl AS (SELECT id1, id2, qr FROM (
+         |  SELECT id1, id2,
+         |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY qcos DESC, id2) AS qr
+         |  FROM qc) WHERE qr <= 16),
+         |rdots AS (SELECT sh.id1, sh.id2, sh.qr, SUM(x.v * y.v) AS dot
+         |  FROM shortl sh JOIN pt x ON x.vec_id = sh.id1
+         |  JOIN pt y ON y.vec_id = sh.id2 AND y.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |rcos AS (SELECT id1, id2, qr, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cos
+         |  FROM rdots JOIN nrm n1 ON n1.vec_id = id1
+         |  JOIN nrm n2 ON n2.vec_id = id2),
+         |ks AS (SELECT CAST(u.k AS BIGINT) AS rescore_k FROM UNNEST([1, 4, 16]) AS u(k)),
+         |ans AS (SELECT rescore_k, id1, id2 AS nn_id FROM (
+         |    SELECT ks.rescore_k, r.id1, r.id2,
+         |      ROW_NUMBER() OVER (PARTITION BY ks.rescore_k, r.id1
+         |        ORDER BY r.cos DESC, r.id2) AS rn
+         |    FROM ks CROSS JOIN rcos r WHERE r.qr <= ks.rescore_k)
+         |  WHERE rn = 1)
+         |SELECT ks.rescore_k, COUNT(*) AS n_queries,
+         |  CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |    / COUNT(*), 6) AS recall_at_1
+         |FROM ks CROSS JOIN truth t
+         |LEFT JOIN ans a ON a.rescore_k = ks.rescore_k AND a.id1 = t.id1
+         |GROUP BY ks.rescore_k ORDER BY ks.rescore_k""".stripMargin,
   )
 }

@@ -1821,6 +1821,94 @@ object TextOps {
           round(sum("bpe") / sum("ws").cast("double"), 6).as("fertility"),
           round(sum("chars") / sum("bpe").cast("double"), 6).as("chars_per_token"))
         .orderBy("lang", "source")),
+
+    // PACKING-BUDGET sweep — the knob table for `sequence_pack`
+    // (the dedup_threshold_sweep discipline applied to the packing
+    // budget): at each sequence budget ∈ {128, 256, 512}, the pack
+    // count, overflowing packs (a doc longer than the budget overflows
+    // its pack — greedy cumsum packing never splits documents), total
+    // capacity and the exact-integer fill rate. The per-shard token
+    // cumsum is budget-INDEPENDENT, so the sweep pays the windowed
+    // cumsum once (one shuffle on the 16-way shard key, same plan as
+    // sequence_pack) and each operating point is integer-divides +
+    // one tiny hash agg over it. All outputs exact integers
+    // (fill_ppm = tokens·1e6 div capacity — §7.6 rule b).
+    "pack_efficiency_sweep" -> ((s, d) => {
+      val t = withFoldHash(docs(s, d), "text", "hb")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+          pmod(col("hb"), lit(16)).as("shard"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      // one cumsum feeds all three operating points: checkpoint it so
+      // the three union branches read the materialized 5k-row table
+      // instead of re-running the window per branch
+      val cum = t.withColumn("cum", sum("n_tok").over(w)).localCheckpoint(true)
+      Seq(128, 256, 512).map { b =>
+        cum.withColumn("pack_id",
+            floor((col("cum") - col("n_tok")) / lit(b.toDouble)).cast("long"))
+          .groupBy("shard", "pack_id").agg(sum("n_tok").as("tokens"))
+          .agg(count(lit(1)).as("n_packs"),
+            sum(when(col("tokens") > b, 1L).otherwise(0L)).as("n_overflow"),
+            sum("tokens").as("tokens_total"))
+          .select(lit(b.toLong).as("budget"), col("n_packs"), col("n_overflow"),
+            col("tokens_total"), (col("n_packs") * b).as("capacity"),
+            expr(s"tokens_total * 1000000 div (n_packs * $b)").as("fill_ppm"))
+      }.reduce(_ union _).orderBy("budget")
+    }),
+
+    // The EVAL-side of benchmark decontamination (`decontaminate_ngram`
+    // reports contaminated TRAINING docs; this reports which EVAL docs
+    // are compromised and how badly): per src0 document, its 8-shingle
+    // count, how many of those shingles appear anywhere in the
+    // training side, and the leaked share — the "is this benchmark
+    // still valid" audit a curator publishes next to the train-side
+    // scrub list. Rides the SAME memoized 8-gram set; the sides meet
+    // in one left-semi equi-join on the shingle key (train side
+    // distinct-collapsed first, so the probe is ≤|vocab| rows), never
+    // doc×doc.
+    "eval_contamination_report" -> ((s, d) => {
+      val sh = ngramSetCached(s, d, 8, Seq("doc_id", "source")).withColumnRenamed("ng", "sh")
+      val tr = sh.filter(col("source") =!= "src0").select("sh").distinct()
+      val ev = sh.filter(col("source") === "src0").select("doc_id", "sh")
+      val tot = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hit = ev.join(tr, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hit, "doc_id")
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          round(col("n_hit") / col("n_sh"), 6).as("leakage"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity BUCKETING (Wenzek et al. 2020): per lang,
+    // docs split into head/middle/tail thirds by unigram-LM NLL (the
+    // published curation move: train on head+middle, drop or re-weight
+    // tail). Buckets come from per-lang tertile BOUNDARIES broadcast
+    // back over the doc stream — NOT a per-lang NTILE sort: at 100 TB
+    // a rank-based split would globally sort every lang partition,
+    // while the boundary form is one percentile agg (tiny output) +
+    // one map-side comparison pass. Bucket decisions are ulp-robust:
+    // both engines interpolate the same boundary from the same
+    // ROUND(·,6) NLLs, and a boundary strictly between two adjacent
+    // doc values cannot flip any doc's bucket under last-bit drift
+    // (g=0 collapses the interpolation to an exact doc value in both).
+    "ccnet_ppl_buckets" -> ((s, d) => {
+      val tok = tokens(docs(s, d)).select("doc_id", "lang", "token")
+      val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val nll = tok.join(cnt, "token").crossJoin(broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"),
+          round(-(sum(log(col("c") / col("n"))) / count(lit(1))), 6).as("nll"))
+      val cuts = nll.groupBy("lang").agg(
+        expr("percentile(nll, CAST(1 AS DOUBLE)/3)").as("b1"),
+        expr("percentile(nll, CAST(2 AS DOUBLE)/3)").as("b2"))
+      nll.join(broadcast(cuts), "lang")
+        .withColumn("bucket", when(col("nll") <= col("b1"), 1L)
+          .when(col("nll") <= col("b2"), 2L).otherwise(3L))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+          round(min("nll"), 6).as("min_nll"), round(max("nll"), 6).as("max_nll"))
+        .orderBy("lang", "bucket")
+    }),
   )
 
   private val TOK =
@@ -2624,5 +2712,63 @@ object TextOps {
         |  ROUND(SUM(bpe) / CAST(SUM(ws) AS DOUBLE), 6) AS fertility,
         |  ROUND(SUM(chars) / CAST(SUM(bpe) AS DOUBLE), 6) AS chars_per_token
         |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "pack_efficiency_sweep" ->
+      """WITH h AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(SUM((strpos('0123456789abcdef', substr(md5(text), u.i, 1)) - 1)
+        |      * CAST(POWER(16, 8 - u.i) AS BIGINT)) AS BIGINT) % 16 AS shard
+        |  FROM documents, UNNEST(generate_series(1, 8)) AS u(i)
+        |  GROUP BY doc_id, text),
+        |c AS (SELECT doc_id, n_tok, shard,
+        |  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |b AS (SELECT CAST(u.b AS BIGINT) AS budget FROM UNNEST([128, 256, 512]) AS u(b)),
+        |p AS (SELECT b.budget, c.shard,
+        |  CAST(FLOOR((c.cum - c.n_tok) / CAST(b.budget AS DOUBLE)) AS BIGINT) AS pack_id,
+        |  c.n_tok FROM c CROSS JOIN b),
+        |g AS (SELECT budget, shard, pack_id, CAST(SUM(n_tok) AS BIGINT) AS tokens
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT budget, COUNT(*) AS n_packs,
+        |  CAST(SUM(CASE WHEN tokens > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+        |  CAST(COUNT(*) * budget AS BIGINT) AS capacity,
+        |  (CAST(SUM(tokens) AS BIGINT) * 1000000) // (COUNT(*) * budget) AS fill_ppm
+        |FROM g GROUP BY budget ORDER BY budget""".stripMargin,
+
+    "eval_contamination_report" ->
+      """WITH arr AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, UNNEST(list_transform(
+        |    generate_series(1, len(a) - 7),
+        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' ||
+        |         a[i+4] || ' ' || a[i+5] || ' ' || a[i+6] || ' ' || a[i+7])) AS sh
+        |  FROM arr),
+        |tr AS (SELECT DISTINCT sh FROM sh WHERE source <> 'src0'),
+        |ev AS (SELECT doc_id, sh FROM sh WHERE source = 'src0'),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM ev GROUP BY 1),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM ev
+        |  WHERE sh IN (SELECT sh FROM tr) GROUP BY 1)
+        |SELECT doc_id, n_sh, n_hit, ROUND(n_hit / n_sh, 6) AS leakage
+        |FROM tot JOIN hit USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "ccnet_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |nl AS (SELECT doc_id, lang, COUNT(*) AS n_tok,
+        |  ROUND(-(SUM(ln(cnt.c * 1.0 / tot.n)) / COUNT(*)), 6) AS nll
+        |  FROM tok JOIN cnt USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id, lang),
+        |cuts AS (SELECT lang, quantile_cont(nll, CAST(1 AS DOUBLE)/3) AS b1,
+        |  quantile_cont(nll, CAST(2 AS DOUBLE)/3) AS b2 FROM nl GROUP BY 1)
+        |SELECT nl.lang,
+        |  CAST(CASE WHEN nl.nll <= c.b1 THEN 1 WHEN nl.nll <= c.b2 THEN 2
+        |    ELSE 3 END AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(nl.n_tok) AS BIGINT) AS tokens,
+        |  ROUND(MIN(nl.nll), 6) AS min_nll, ROUND(MAX(nl.nll), 6) AS max_nll
+        |FROM nl JOIN cuts c USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
   )
 }

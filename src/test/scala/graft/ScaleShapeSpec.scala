@@ -421,6 +421,50 @@ class ScaleShapeSpec extends SparkSpec {
       s"dedup_token_mass warm plan re-derives the chain:\n$dtmPhys")
   }
 
+  test("round-7 additions: broadcast cut dims, checkpointed kernels, window-free sweeps") {
+    // ccnet_ppl_buckets: the per-lang tertile-cut dim must BROADCAST
+    // back over the doc stream — a shuffle join on the 5-value lang
+    // key would funnel the corpus through 5 reducers (the skew trap
+    // the boundary design exists to avoid; a per-lang NTILE sort is
+    // the same trap with a sort attached)
+    val ccnet = graft.SparkEntry.queries("ccnet_ppl_buckets")(spark, sf0001)
+    ccnet.collect()
+    val cplan = ccnet.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(cplan.contains("BroadcastHashJoin") || cplan.contains("BroadcastExchange"),
+      s"tertile cuts must broadcast:\n$cplan")
+    // pack_efficiency_sweep: the per-shard cumsum runs ONCE inside the
+    // eager checkpoint; the three declared operating points are pure
+    // agg branches over it — any Window or parquet scan in the final
+    // plan means a branch re-derived the cumsum
+    val pack = graft.SparkEntry.queries("pack_efficiency_sweep")(spark, sf0001)
+    pack.collect()
+    val pplan = pack.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!pplan.contains("Window"), s"sweep branches must reuse the cumsum:\n$pplan")
+    assert("Scan parquet".r.findAllIn(pplan).isEmpty,
+      s"sweep must read only the checkpointed cumsum:\n$pplan")
+    // eval_contamination_report rides the memoized 8-gram set: warm,
+    // its plan reads ONLY checkpointed RDDs and never pairs docs
+    graft.engine.text.TextOps.ngramSetCached(spark, sf0001, 8,
+      Seq("doc_id", "source")).count()
+    val ev = graft.SparkEntry.queries("eval_contamination_report")(spark, sf0001)
+    ev.collect()
+    val eplan = ev.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!eplan.contains("CartesianProduct"), s"must join on the shingle key:\n$eplan")
+    assert("Scan parquet".r.findAllIn(eplan).isEmpty,
+      s"warm plan must read the shared 8-gram checkpoint:\n$eplan")
+    // ann_sq_rescore_sweep: coarse kernel + exact rescore live inside
+    // one eager checkpoint; the three rescore depths re-rank that
+    // (|Q|·16)-row table and grade against the truth checkpoint — no
+    // parquet scan and no cartesian may appear in the declared plan
+    val sq = graft.SparkEntry.queries("ann_sq_rescore_sweep")(spark, sf0001)
+    sq.collect()
+    val splan = sq.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!splan.contains("CartesianProduct"),
+      s"rescore branches must not re-pair: \n$splan")
+    assert("Scan parquet".r.findAllIn(splan).isEmpty,
+      s"warm plan must read the rescore + truth checkpoints:\n$splan")
+  }
+
   test("dedup-chain billing: warm consumers read checkpoints, never re-derive the chain") {
     // Round-6 bench billing was order-dependent: whichever dedup
     // consumer ran first paid the whole token→signature→pair→truth

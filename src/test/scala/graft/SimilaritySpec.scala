@@ -191,6 +191,28 @@ class SimilaritySpec extends SparkSpec {
     assert(sweep.last._4 >= 0.5, s"16-deep rescore recall collapsed: ${sweep.toSeq}")
   }
 
+  test("ann_filtered_topk: answers satisfy the predicate and never beat the unfiltered probe") {
+    val lbl = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.queries("ann_filtered_topk")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "sampled queries should find same-label candidates")
+    rows.foreach { case (q, nn, _) =>
+      assert(q % 13 == 0, s"non-sampled query answered: $q")
+      assert(lbl(q) == lbl(nn), s"filter violated: $q(label ${lbl(q)}) -> $nn(label ${lbl(nn)})")
+    }
+    // the unfiltered IVF answer optimizes over a SUPERSET of the
+    // filtered candidate set (same probed cells, no label restriction)
+    // — the filtered best can never exceed it
+    val ivf = Similarity.queries("ann_ivf_topk")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (q, _, cos) =>
+      ivf.get(q).foreach(u => assert(cos <= u + 1e-9,
+        s"filtered answer beats the unfiltered optimum for $q: $cos > $u"))
+    }
+  }
+
   test("ivf_cell_balance: audit reconciles with the corpus and its own algebra") {
     val r = Similarity.queries("ivf_cell_balance")(spark, sf0001).collect()(0)
     val (nv, nc, mn, mx, imb, cost) =

@@ -105,6 +105,11 @@ object Bench {
       // without this, ~2.6 s of one-time resolve cost lands on
       // whichever of the three the bench order runs first
       TextOps.resolvedGroups(spark, sfDir).count()
+      // the sampled ANN truth (shared input of ann_recall /
+      // ann_nprobe_sweep / lsh_tables_sweep / ann_sq_rescore_sweep):
+      // same discipline — its ~0.6 s build otherwise bills to
+      // whichever measurement query the bench order runs first
+      graft.engine.sim.Similarity.sampledTruth(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup memos: ${e.getMessage}") }
     // Locale.ROOT: f"$v%.3f" would emit comma decimals under e.g. a
     // German default locale and break the JSON protocol

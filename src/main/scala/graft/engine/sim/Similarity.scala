@@ -106,7 +106,7 @@ object Similarity {
     * consumer. Shared-INPUT memo (the Bench re-run discipline):
     * consumers still execute their full declared measurement plan
     * over it. */
-  private def sampledTruth(s: SparkSession, d: String): DataFrame =
+  private[graft] def sampledTruth(s: SparkSession, d: String): DataFrame =
     annCache.get(s, s"$d|truth13") {
       graft.engine.expr.GraftFunctions.register(s)
       val v = vecs(s, d)

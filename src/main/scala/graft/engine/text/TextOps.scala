@@ -1879,6 +1879,41 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance weighting (Xie et al. 2023, hashed-ngram
+    // variant reduced to unigram features): every candidate training
+    // doc (source ≠ src0) scored by the length-normalized
+    // log-likelihood RATIO of the target LM (src0 = the eval/target
+    // proxy) vs the raw-corpus LM, add-one smoothed over the shared
+    // vocabulary — the data-SELECTION op that upweights docs looking
+    // like the target domain; declared output is the top-50 pick
+    // (desc weight, doc_id tiebreak), i.e. the resampling head.
+    // Scale shape: two token hash aggs build the LMs, the per-token
+    // log-ratio dim joins the token stream (broadcast at bench SF,
+    // token-keyed shuffle at 100 TB), one per-doc agg, and the top-50
+    // is TakeOrdered — never a global sort. Exact-integer counts
+    // everywhere; floats enter only at the two ln() calls and the
+    // final ROUND(·,6) mean (the unigram_logppl discipline).
+    "dsir_importance_weights" -> ((s, d) => {
+      val tok = tokens(docs(s, d)).select("doc_id", "source", "token")
+      val vocab = tok.select("token").distinct().count()
+      val ev = tok.filter(col("source") === "src0")
+      val tr = tok.filter(col("source") =!= "src0")
+      val nTgt = ev.count()
+      val nSrc = tr.count()
+      val cTgt = ev.groupBy("token").agg(count(lit(1)).as("ct"))
+      val ratio = tr.groupBy("token").agg(count(lit(1)).as("cs"))
+        .join(cTgt, Seq("token"), "left")
+        .select(col("token"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+              / lit((nTgt + vocab).toDouble))
+            - log((col("cs") + lit(1L)).cast("double")
+              / lit((nSrc + vocab).toDouble))).as("lr"))
+      tr.join(broadcast(ratio), "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), round(sum("lr") / count(lit(1)), 6).as("w"))
+        .orderBy(desc("w"), col("doc_id")).limit(50)
+    }),
+
     // CCNet-style perplexity BUCKETING (Wenzek et al. 2020): per lang,
     // docs split into head/middle/tail thirds by unigram-LM NLL (the
     // published curation move: train on head+middle, drop or re-weight
@@ -2752,6 +2787,24 @@ object TextOps {
         |SELECT doc_id, n_sh, n_hit, ROUND(n_hit / n_sh, 6) AS leakage
         |FROM tot JOIN hit USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dsir_importance_weights" ->
+      """WITH tok AS (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT COUNT(DISTINCT token) AS vocab FROM tok),
+        |ev AS (SELECT token, COUNT(*) AS ct FROM tok WHERE source = 'src0' GROUP BY 1),
+        |nt AS (SELECT COUNT(*) AS n FROM tok WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, token FROM tok WHERE source <> 'src0'),
+        |cs AS (SELECT token, COUNT(*) AS cs FROM tr GROUP BY 1),
+        |ns AS (SELECT COUNT(*) AS n FROM tr),
+        |ratio AS (SELECT cs.token,
+        |    ln((COALESCE(ev.ct, 0) + 1) * 1.0 / (nt.n + v.vocab))
+        |  - ln((cs.cs + 1) * 1.0 / (ns.n + v.vocab)) AS lr
+        |  FROM cs LEFT JOIN ev USING (token)
+        |  CROSS JOIN nt CROSS JOIN ns CROSS JOIN v)
+        |SELECT tr.doc_id, COUNT(*) AS n_tok, ROUND(SUM(r.lr) / COUNT(*), 6) AS w
+        |FROM tr JOIN ratio r USING (token)
+        |GROUP BY 1 ORDER BY w DESC, doc_id LIMIT 50""".stripMargin,
 
     "ccnet_ppl_buckets" ->
       """WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token

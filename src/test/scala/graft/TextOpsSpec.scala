@@ -414,6 +414,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsir_importance_weights: target-like docs outrank off-target docs") {
+    // eval (src0) = "a b"; train doc 0 repeats the target's tokens,
+    // train doc 1 shares none. Add-one over vocab {a,b,x,y}:
+    // lr(a) = ln(2/6) − ln(2/8) > 0, lr(x) = ln(1/6) − ln(2/8) < 0
+    // ⇒ doc 0 scores positive, doc 1 negative, doc 0 ranks first.
+    val d = writeDocs(Seq(
+      (9L, "a b", "en", "src0"),
+      (0L, "a b", "en", "s1"),
+      (1L, "x y", "en", "s1")))
+    val rows = TextOps.queries("dsir_importance_weights")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L), s"got ${rows.toSeq}")
+    assert(rows(0)._3 > 0 && rows(1)._3 < 0,
+      s"target-like doc must score positive, off-target negative: ${rows.toSeq}")
+    // the eval docs themselves are never candidates
+    assert(!rows.exists(_._1 == 9L))
+  }
+
   test("ccnet_ppl_buckets: buckets partition each lang with ordered NLL ranges") {
     val rows = TextOps.queries("ccnet_ppl_buckets")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -99,9 +99,10 @@ object Similarity {
 
   /** The sampled brute-force nearest-neighbor TRUTH (1-in-13 query
     * sample, broadcast-kernel argmax — see `ann_recall` for the
-    * measurement rationale), memoized per (session, sfDir): three
+    * measurement rationale), memoized per (session, sfDir): four
     * declared measurement queries (`ann_recall`, `ann_nprobe_sweep`,
-    * `lsh_tables_sweep`) grade against the SAME truth table, and each
+    * `lsh_tables_sweep`, `ann_sq_rescore_sweep`) grade against the
+    * SAME truth table, and each
     * re-deriving the |Q|·n kernel was ~0.6 s of duplicated work per
     * consumer. Shared-INPUT memo (the Bench re-run discipline):
     * consumers still execute their full declared measurement plan
@@ -521,32 +522,38 @@ object Similarity {
         }.toDF("vec_id", "t", "sig")
   }
 
+  /** Score candidate id pairs and keep the best per query — the
+    * shared tail of every candidate-generating ANN operator
+    * (LSH / IVF / filtered). Scoring is SHUFFLE-BOUNDED: candidate
+    * pairs equi-join back to the vectors DF on each side (never a
+    * driver collect / broadcast of the whole table — that would cap
+    * the operator at driver memory). The dot product is the fused
+    * native `dot_prod` expression (single codegen'd loop, array-index
+    * order — bit-identical to the kernel form and the oracle; the HOF
+    * form allocates a 64-element array per candidate pair). At 100 TB
+    * both joins shuffle on vec_id; the pair table is ≪ corpus by the
+    * index's selectivity. Ranking key is (ROUND(cos,6) DESC, id2) —
+    * the §7.6 discipline every consumer and oracle shares. */
+  private def scoreBest(v: DataFrame, cand: DataFrame): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(v.sparkSession)
+    val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
+    cand
+      .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+      .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
+      .select(col("id1"), col("id2").as("nn_id"), col("cos"))
+  }
+
   private[graft] def annLshPlan(s: SparkSession, d: String): DataFrame = {
       val v = vecs(s, d)
-      val sp = v.sparkSession
       val sig = lshSignatures(s, d)
       val cand = sig.as("a").join(sig.as("b"),
           col("a.t") === col("b.t") && col("a.sig") === col("b.sig")
             && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2")).distinct()
-      // Scoring is SHUFFLE-BOUNDED: candidate pairs equi-join back to
-      // the vectors DF on each side (never a driver collect / broadcast
-      // of the whole table — that would cap the operator at driver
-      // memory). The dot product is the fused native `dot_prod`
-      // expression (single codegen'd loop, array-index order — bit-
-      // identical to the kernel form and the oracle; the HOF form
-      // allocates a 64-element array per candidate pair). At 100 TB
-      // both joins shuffle on vec_id; the pair table is ≪ corpus by
-      // LSH selectivity.
-      graft.engine.expr.GraftFunctions.register(sp)
-      val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
-      cand
-        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
-        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
-        .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
-        .select(col("id1"), col("id2").as("nn_id"), col("cos"))
+      scoreBest(v, cand)
   }
 
   private lazy val ivfAndRecall: Map[String, (SparkSession, String) => DataFrame] =
@@ -650,32 +657,29 @@ object Similarity {
 
   /** The IVF pipeline PLAN, package-private for ScaleShapeSpec (see
     * annLshPlan). */
+  /** The IVF probe set (rn ≤ nprobe, as (id1, cell)) and assignment
+    * (rn = 1, as (id2, cell)) — the shared candidate front of
+    * `annIvfPlan` and `ann_filtered_topk`. */
+  private def ivfProbesAssigned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ranked = cellRanked(s, d)
+    (ranked.filter(col("rn") <= 2).select(col("vec_id").as("id1"), col("cell")),
+      ranked.filter(col("rn") === 1).select(col("vec_id").as("id2"), col("cell")))
+  }
+
   private[graft] def annIvfPlan(s: SparkSession, d: String): DataFrame = {
       val v = vecs(s, d)
-      val sp = v.sparkSession
-      graft.engine.expr.GraftFunctions.register(sp)
-      val ranked = cellRanked(s, d)
       // candidates are generated as BARE ID PAIRS — the cell join's
       // output multiplies rows by Σ|cell|·|probes-in-cell|, and
       // carrying the 64-double vectors through that shuffle is ~50×
-      // the bytes of the id pairs. Vectors attach AFTERWARDS via the
-      // same candidate→vector equi-joins ann_lsh_topk uses: each side
-      // shuffles by vec_id, scoring is the fused `dot_prod`. (Stage
-      // profiling at sf0.1: the whole plan runs ~1.9 s warm — the
-      // bench number above it is first-touch codegen/JIT, not plan
-      // cost.)
-      val probes = ranked.filter(col("rn") <= 2).select(col("vec_id").as("id1"), col("cell"))
-      val assigned = ranked.filter(col("rn") === 1).select(col("vec_id").as("id2"), col("cell"))
+      // the bytes of the id pairs. Vectors attach AFTERWARDS inside
+      // scoreBest: each side shuffles by vec_id, scoring is the fused
+      // `dot_prod`. (Stage profiling at sf0.1: the whole plan runs
+      // ~1.9 s warm — the bench number above it is first-touch
+      // codegen/JIT, not plan cost.)
+      val (probes, assigned) = ivfProbesAssigned(s, d)
       val cand = probes.join(assigned, "cell")
         .filter(col("id1") =!= col("id2")).select("id1", "id2")
-      val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
-      cand
-        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
-        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
-        .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
-        .select(col("id1"), col("id2").as("nn_id"), col("cos"))
+      scoreBest(v, cand)
   }
 
   private lazy val recallEntry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -814,38 +818,28 @@ object Similarity {
     // same-label candidate in their probed cells are absent by
     // declared semantics.
     "ann_filtered_topk" -> ((s, d) => {
-      graft.engine.expr.GraftFunctions.register(s)
       val v = vecs(s, d)
-      val ranked = cellRanked(s, d)
       val lbl = v.select(col("vec_id"), col("label"))
-      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") % 13 === 0)
-        .select(col("vec_id").as("id1"), col("cell"))
+      val (probesAll, assignedAll) = ivfProbesAssigned(s, d)
+      val probes = probesAll.filter(col("id1") % 13 === 0)
         .join(broadcast(lbl.select(col("vec_id").as("id1"), col("label").as("l1"))), "id1")
-      val assigned = ranked.filter(col("rn") === 1)
-        .select(col("vec_id").as("id2"), col("cell"))
+      val assigned = assignedAll
         .join(broadcast(lbl.select(col("vec_id").as("id2"), col("label").as("l2"))), "id2")
       val cand = probes.join(assigned, "cell")
         .filter(col("id1") =!= col("id2") && col("l1") === col("l2"))
         .select("id1", "id2")
-      val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
-      cand
-        .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
-        .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
-        .select(col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
-        .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
-        .select(col("id1"), col("id2").as("nn_id"), col("cos"))
-        .orderBy("id1")
+      scoreBest(v, cand).orderBy("id1")
     }),
 
     // IVF index SKEW audit — the partition-balance question every
     // cell-based ANN layout answers before shipping: per-cell
     // assignment sizes summarized as min/max, the imbalance factor
     // (max·cells/n — 1e6 ppm = perfectly even; a hot cell is a
-    // straggler task AND a recall sink), and Σ|cell|² — the EXACT
-    // candidate-generation cost `semdedup_embedding` and the
-    // within-cell joins pay, i.e. the number this audit exists to
-    // bound. All exact integer arithmetic off one hash agg over the
+    // straggler task AND a recall sink), and Σ|cell|² — the standard
+    // within-cell join-cost driver (`semdedup_embedding`'s actual
+    // candidate count is the ordered-pair half, Σ sz(sz−1)/2; both
+    // scale identically and this audit exists to bound them). All
+    // exact integer arithmetic off one hash agg over the
     // shared cell-ranking subplan; output is a one-row contract.
     "ivf_cell_balance" -> ((s, d) => {
       val sizes = cellRanked(s, d).filter(col("rn") === 1)

@@ -1824,8 +1824,10 @@ object TextOps {
     // PACKING-BUDGET sweep — the knob table for `sequence_pack`
     // (the dedup_threshold_sweep discipline applied to the packing
     // budget): at each sequence budget ∈ {128, 256, 512}, the pack
-    // count, overflowing packs (a doc longer than the budget overflows
-    // its pack — greedy cumsum packing never splits documents), total
+    // count, overflowing packs (a pack overflows when its LAST doc
+    // crosses the budget boundary — greedy cumsum packing never
+    // splits documents, so ANY boundary-spanning doc pushes its pack
+    // past budget, not just docs longer than the budget), total
     // capacity and the exact-integer fill rate. The per-shard token
     // cumsum is budget-INDEPENDENT, so the sweep pays the windowed
     // cumsum once (one shuffle on the 16-way shard key, same plan as
@@ -1887,27 +1889,33 @@ object TextOps {
     // vocabulary — the data-SELECTION op that upweights docs looking
     // like the target domain; declared output is the top-50 pick
     // (desc weight, doc_id tiebreak), i.e. the resampling head.
-    // Scale shape: two token hash aggs build the LMs, the per-token
-    // log-ratio dim joins the token stream (broadcast at bench SF,
-    // token-keyed shuffle at 100 TB), one per-doc agg, and the top-50
-    // is TakeOrdered — never a global sort. Exact-integer counts
-    // everywhere; floats enter only at the two ln() calls and the
-    // final ROUND(·,6) mean (the unigram_logppl discipline).
+    // Scale shape: two token hash aggs build the LMs, the corpus
+    // scalars (vocab size, per-side token totals) come from ONE
+    // in-plan aggregation crossJoin-broadcast back (the bm25_topk
+    // stats pattern — no driver-side count jobs at plan-build time),
+    // the per-token log-ratio dim joins the token stream (broadcast
+    // at bench SF, token-keyed shuffle at 100 TB), one per-doc agg,
+    // and the top-50 is TakeOrdered — never a global sort.
+    // Exact-integer counts everywhere; floats enter only at the two
+    // ln() calls and the final ROUND(·,6) mean (the unigram_logppl
+    // discipline).
     "dsir_importance_weights" -> ((s, d) => {
       val tok = tokens(docs(s, d)).select("doc_id", "source", "token")
-      val vocab = tok.select("token").distinct().count()
+      val stats = tok.agg(
+        count_distinct(col("token")).as("vocab"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("ns"))
       val ev = tok.filter(col("source") === "src0")
       val tr = tok.filter(col("source") =!= "src0")
-      val nTgt = ev.count()
-      val nSrc = tr.count()
       val cTgt = ev.groupBy("token").agg(count(lit(1)).as("ct"))
       val ratio = tr.groupBy("token").agg(count(lit(1)).as("cs"))
         .join(cTgt, Seq("token"), "left")
+        .crossJoin(broadcast(stats))
         .select(col("token"),
           (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
-              / lit((nTgt + vocab).toDouble))
+              / (col("nt") + col("vocab")).cast("double"))
             - log((col("cs") + lit(1L)).cast("double")
-              / lit((nSrc + vocab).toDouble))).as("lr"))
+              / (col("ns") + col("vocab")).cast("double"))).as("lr"))
       tr.join(broadcast(ratio), "token")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), round(sum("lr") / count(lit(1)), 6).as("w"))

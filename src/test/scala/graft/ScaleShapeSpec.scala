@@ -430,8 +430,16 @@ class ScaleShapeSpec extends SparkSpec {
     val ccnet = graft.SparkEntry.queries("ccnet_ppl_buckets")(spark, sf0001)
     ccnet.collect()
     val cplan = ccnet.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(cplan.contains("BroadcastHashJoin") || cplan.contains("BroadcastExchange"),
-      s"tertile cuts must broadcast:\n$cplan")
+    // the assertion targets the JOIN KEY, not mere broadcast presence
+    // (the LM crossJoins broadcast regardless): the lang-keyed cuts
+    // join itself must be broadcast — a sort-merge/shuffled-hash join
+    // on the ~5-value lang key would funnel the corpus through 5
+    // reducers
+    assert(cplan.contains("BroadcastHashJoin [lang"),
+      s"tertile cuts must broadcast-join on lang:\n$cplan")
+    assert(!cplan.contains("SortMergeJoin [lang")
+      && !cplan.contains("ShuffledHashJoin [lang"),
+      s"bucketing must not shuffle the doc stream on lang:\n$cplan")
     // pack_efficiency_sweep: the per-shard cumsum runs ONCE inside the
     // eager checkpoint; the three declared operating points are pure
     // agg branches over it — any Window or parquet scan in the final

@@ -14,16 +14,24 @@ import graft.engine.Tables
 object Bench {
   /** Queries whose OWN work product is session-memoized (sweep table,
     * written sink layouts, checkpointed ANN answer plans, CMS sketch,
-    * foreachBatch landing, persisted report): a plain second
-    * in-session execution would read the memo instead of re-doing the
-    * declared work, so min-of-2 would UNDER-bill them (k_sweep
-    * re-ran at 0.10 s vs its real 3.9 s of MLlib fits). Their second
-    * attempt runs under SessionCache.freshEpoch — every memo misses,
-    * the declared work re-executes COLD, and the min is a min over
-    * two honest cold runs. Shared-INPUT memos (token/signature/pair/
-    * truth tables the warmup pre-touches) are not in this set:
-    * queries over them re-execute their full declared plan on both
-    * attempts either way. Keep in sync when adding a memoized query —
+    * foreachBatch landing, persisted report, resolved dedup groups):
+    * a memo-served execution would read the artifact instead of
+    * re-doing the declared work and UNDER-bill (k_sweep re-ran at
+    * 0.10 s vs its real 3.9 s of MLlib fits). EVERY attempt of these
+    * queries runs under SessionCache.freshEpoch — first included,
+    * because a memo another query or the warmup already built would
+    * otherwise serve the first attempt (optimal_k_select after
+    * k_sweep, heavy_hitters_cms after cms_error_contract,
+    * near_dedup_groups after the warmup's resolvedGroups pre-touch
+    * were all billed as sub-second memo reads under the old
+    * second-attempt-only rule). The min is a min over honest cold
+    * executions, order- and warmup-independent. Shared-INPUT memos
+    * (token/signature/pair/truth tables the warmup pre-touches) are
+    * not in this set: queries over them execute their full declared
+    * INCREMENTAL plan on every attempt either way — but a query whose
+    * declared output IS a memoized artifact (near_dedup_groups =
+    * the group resolution) belongs here, billed as its full cold
+    * chain. Keep in sync when adding a memoized query —
     * InvariantsSpec asserts every name here is a declared query. */
   private[graft] val ownMemo = Set(
     "k_sweep", "optimal_k_select", "index_report_roundtrip",
@@ -32,7 +40,8 @@ object Bench {
     "source_orc_roundtrip", "source_text_roundtrip",
     "bucketed_join_roundtrip", "zorder_layout_audit",
     "ann_lsh_topk", "ann_ivf_topk",
-    "heavy_hitters_cms", "cms_error_contract")
+    "heavy_hitters_cms", "cms_error_contract",
+    "near_dedup_groups")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,6 +119,11 @@ object Bench {
       // same discipline — its ~0.6 s build otherwise bills to
       // whichever measurement query the bench order runs first
       graft.engine.sim.Similarity.sampledTruth(spark, sfDir).count()
+      // ... and the cell-ranking / LSH-signature shared inputs the
+      // sweep/audit/filter consumers read (the declared index
+      // operators build their own raw passes under ownMemo cold)
+      graft.engine.sim.Similarity.cellRankedCached(spark, sfDir).count()
+      graft.engine.sim.Similarity.lshSignaturesCached(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup memos: ${e.getMessage}") }
     // Locale.ROOT: f"$v%.3f" would emit comma decimals under e.g. a
     // German default locale and break the JSON protocol
@@ -143,13 +157,19 @@ object Bench {
       }
     }
     val results = selected.map { case (name, fn) =>
-      val first = timeOnce(name, fn)
+      def attempt(): Double =
+        if (ownMemo(name))
+          graft.engine.SessionCache.freshEpoch(name)(timeOnce(name, fn))
+        else timeOnce(name, fn)
+      val first = attempt()
       val sec =
         if (first > rerunThreshold) {
-          val second =
-            if (ownMemo(name))
-              graft.engine.SessionCache.freshEpoch(name)(timeOnce(name, fn))
-            else timeOnce(name, fn)
+          val second = attempt()
+          // a failed RE-RUN of a query that already executed cold
+          // once is host noise (port clash, temp-dir race) — keep the
+          // honest first timing; a cold path that cannot run at all
+          // fails the FIRST attempt and reports -1 (ownMemo first
+          // attempts are cold by construction now)
           if (second < 0) first else math.min(first, second)
         } else first
       println(s"""{"metric":"query","name":"$name","value":${fmt(sec)},"unit":"sec"}""")

@@ -641,6 +641,28 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("f").as("cf"))
   }
 
+  /** Shared-INPUT memos for the measurement consumers: the cell
+    * ranking and the LSH signature table materialized once per
+    * (session, sfDir) at pinned width. The DECLARED index operators
+    * (`ann_ivf_topk` / `ann_lsh_topk`) keep the raw builders — their
+    * answer memo is in `ownMemo`, so the bench's cold-epoch re-run
+    * exercises the full build — while the sweep/audit/filter queries
+    * (`ann_nprobe_sweep`, `lsh_tables_sweep`, `ann_filtered_topk`,
+    * `ivf_cell_balance`) read the shared artifact and execute their
+    * declared measurement plan over it (each used to rebuild and
+    * re-checkpoint the corpus-wide pass per invocation). */
+  private val subCache = new graft.engine.SessionCache[DataFrame]
+
+  private[graft] def cellRankedCached(s: SparkSession, d: String): DataFrame =
+    subCache.get(s, s"$d|crk")(
+      cellRanked(s, d)
+        .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true))
+
+  private[graft] def lshSignaturesCached(s: SparkSession, d: String): DataFrame =
+    subCache.get(s, s"$d|lshsig")(
+      lshSignatures(s, d)
+        .repartition(s.sparkContext.defaultParallelism).localCheckpoint(true))
+
   /** Every vector ranked against every cell by ROUNDED squared
     * distance (rn = 1 is the assignment, rn ≤ nprobe the probe set) —
     * the shared front half of the IVF family. Pure plan builder (no
@@ -658,13 +680,12 @@ object Similarity {
   /** The IVF pipeline PLAN, package-private for ScaleShapeSpec (see
     * annLshPlan). */
   /** The IVF probe set (rn ≤ nprobe, as (id1, cell)) and assignment
-    * (rn = 1, as (id2, cell)) — the shared candidate front of
-    * `annIvfPlan` and `ann_filtered_topk`. */
-  private def ivfProbesAssigned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val ranked = cellRanked(s, d)
+    * (rn = 1, as (id2, cell)) from a given cell ranking — the shared
+    * candidate front of `annIvfPlan` (raw build) and
+    * `ann_filtered_topk` (shared-input memo). */
+  private def ivfProbesAssigned(ranked: DataFrame): (DataFrame, DataFrame) =
     (ranked.filter(col("rn") <= 2).select(col("vec_id").as("id1"), col("cell")),
       ranked.filter(col("rn") === 1).select(col("vec_id").as("id2"), col("cell")))
-  }
 
   private[graft] def annIvfPlan(s: SparkSession, d: String): DataFrame = {
       val v = vecs(s, d)
@@ -676,11 +697,40 @@ object Similarity {
       // `dot_prod`. (Stage profiling at sf0.1: the whole plan runs
       // ~1.9 s warm — the bench number above it is first-touch
       // codegen/JIT, not plan cost.)
-      val (probes, assigned) = ivfProbesAssigned(s, d)
+      val (probes, assigned) = ivfProbesAssigned(cellRanked(s, d))
       val cand = probes.join(assigned, "cell")
         .filter(col("id1") =!= col("id2")).select("id1", "id2")
       scoreBest(v, cand)
   }
+
+  /** Best-candidate answer per query WITH candidate counts: attach
+    * vectors to bare id pairs, score with the fused `dot_prod`, argmax
+    * on the shared (ROUND(cos,6) DESC, id) key as a map-side-combinable
+    * max(struct) — the per-operating-point kernel of both sweep
+    * queries (a drift in one copy would silently break the
+    * sweep-row-must-match-ann_recall spec pins). */
+  private def bestAndCount(cand: DataFrame, v: DataFrame): DataFrame =
+    cand
+      .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
+      .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .groupBy("id1")
+      .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"),
+        count(lit(1)).as("cands"))
+      .select(col("id1"), (-col("m.nid")).as("nn_id"), col("cands"))
+
+  /** Truth LEFT-join + the recall aggregate with candidate volume —
+    * the shared grading tail of the sweep operating points. */
+  private def gradeWithCands(truth: DataFrame, ans: DataFrame): DataFrame =
+    truth.join(ans, Seq("id1"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("nn_id")).as("n_answered"),
+        sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"),
+        coalesce(sum("cands"), lit(0L)).as("n_candidates"))
+      .select(col("n_queries"), col("n_answered"), col("n_correct"),
+        round(col("n_correct") / col("n_queries"), 6).as("recall_at_1"),
+        col("n_candidates"))
 
   private lazy val recallEntry: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ANN QUALITY as a first-class declared query (not a code
@@ -730,31 +780,17 @@ object Similarity {
       graft.engine.expr.GraftFunctions.register(s)
       val v = vecs(s, d)
       val truth = sampledTruth(s, d)
-      val ranked = cellRanked(s, d).localCheckpoint(true)
+      val ranked = cellRankedCached(s, d)
       val assigned = ranked.filter(col("rn") === 1)
         .select(col("vec_id").as("id2"), col("cell"))
       def point(np: Int): DataFrame = {
         val probes = ranked.filter(col("rn") <= np && col("vec_id") % 13 === 0)
           .select(col("vec_id").as("id1"), col("cell"))
-        val ans = probes.join(assigned, "cell")
+        val cand = probes.join(assigned, "cell")
           .filter(col("id1") =!= col("id2")).select("id1", "id2")
-          .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
-          .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
-          .select(col("id1"), col("id2"),
-            round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
-          .groupBy("id1")
-          .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"),
-            count(lit(1)).as("cands"))
-          .select(col("id1"), (-col("m.nid")).as("nn_id"), col("cands"))
-        truth.join(ans, Seq("id1"), "left")
-          .agg(count(lit(1)).as("n_queries"),
-            count(col("nn_id")).as("n_answered"),
-            sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"),
-            coalesce(sum("cands"), lit(0L)).as("n_candidates"))
+        gradeWithCands(truth, bestAndCount(cand, v))
           .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_answered"),
-            col("n_correct"),
-            round(col("n_correct") / col("n_queries"), 6).as("recall_at_1"),
-            col("n_candidates"))
+            col("n_correct"), col("recall_at_1"), col("n_candidates"))
       }
       point(1).union(point(2)).union(point(4)).orderBy("nprobe")
     }),
@@ -773,7 +809,7 @@ object Similarity {
       graft.engine.expr.GraftFunctions.register(s)
       val v = vecs(s, d)
       val truth = sampledTruth(s, d)
-      val sig = lshSignatures(s, d).localCheckpoint(true)
+      val sig = lshSignaturesCached(s, d)
       val sigq = sig.filter(col("vec_id") % 13 === 0)
         .select(col("vec_id").as("id1"), col("t"), col("sig"))
       val sigAll = sig.select(col("vec_id").as("id2"), col("t"), col("sig"))
@@ -782,23 +818,9 @@ object Similarity {
           .join(sigAll.filter(col("t") < tables), Seq("t", "sig"))
           .filter(col("id1") =!= col("id2"))
           .select("id1", "id2").distinct()
-        val ans = cand
-          .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
-          .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
-          .select(col("id1"), col("id2"),
-            round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
-          .groupBy("id1")
-          .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"),
-            count(lit(1)).as("cands"))
-          .select(col("id1"), (-col("m.nid")).as("nn_id"), col("cands"))
-        truth.join(ans, Seq("id1"), "left")
-          .agg(count(lit(1)).as("n_queries"),
-            count(col("nn_id")).as("n_answered"),
-            sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"),
-            coalesce(sum("cands"), lit(0L)).as("n_candidates"))
+        gradeWithCands(truth, bestAndCount(cand, v))
           .select(lit(tables.toLong).as("n_tables"), col("n_queries"),
-            col("n_answered"), col("n_correct"),
-            round(col("n_correct") / col("n_queries"), 6).as("recall_at_1"),
+            col("n_answered"), col("n_correct"), col("recall_at_1"),
             col("n_candidates"))
       }
       point(1).union(point(3)).union(point(5)).orderBy("n_tables")
@@ -820,7 +842,7 @@ object Similarity {
     "ann_filtered_topk" -> ((s, d) => {
       val v = vecs(s, d)
       val lbl = v.select(col("vec_id"), col("label"))
-      val (probesAll, assignedAll) = ivfProbesAssigned(s, d)
+      val (probesAll, assignedAll) = ivfProbesAssigned(cellRankedCached(s, d))
       val probes = probesAll.filter(col("id1") % 13 === 0)
         .join(broadcast(lbl.select(col("vec_id").as("id1"), col("label").as("l1"))), "id1")
       val assigned = assignedAll
@@ -842,7 +864,7 @@ object Similarity {
     // exact integer arithmetic off one hash agg over the
     // shared cell-ranking subplan; output is a one-row contract.
     "ivf_cell_balance" -> ((s, d) => {
-      val sizes = cellRanked(s, d).filter(col("rn") === 1)
+      val sizes = cellRankedCached(s, d).filter(col("rn") === 1)
         .groupBy("cell").agg(count(lit(1)).as("sz"))
       sizes.agg(sum("sz").as("n_vecs"), count(lit(1)).as("n_cells"),
           min("sz").as("min_sz"), max("sz").as("max_sz"),

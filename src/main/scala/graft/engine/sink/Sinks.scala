@@ -86,13 +86,22 @@ object Sinks {
   /** Tab-line serialization for the text roundtrip (and SinksSpec's
     * adversarial-content cases): (doc_id, lang, source, text) → one
     * `value` line with every string field hex-armored; plain `concat`
-    * so a NULL field nulls the LINE (the text sink then fails fast)
-    * instead of concat_ws's silent left-shift. Inverse below. */
+    * so a NULL field nulls the LINE, and an EXPLICIT raise_error on a
+    * null line makes the write genuinely fail fast — Spark's text sink
+    * would otherwise emit a bare newline for a NULL value (verified
+    * against TextOutputWriter: a null row skips the payload but still
+    * writes the line separator), which decodes to a phantom
+    * all-NULL/empty row that silently shifts downstream aggregates
+    * (the concat_ws left-shift failure mode in a different coat).
+    * Inverse below. */
   private[graft] def textLineEncode(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     def h(c: String) = hex(encode(col(c), "UTF-8"))
-    df.select(concat(col("doc_id").cast("string"), lit("\t"), h("lang"),
-      lit("\t"), h("source"), lit("\t"), h("text")).as("value"))
+    val line = concat(col("doc_id").cast("string"), lit("\t"), h("lang"),
+      lit("\t"), h("source"), lit("\t"), h("text"))
+    df.select(when(line.isNull, raise_error(lit(
+        "textLineEncode: NULL field is unrepresentable in the tab-line format")))
+      .otherwise(line).as("value"))
   }
 
   private[graft] def textLineDecode(df: DataFrame): DataFrame = {

@@ -138,4 +138,22 @@ class SinksSpec extends SparkSpec {
     assert(back.toSeq == rows.map(t => (t._1, t._2, t._3, t._4)),
       s"lossy dim roundtrip: ${back.toSeq}")
   }
+
+  test("text line format REJECTS a NULL field at write time (no phantom empty line)") {
+    // Spark's text sink writes a bare newline for a NULL value (the
+    // payload is skipped, the separator is not), which would decode to
+    // a phantom all-NULL row and silently shift per-lang aggregates —
+    // so the encoder raises instead of letting the sink "succeed".
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sink_null").toString + "/t"
+    val df = Seq((0L, "ok", "en", "s0"), (1L, null, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val e = intercept[Exception] {
+      Sinks.textLineEncode(df).write.mode("overwrite").text(tmp)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("unrepresentable")),
+      s"expected the encoder's raise_error, got: $e")
+  }
 }

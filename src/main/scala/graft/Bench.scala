@@ -157,10 +157,18 @@ object Bench {
       }
     }
     val results = selected.map { case (name, fn) =>
-      def attempt(): Double =
+      // the epoch tag must be UNIQUE PER ATTEMPT: with one tag per
+      // query, the first attempt builds the memo under the temp epoch
+      // and the second attempt reads it back — a warm min that defeats
+      // the whole cold-billing protocol (caught live: k_sweep billed
+      // 0.11 s on the shared-tag form)
+      var attemptNo = 0
+      def attempt(): Double = {
+        attemptNo += 1
         if (ownMemo(name))
-          graft.engine.SessionCache.freshEpoch(name)(timeOnce(name, fn))
+          graft.engine.SessionCache.freshEpoch(s"$name#$attemptNo")(timeOnce(name, fn))
         else timeOnce(name, fn)
+      }
       val first = attempt()
       val sec =
         if (first > rerunThreshold) {

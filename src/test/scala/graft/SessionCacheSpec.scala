@@ -41,4 +41,20 @@ class SessionCacheSpec extends SparkSpec {
     assert(fetch() == 1 && builds == 3,
       "a throwing freshEpoch body must restore the previous epoch")
   }
+
+  test("reusing one epoch tag serves the first attempt's entry (why Bench tags per attempt)") {
+    // The live bug this pins: Bench's cold-billing briefly used ONE
+    // tag per query for both timed attempts — the first attempt built
+    // the memo under the temp epoch and the second read it back, so
+    // min-of-2 recorded a warm memo read (k_sweep billed 0.11 s).
+    // Same tag ⇒ shared entry; the protocol must tag per ATTEMPT.
+    val cache = new SessionCache[Int]
+    var builds = 0
+    def fetch(): Int = cache.get(spark, "k") { builds += 1; builds }
+    SessionCache.freshEpoch("same")(fetch())
+    SessionCache.freshEpoch("same")(fetch())
+    assert(builds == 1, "same tag twice shares the entry — NOT a cold re-run")
+    SessionCache.freshEpoch("same#2")(fetch())
+    assert(builds == 2, "a per-attempt tag forces the honest rebuild")
+  }
 }

@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * when a session is GC'd its cached values (checkpointed frames,
   * layout paths, …) become collectable with it — no JVM-lifetime
   * growth across sessions, and no identity-hash-reuse hazard. Within
-  * a session, entries are bounded by (sfDir × config) — a handful.
+  * a session, entries are bounded by (sfDir × config) — a handful —
+  * because throwaway-epoch entries (see [[SessionCache.freshEpoch]])
+  * are EVICTED when the epoch exits, so repeated cold re-timings
+  * cannot pin checkpointed blocks for the session's lifetime.
   *
   * CLUSTER CAVEAT for cached DataFrames: `localCheckpoint` blocks are
   * not fault-tolerant (lineage is truncated); at real scale the
@@ -15,6 +18,8 @@ import org.apache.spark.sql.SparkSession
   * bench/pipeline convenience.
   */
 final class SessionCache[V] {
+  SessionCache.register(this)
+
   private val store =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]()
 
@@ -29,25 +34,46 @@ final class SessionCache[V] {
     }
     perSession.computeIfAbsent(SessionCache.epoch + key, _ => build)
   }
+
+  /** Drop every entry whose key carries the given epoch prefix — the
+    * artifacts a throwaway epoch built are never read again, and
+    * keeping them referenced would pin their checkpointed RDD blocks
+    * against the ContextCleaner. */
+  private[engine] def evictEpoch(prefix: String): Unit = store.synchronized {
+    store.values.forEach(m => m.keySet.removeIf(_.startsWith(prefix)))
+  }
 }
 
 object SessionCache {
   /** Global memo EPOCH, folded into every cache key ("" in normal
     * operation). [[freshEpoch]] lets the bench time an honest COLD
-    * re-execution of a query whose own work product is memoized
-    * (sweep table, sink layouts, checkpointed ANN plans, sketches):
-    * under a plain re-run those queries would serve their memo and
-    * bill a lookup as the query's time. The previous epoch is
-    * restored afterward, so entries built under the temporary epoch
-    * are simply orphaned (bounded: one per re-timed query per run)
-    * and the original memos keep serving subsequent queries.
-    * Single-threaded use only (the bench loop) — queries themselves
-    * never change the epoch. */
+    * execution of a query whose own work product is memoized (sweep
+    * table, sink layouts, checkpointed ANN plans, sketches, resolved
+    * dedup groups): under the normal epoch those queries would serve
+    * their memo and bill a lookup as the query's time. The previous
+    * epoch is restored afterward AND every entry built under the
+    * temporary epoch is evicted from every live cache — without the
+    * eviction each cold attempt permanently pinned its checkpointed
+    * chain (near_dedup_groups orphans tokens+pairs+groups per
+    * attempt) in the 8 g bench driver. Single-threaded use only (the
+    * bench loop) — queries themselves never change the epoch. */
   @volatile private[graft] var epoch: String = ""
+
+  /** All caches ever constructed, weakly held, so [[freshEpoch]] can
+    * evict throwaway-epoch entries across the whole engine. */
+  private val registry = new java.util.WeakHashMap[SessionCache[_], Unit]()
+  private def register(c: SessionCache[_]): Unit =
+    registry.synchronized { registry.put(c, ()) }
 
   def freshEpoch[T](tag: String)(f: => T): T = {
     val prev = epoch
-    epoch = s"~$tag~"
-    try f finally epoch = prev
+    val e = s"~$tag~"
+    epoch = e
+    try f finally {
+      epoch = prev
+      registry.synchronized {
+        registry.keySet.forEach(_.evictEpoch(e))
+      }
+    }
   }
 }

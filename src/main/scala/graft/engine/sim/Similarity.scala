@@ -602,7 +602,7 @@ object Similarity {
     // near-uniform fixture). Declared output is the per-cell audit.
     "semdedup_embedding" -> ((s, d) => {
       val v = vecs(s, d)
-      val assigned = cellRanked(s, d).filter(col("rn") === 1)
+      val assigned = cellRankedCached(s, d).filter(col("rn") === 1)
         .select("vec_id", "cell")
       val cand = assigned.select(col("cell"), col("vec_id").as("id1"))
         .join(assigned.select(col("cell"), col("vec_id").as("id2")), "cell")
@@ -646,9 +646,10 @@ object Similarity {
     * (session, sfDir) at pinned width. The DECLARED index operators
     * (`ann_ivf_topk` / `ann_lsh_topk`) keep the raw builders — their
     * answer memo is in `ownMemo`, so the bench's cold-epoch re-run
-    * exercises the full build — while the sweep/audit/filter queries
-    * (`ann_nprobe_sweep`, `lsh_tables_sweep`, `ann_filtered_topk`,
-    * `ivf_cell_balance`) read the shared artifact and execute their
+    * exercises the full build — while the sweep/audit/filter/dedup
+    * queries (`ann_nprobe_sweep`, `lsh_tables_sweep`,
+    * `ann_filtered_topk`, `ivf_cell_balance`, `semdedup_embedding`)
+    * read the shared artifact and execute their
     * declared measurement plan over it (each used to rebuild and
     * re-checkpoint the corpus-wide pass per invocation). */
   private val subCache = new graft.engine.SessionCache[DataFrame]

@@ -97,11 +97,15 @@ object Sinks {
   private[graft] def textLineEncode(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     def h(c: String) = hex(encode(col(c), "UTF-8"))
-    val line = concat(col("doc_id").cast("string"), lit("\t"), h("lang"),
-      lit("\t"), h("source"), lit("\t"), h("text"))
-    df.select(when(line.isNull, raise_error(lit(
-        "textLineEncode: NULL field is unrepresentable in the tab-line format")))
-      .otherwise(line).as("value"))
+    // project the line ONCE, then guard — referencing the concat in
+    // both the null test and the else branch would hex-encode every
+    // field twice wherever codegen subexpression elimination doesn't
+    // collapse the CASE WHEN
+    df.select(concat(col("doc_id").cast("string"), lit("\t"), h("lang"),
+        lit("\t"), h("source"), lit("\t"), h("text")).as("value"))
+      .select(when(col("value").isNull, raise_error(lit(
+          "textLineEncode: NULL field is unrepresentable in the tab-line format")))
+        .otherwise(col("value")).as("value"))
   }
 
   private[graft] def textLineDecode(df: DataFrame): DataFrame = {

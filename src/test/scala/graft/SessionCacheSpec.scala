@@ -42,19 +42,25 @@ class SessionCacheSpec extends SparkSpec {
       "a throwing freshEpoch body must restore the previous epoch")
   }
 
-  test("reusing one epoch tag serves the first attempt's entry (why Bench tags per attempt)") {
-    // The live bug this pins: Bench's cold-billing briefly used ONE
-    // tag per query for both timed attempts — the first attempt built
-    // the memo under the temp epoch and the second read it back, so
-    // min-of-2 recorded a warm memo read (k_sweep billed 0.11 s).
-    // Same tag ⇒ shared entry; the protocol must tag per ATTEMPT.
+  test("throwaway-epoch entries are evicted at epoch exit (cold re-runs stay cold AND unpinned)") {
+    // Two live hazards this pins: (a) Bench's cold-billing briefly
+    // used ONE tag per query for both timed attempts — the first
+    // attempt built the memo under the temp epoch and the second read
+    // it back, recording a warm memo read (k_sweep billed 0.11 s);
+    // (b) entries built under throwaway epochs were never dropped,
+    // pinning each cold attempt's checkpointed chain for the
+    // session's lifetime. Eviction at epoch exit closes both: a
+    // reused tag re-BUILDS (nothing survived the previous exit) and
+    // nothing accumulates. Bench still tags per attempt — defense in
+    // depth, and the tag names the attempt in any diagnostics.
     val cache = new SessionCache[Int]
     var builds = 0
     def fetch(): Int = cache.get(spark, "k") { builds += 1; builds }
+    fetch() // normal-epoch entry, builds == 1
     SessionCache.freshEpoch("same")(fetch())
     SessionCache.freshEpoch("same")(fetch())
-    assert(builds == 1, "same tag twice shares the entry — NOT a cold re-run")
-    SessionCache.freshEpoch("same#2")(fetch())
-    assert(builds == 2, "a per-attempt tag forces the honest rebuild")
+    assert(builds == 3, "a reused tag must rebuild — its entry was evicted at exit")
+    assert(fetch() == 1 && builds == 3,
+      "eviction must not touch normal-epoch entries")
   }
 }

@@ -123,4 +123,40 @@ class CurationPropertySpec extends SparkSpec {
       assert(got.forall(_._1 % 3 != 0), s"eval doc in the resampling head: ${got.toSeq}")
     }
   }
+
+  /** Spark round(x, 6) semantics (HALF_UP on the shortest decimal
+    * representation) — same helper discipline as Similarity.round6. */
+  private def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("eval_contamination_report equals the set-arithmetic model on random corpora") {
+    // longer docs so 8-shingles exist; duplicated texts across the
+    // src{0,1,2} assignment guarantee cross-side shingle overlap
+    val gen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(6, 18)
+      texts <- Gen.listOfN(n, for {
+        k <- Gen.choose(8, 20)
+        ws <- Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc"))
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 3).foreach { i =>
+      val rows = gen.apply(Gen.Parameters.default, Seed(7100L + i)).get
+      def shingles(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 8) Set.empty
+        else (0 to w.length - 8).map(j => w.slice(j, j + 8).mkString(" ")).toSet
+      }
+      val trainSh = rows.filter(_._1 % 3 != 0).flatMap(r => shingles(r._2)).toSet
+      val model = rows.filter(_._1 % 3 == 0).flatMap { case (id, t) =>
+        val sh = shingles(t)
+        val hit = sh.count(trainSh.contains)
+        if (hit > 0) Some(id -> (sh.size.toLong, hit.toLong,
+          round6(hit.toDouble / sh.size))) else None
+      }.toMap
+      val got = TextOps.queries("eval_contamination_report")(spark, docsDir(rows))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got == model, s"corpus: $rows")
+    }
+  }
 }

@@ -81,21 +81,21 @@ object KMeansSweep {
     }
   }
 
-  /** Sweep results memoized per (sfDir, range) within the JVM so the
+  /** Sweep results memoized per (session, sfDir, range) so the
     * declared `k_sweep` and `optimal_k_select` queries share one run.
-    * The cache stores the driver-local ROWS, not a DataFrame — a
-    * cached DataFrame would be bound to the SparkSession that built it
-    * and break after that session is stopped. */
+    * The cache stores the driver-local ROWS, not a DataFrame (rows
+    * survive any session and rebuild cheaply into a frame). A
+    * SessionCache — not a plain map — so the bench's throwaway-epoch
+    * entries are EVICTED at epoch exit like every other memo (the
+    * plain-CHM form accumulated one orphaned row set per cold attempt
+    * forever, and a reused epoch tag would have warm-read it). */
   private val sweepCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Double, Double, Double, Double, Long)]]()
+    new graft.engine.SessionCache[Seq[(Int, Double, Double, Double, Double, Long)]]
   def sweepCached(points: DataFrame, key: String, kMin: Int, kMax: Int,
                   maxIter: Int): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    // epoch prefix: this cache is session-independent (plain CHM, not
-    // SessionCache), but the bench's cold-re-run protocol still needs
-    // to bypass it — see SessionCache.freshEpoch
-    sweepCache.computeIfAbsent(s"${graft.engine.SessionCache.epoch}$key|$kMin|$kMax|$maxIter", _ =>
+    sweepCache.get(spark, s"$key|$kMin|$kMax|$maxIter")(
         sweep(points, kMin, kMax, maxIter).collect().toSeq
           .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
             r.getDouble(3), r.getDouble(4), r.getLong(5))))

@@ -1862,8 +1862,11 @@ object TextOps {
     // count, how many of those shingles appear anywhere in the
     // training side, and the leaked share — the "is this benchmark
     // still valid" audit a curator publishes next to the train-side
-    // scrub list. Rides the SAME memoized 8-gram set; the sides meet
-    // in one left-semi equi-join on the shingle key — semi-join
+    // scrub list. Like `decontaminate_ngram`, ONLY leaked docs
+    // surface (n_hit ≥ 1 via the inner join): a fully clean benchmark
+    // reports an empty table by declared design — absence means
+    // clean, not unanalyzed. Rides the SAME memoized 8-gram set; the
+    // sides meet in one left-semi equi-join on the shingle key — semi-join
     // semantics dedupe the probe side for free, so the big train set
     // is NOT distinct-collapsed first (that full extra shuffle of the
     // corpus-sized set was 2.8 s → 1.0 s of the sf0.1 bench); never
@@ -1900,7 +1903,11 @@ object TextOps {
     // ln() calls and the final ROUND(·,6) mean (the unigram_logppl
     // discipline).
     "dsir_importance_weights" -> ((s, d) => {
+      // four consumers read the exploded token stream (global stats,
+      // eval counts, train counts, the final per-doc join) —
+      // checkpoint it so the documents explode runs once
       val tok = tokens(docs(s, d)).select("doc_id", "source", "token")
+        .localCheckpoint(true)
       val stats = tok.agg(
         count_distinct(col("token")).as("vocab"),
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
@@ -1938,10 +1945,15 @@ object TextOps {
       val tok = tokens(docs(s, d)).select("doc_id", "lang", "token")
       val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
       val tot = tok.agg(count(lit(1)).as("n"))
+      // the per-doc NLL table feeds BOTH the tertile-cut aggregation
+      // and the bucketing join — checkpoint it so the token-stream
+      // explode+join+agg pipeline runs once per execution, not twice
+      // (Spark has no subtree reuse across DataFrame branches)
       val nll = tok.join(cnt, "token").crossJoin(broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_tok"),
           round(-(sum(log(col("c") / col("n"))) / count(lit(1))), 6).as("nll"))
+        .localCheckpoint(true)
       val cuts = nll.groupBy("lang").agg(
         expr("percentile(nll, CAST(1 AS DOUBLE)/3)").as("b1"),
         expr("percentile(nll, CAST(2 AS DOUBLE)/3)").as("b2"))

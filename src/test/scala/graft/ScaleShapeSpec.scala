@@ -471,6 +471,26 @@ class ScaleShapeSpec extends SparkSpec {
       s"rescore branches must not re-pair: \n$splan")
     assert("Scan parquet".r.findAllIn(splan).isEmpty,
       s"warm plan must read the rescore + truth checkpoints:\n$splan")
+    // ccnet_ppl_buckets: the per-doc NLL table is checkpointed, so
+    // the declared plan's two consumers (cuts + bucketing) read the
+    // checkpoint instead of re-running the token explode/join/agg —
+    // a parquet scan re-appearing means the double-compute came back
+    val cc2 = graft.SparkEntry.queries("ccnet_ppl_buckets")(spark, sf0001)
+    cc2.collect()
+    val cc2plan = cc2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(cc2plan).isEmpty,
+      s"both ccnet branches must read the NLL checkpoint:\n$cc2plan")
+    // dsir_importance_weights: the log-ratio dim must BROADCAST onto
+    // the token stream (a token-keyed shuffle of the corpus for a
+    // vocab-sized dim is the 100 TB fallback, not the bench shape)
+    // and the top-50 must be TakeOrdered, never a global sort
+    val ds = graft.SparkEntry.queries("dsir_importance_weights")(spark, sf0001)
+    ds.collect()
+    val dsplan = ds.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(dsplan.contains("BroadcastHashJoin [token"),
+      s"log-ratio dim must broadcast-join on token:\n$dsplan")
+    assert(dsplan.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrdered, not a global sort:\n$dsplan")
   }
 
   test("dedup-chain billing: warm consumers read checkpoints, never re-derive the chain") {

@@ -1,0 +1,210 @@
+package graft.engine.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd n-gram fingerprint kernels — the whole-window
+  * replacement for the interpreted `transform(sequence(...), i -> ...)`
+  * lambdas at the root of the dedup pipelines. Spark's higher-order
+  * functions are `CodegenFallback`: every lambda body (concat_ws, md5,
+  * fold_hex, slice, array_join) evaluates INTERPRETED, with two
+  * virtual calls and boxed values per element per row — at 100 TB the
+  * per-byte interpreter overhead on the trigram/shingle builds is a
+  * real CPU multiplier (the round-7 verdict's one named hot-loop
+  * item). Each expression here is ONE generated loop over the split
+  * word array inside whole-stage codegen, digesting window bytes
+  * incrementally (no per-window join-string materialization).
+  *
+  * Semantics are bit-for-bit the HOF compositions they replace
+  * (NgramFoldSpec pins all three against the original SQL forms, ASCII
+  * and multi-byte UTF-8, widths 8 and 12):
+  *
+  *  - `ngram_fold_ids(w, n, width)` ==
+  *    `sort_array(array_distinct(transform(sequence(1, size(w)-n+1),
+  *       i -> fold_hex(md5(CAST(concat_ws(' ', w[i-1]..w[i+n-2]) AS BINARY)), width))))`
+  *  - `ngram_fold_seq(w, n, width)` == the same transform WITHOUT
+  *    distinct/sort (per-position fingerprints, winnowing's input)
+  *  - `ngram_md5_set(w, n)` ==
+  *    `array_distinct(transform(sequence(1, size(w)-n+1),
+  *       i -> md5(CAST(array_join(slice(w, i, n), ' ') AS BINARY))))`
+  *    (first-occurrence order, array_distinct's contract)
+  *
+  * For `size(w) < n` all three return an EMPTY array — the callers'
+  * `CASE WHEN size(w) >= n ... ELSE array() END` guard, absorbed (the
+  * raw HOF would hit sequence(1, 0)'s step-(-1) quirk, see FoldHex).
+  * Null ELEMENTS are skipped exactly as concat_ws/array_join skip
+  * them (split() never produces any; the spec pins the behavior
+  * anyway). The fold consumes the digest's first `width` NIBBLES
+  * directly — arithmetically identical to folding the first `width`
+  * lowercase-hex digits of `md5(...)`'s hex string, since every hex
+  * digit of a digest is a valid nibble (FoldHex's -1/0 edge cases are
+  * unreachable on md5 output).
+  */
+object NgramFold {
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val SPACE = Array[Byte](' ')
+
+  /** md5 over the UTF-8 bytes of words[i..i+n-1] joined by ' ',
+    * concat_ws-style (null elements skipped, separator only between
+    * present elements), digested incrementally. */
+  private def windowDigest(md: MessageDigest, words: ArrayData, i: Int, n: Int): Array[Byte] = {
+    md.reset()
+    var first = true
+    var j = 0
+    while (j < n) {
+      if (!words.isNullAt(i + j)) {
+        if (!first) md.update(SPACE)
+        first = false
+        val w = words.getUTF8String(i + j)
+        md.update(w.getBytes)
+      }
+      j += 1
+    }
+    md.digest()
+  }
+
+  /** First `width` nibbles of the digest as a base-16 accumulated
+    * Long — FoldHex.fold applied to the digest's lowercase-hex
+    * rendering, minus the hex string. */
+  private def foldNibbles(digest: Array[Byte], width: Int): Long = {
+    var acc = 0L
+    var k = 0
+    while (k < width) {
+      val b = digest(k >> 1)
+      val nib = if ((k & 1) == 0) (b >> 4) & 0xf else b & 0xf
+      acc = acc * 16 + nib
+      k += 1
+    }
+    acc
+  }
+
+  private def allFolds(words: ArrayData, n: Int, width: Int): Array[Long] = {
+    val sz = words.numElements()
+    val m = sz - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val md = mdLocal.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = foldNibbles(windowDigest(md, words, i, n), width)
+      i += 1
+    }
+    out
+  }
+
+  /** Sorted distinct folded window ids. */
+  def foldIdsSorted(words: ArrayData, n: Int, width: Int): ArrayData = {
+    val all = allFolds(words, n, width)
+    if (all.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    java.util.Arrays.sort(all)
+    var w = 1
+    var r = 1
+    while (r < all.length) {
+      if (all(r) != all(w - 1)) { all(w) = all(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(all, w))
+  }
+
+  /** Per-position folded window ids, window order preserved. */
+  def foldSeq(words: ArrayData, n: Int, width: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(allFolds(words, n, width))
+
+  private val HEX = "0123456789abcdef".getBytes
+
+  private def hex(digest: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(digest(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Distinct window md5 hex strings, first-occurrence order. */
+  def md5Set(words: ArrayData, n: Int): ArrayData = {
+    val sz = words.numElements()
+    val m = sz - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = mdLocal.get()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < m) {
+      seen.add(hex(windowDigest(md, words, i, n)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+private[expr] trait NgramFoldLike extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, int, int), got " +
+          s"(${a.simpleString(3)}, ${b.simpleString(3)}, ${c.simpleString(3)})")
+    }
+  // window ids are never null — only the whole result is (null input)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** `ngram_fold_ids(words, n, width)` — see [[NgramFold]]. */
+case class NgramFoldIds(first: Expression, second: Expression, third: Expression)
+  extends NgramFoldLike {
+  override def prettyName: String = "ngram_fold_ids"
+  override def nullSafeEval(w: Any, n: Any, width: Any): Any =
+    NgramFold.foldIdsSorted(w.asInstanceOf[ArrayData], n.asInstanceOf[Int], width.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, n, width) =>
+      s"${ev.value} = graft.engine.expr.NgramFold.foldIdsSorted($w, $n, $width);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NgramFoldIds = copy(f, s, t)
+}
+
+/** `ngram_fold_seq(words, n, width)` — see [[NgramFold]]. */
+case class NgramFoldSeq(first: Expression, second: Expression, third: Expression)
+  extends NgramFoldLike {
+  override def prettyName: String = "ngram_fold_seq"
+  override def nullSafeEval(w: Any, n: Any, width: Any): Any =
+    NgramFold.foldSeq(w.asInstanceOf[ArrayData], n.asInstanceOf[Int], width.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, n, width) =>
+      s"${ev.value} = graft.engine.expr.NgramFold.foldSeq($w, $n, $width);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NgramFoldSeq = copy(f, s, t)
+}
+
+/** `ngram_md5_set(words, n)` — see [[NgramFold]]. */
+case class NgramMd5Set(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_md5_set expects (array<string>, int), got " +
+          s"(${a.simpleString(3)}, ${b.simpleString(3)})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_md5_set"
+  override def nullSafeEval(w: Any, n: Any): Any =
+    NgramFold.md5Set(w.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, n) =>
+      s"${ev.value} = graft.engine.expr.NgramFold.md5Set($w, $n);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramMd5Set =
+    copy(left = newLeft, right = newRight)
+}

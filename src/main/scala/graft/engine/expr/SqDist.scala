@@ -95,9 +95,7 @@ case class SqDist(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.sqDistDescriptor)
-    ext.injectFunction(GraftFunctions.dotProdDescriptor)
-    ext.injectFunction(GraftFunctions.foldHexDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => FuseVectorKernels)
   }
 }
@@ -118,8 +116,27 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FoldHex].getCanonicalName, "fold_hex"),
     (children: Seq[Expression]) => FoldHex(children.head, children(1)))
 
+  val ngramFoldIdsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_fold_ids"),
+    new ExpressionInfo(classOf[NgramFoldIds].getCanonicalName, "ngram_fold_ids"),
+    (children: Seq[Expression]) => NgramFoldIds(children.head, children(1), children(2)))
+
+  val ngramFoldSeqDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_fold_seq"),
+    new ExpressionInfo(classOf[NgramFoldSeq].getCanonicalName, "ngram_fold_seq"),
+    (children: Seq[Expression]) => NgramFoldSeq(children.head, children(1), children(2)))
+
+  val ngramMd5SetDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_md5_set"),
+    new ExpressionInfo(classOf[NgramMd5Set].getCanonicalName, "ngram_md5_set"),
+    (children: Seq[Expression]) => NgramMd5Set(children.head, children(1)))
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
+      ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor)
+
   def register(s: SparkSession): Unit = {
-    Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor).foreach {
+    descriptors.foreach {
       case (id, info, builder) =>
         s.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

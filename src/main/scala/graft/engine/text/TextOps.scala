@@ -294,37 +294,48 @@ object TextOps {
 
   /** Per-doc SORTED distinct folded-trigram-id array, built ENTIRELY
     * map-side (trigram fabrication, md5-fold, distinct, sort all
-    * inside one transform over the split array — a doc's trigrams
+    * inside one native kernel over the split array — a doc's trigrams
     * live in its own row, so no shuffle is ever needed to group
     * them), memoized per (session, sfDir, foldWidth). Replaces the
     * former explode→distinct→collect_list round trip that
     * `ngram_jaccard_dedup` re-paid per consumer subtree (the fold+
     * distinct above the checkpointed n-gram set was recomputed by
     * all five of dfreq/prefix×2/sz/docsArr — measured ~8 s of the
-    * sf0.1 bench for this query alone). fold_hex inside the lambda
-    * runs interpreted (HOFs don't codegen), but per-element cost is
-    * linear in corpus bytes and replaces multiple full shuffles.
-    * Docs with <3 tokens have no trigrams and emit NO row (matches
-    * the exploded form's row universe and the oracle). */
+    * sf0.1 bench for this query alone). The build is the codegen'd
+    * `ngram_fold_ids` expression (expr/NgramFold.scala) — the former
+    * `transform(..., i -> fold_hex(md5(concat_ws(...))))` HOF ran its
+    * whole lambda INTERPRETED per trigram (HOFs are CodegenFallback;
+    * at 100 TB the per-byte interpreter overhead is a real CPU
+    * multiplier — round-7 verdict item #2); NgramFoldSpec pins the
+    * kernel bit-for-bit against that HOF form, so every downstream
+    * hash is unchanged. Docs with <3 tokens have no trigrams and emit
+    * NO row (matches the exploded form's row universe and the
+    * oracle). */
   private val triIdCache = new graft.engine.SessionCache[DataFrame]
+
+  /** The trigram-id-array build PLAN, package-private for
+    * ScaleShapeSpec's kernel pin (the annIvfPlan pattern — the
+    * memoized face below is an eager checkpoint, so the interesting
+    * subtree is invisible in any declared query's plan). */
+  private[graft] def docTrigramIdArraysPlan(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(s)
+    val w = foldWidth(s)
+    // the <3-token guard is a CHEAP filter on the split array BEFORE
+    // the kernel projection — a `size(arr) > 0` filter on top would
+    // be predicate-pushed below the repartition with the whole
+    // kernel substituted into it, re-running the entire build
+    // single-core on the unfanned scan partition (measured 5.1 s vs
+    // 0.5 s for the projection itself, in the HOF era; the shape
+    // hazard is the same for any expensive projection)
+    docsF(s, d).select(col("doc_id"), split(col("text"), " ").as("w0"))
+      .filter(size(col("w0")) >= 3)
+      .select(col("doc_id"),
+        expr(s"ngram_fold_ids(w0, 3, $w)").as("arr"))
+  }
 
   private[graft] def docTrigramIdArrays(s: SparkSession, d: String): DataFrame =
     triIdCache.get(s, s"$d|${foldWidth(s)}") {
-      graft.engine.expr.GraftFunctions.register(s)
-      val w = foldWidth(s)
-      // the <3-token guard is a CHEAP filter on the split array BEFORE
-      // the lambda projection — a `size(arr) > 0` filter on top would
-      // be predicate-pushed below the repartition with the WHOLE
-      // interpreted lambda substituted into it (split(text) inlined 3×
-      // per element), re-running the entire build single-core on the
-      // unfanned scan partition (measured 5.1 s vs 0.5 s for the
-      // lambda itself)
-      docsF(s, d).select(col("doc_id"), split(col("text"), " ").as("w0"))
-        .filter(size(col("w0")) >= 3)
-        .select(col("doc_id"), expr(
-          s"""sort_array(array_distinct(transform(sequence(1, size(w0) - 2),
-             |  i -> fold_hex(md5(CAST(concat_ws(' ', w0[i-1], w0[i], w0[i+1]) AS BINARY)), $w))))""".stripMargin).as("arr"))
-        .localCheckpoint(true)
+      docTrigramIdArraysPlan(s, d).localCheckpoint(true)
     }
 
   /** Deterministic 5% sample flag per doc: md5-fold of the doc_id's
@@ -713,14 +724,19 @@ object TextOps {
     // selected hashes per doc — the positional fingerprint family
     // robust to local edits. One doc-partitioned window pass (the
     // plagiarism-detection twin of doc_fingerprint's rolling hash).
+    // Per-position hashes come from the codegen'd `ngram_fold_seq`
+    // kernel (expr/NgramFold.scala — pinned bit-for-bit against the
+    // former interpreted transform(concat_ws)→fold_hex chain in
+    // NgramFoldSpec): one generated pass fabricates and folds every
+    // trigram map-side, and posexplode ships only (pos, hash) — the
+    // trigram STRINGS never materialize at all.
     "winnow_fingerprint" -> ((s, d) => {
-      val tri = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("wd"))
-        .select(col("doc_id"), posexplode(expr(
-          """CASE WHEN size(wd) >= 3 THEN
-            |  transform(sequence(1, size(wd) - 2),
-            |    i -> concat_ws(' ', wd[i-1], wd[i], wd[i+1]))
-            |ELSE array() END""".stripMargin)).as(Seq("pos", "ng")))
-      val hashed = withFoldHash(tri, "ng", "__f")
+      graft.engine.expr.GraftFunctions.register(s)
+      val w = foldWidth(s)
+      val hashed = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("wd"))
+        .select(col("doc_id"),
+          posexplode(expr(s"ngram_fold_seq(wd, 3, $w)")).as(Seq("pos", "__f")))
         .withColumn("h", col("__f") % P).drop("__f")
       val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
       val nW = Window.partitionBy("doc_id")
@@ -1773,24 +1789,27 @@ object TextOps {
     // (a 16-byte digest — collision-free in practice and reproduced
     // bit-for-bit by the oracle, unlike a folded 32-bit id at
     // birthday-bound window counts), windows dedup per doc MAP-SIDE
-    // (array_distinct inside the lambda — a doc's windows live in its
-    // own row), and the only shuffle is the (doc_id, digest) pairs on
-    // the digest key — the exact_dedup discipline: spans never
-    // shuffle, digests do. `chunk_dedup` is the non-overlapping
-    // approximation of this measure; stride-1 windows make it exact
-    // (a shared span misaligned with chunk boundaries cannot hide).
-    // One fp-partitioned window + one aggregate summarize duplication
-    // mass; the ×50 token amplification is the method's declared
-    // map-side cost (the suffix-array form trades it for a global
-    // sort — the wrong trade under a shuffle-bounded engine).
+    // via the codegen'd `ngram_md5_set` kernel (expr/NgramFold.scala:
+    // the former transform(md5(array_join(slice))) HOF interpreted a
+    // slice-copy + join-string per window position — O(50) interpreted
+    // allocations per token; the kernel digests each window's bytes
+    // incrementally inside whole-stage codegen, and NgramFoldSpec pins
+    // the output bit-for-bit at n=50). A doc's windows live in its own
+    // row, so the only shuffle is the (doc_id, digest) pairs on the
+    // digest key — the exact_dedup discipline: spans never shuffle,
+    // digests do. `chunk_dedup` is the non-overlapping approximation
+    // of this measure; stride-1 windows make it exact (a shared span
+    // misaligned with chunk boundaries cannot hide). One fp-partitioned
+    // window + one aggregate summarize duplication mass; the ×50 token
+    // amplification is the method's declared map-side cost (the
+    // suffix-array form trades it for a global sort — the wrong trade
+    // under a shuffle-bounded engine).
     "exact_substring_dedup" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
       val wins = docsF(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 50)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, size(w) - 49),
-            |  i -> md5(CAST(array_join(slice(w, i, 50), ' ') AS BINARY))))""".stripMargin))
-          .as("fp"))
+        .select(col("doc_id"), explode(expr("ngram_md5_set(w, 50)")).as("fp"))
       wins.withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("n") >= 2)
         .agg(count_distinct(col("fp")).as("n_dup_spans"),

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native n-gram fingerprint kernels (graft.engine.expr.NgramFold)
+  * pinned BIT-FOR-BIT against the interpreted HOF compositions they
+  * replaced in docTrigramIdArrays / winnow_fingerprint /
+  * exact_substring_dedup — the round-7 verdict's "no interpreted
+  * expression in the codegen'd stage" item is only safe if the swap
+  * provably changes zero hash values. Pins cover ASCII and multi-byte
+  * UTF-8 words, widths 8 and 12, n ∈ {2, 3, 50}, the size<n empty
+  * result, and null-element skipping (concat_ws/array_join contract).
+  */
+class NgramFoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.engine.expr.GraftFunctions.register(spark)
+
+  // word arrays chosen to exercise: repeats (distinct path), multi-byte
+  // UTF-8 (digest byte layout), single-char words, exactly-n and
+  // size<n lengths
+  private val rows = Seq(
+    "the quick brown fox jumps over the lazy dog the quick brown fox",
+    "a b a b a b a b",
+    "über straße naïve café 東京 多字节 words mixed in here",
+    "x y z",
+    "one two",
+    "solo",
+    "",
+    (1 to 60).map(i => s"w${i % 7}").mkString(" "),
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private lazy val df = rows.toDF("doc_id", "text")
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  private def hofFoldIds(n: Int, width: Int): String = {
+    val terms = (0 until n).map(k => s"w[i${if (k == 0) "-1" else s"+${k - 1}"}]").mkString(", ")
+    s"""CASE WHEN size(w) >= $n THEN
+       |  sort_array(array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+       |    i -> fold_hex(md5(CAST(concat_ws(' ', $terms) AS BINARY)), $width))))
+       |ELSE array() END""".stripMargin
+  }
+
+  private def hofFoldSeq(n: Int, width: Int): String = {
+    val terms = (0 until n).map(k => s"w[i${if (k == 0) "-1" else s"+${k - 1}"}]").mkString(", ")
+    s"""CASE WHEN size(w) >= $n THEN
+       |  transform(sequence(1, size(w) - ${n - 1}),
+       |    i -> fold_hex(md5(CAST(concat_ws(' ', $terms) AS BINARY)), $width))
+       |ELSE array() END""".stripMargin
+  }
+
+  private def hofMd5Set(n: Int): String =
+    s"""CASE WHEN size(w) >= $n THEN
+       |  array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+       |    i -> md5(CAST(array_join(slice(w, i, $n), ' ') AS BINARY))))
+       |ELSE array() END""".stripMargin
+
+  test("ngram_fold_ids == sort_array∘array_distinct∘transform(fold_hex∘md5∘concat_ws)") {
+    for (n <- Seq(2, 3); width <- Seq(8, 12)) {
+      val bad = df.select(col("doc_id"),
+          expr(s"ngram_fold_ids(w, $n, $width)").as("native"),
+          expr(hofFoldIds(n, width)).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n width=$width diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("ngram_fold_seq == transform(fold_hex∘md5∘concat_ws) with order + duplicates kept") {
+    for (n <- Seq(2, 3); width <- Seq(8, 12)) {
+      val bad = df.select(col("doc_id"),
+          expr(s"ngram_fold_seq(w, $n, $width)").as("native"),
+          expr(hofFoldSeq(n, width)).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n width=$width diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("ngram_md5_set == array_distinct∘transform(md5∘array_join∘slice) incl. n=50") {
+    for (n <- Seq(3, 50)) {
+      val bad = df.select(col("doc_id"),
+          expr(s"ngram_md5_set(w, $n)").as("native"),
+          expr(hofMd5Set(n)).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("null elements are skipped like concat_ws/array_join (no phantom separator)") {
+    val wn = Seq((0L, Seq[String]("a", null, "b", "c"))).toDF("doc_id", "w")
+    val got = wn.select(expr("ngram_fold_seq(w, 3, 8)").as("native"),
+        expr(hofFoldSeq(3, 8)).as("hof"))
+      .head()
+    assert(got.getSeq[Long](0) == got.getSeq[Long](1))
+    val gotS = wn.select(expr("ngram_md5_set(w, 3)").as("native"),
+        expr(hofMd5Set(3)).as("hof"))
+      .head()
+    assert(gotS.getSeq[String](0) == gotS.getSeq[String](1))
+  }
+
+  test("size < n returns an empty array, not null, and null input stays null") {
+    val out = Seq((0L, Seq("a", "b")), (1L, null.asInstanceOf[Seq[String]]))
+      .toDF("doc_id", "w")
+      .select(col("doc_id"), expr("ngram_fold_ids(w, 3, 8)").as("ids"),
+        expr("ngram_md5_set(w, 3)").as("fps"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Long](1) == Seq.empty && out(0).getSeq[String](2) == Seq.empty)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+}

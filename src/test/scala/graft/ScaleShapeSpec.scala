@@ -525,4 +525,60 @@ class ScaleShapeSpec extends SparkSpec {
         s"$k warm plan rebuilds the pair surface or the truth:\n$phys")
     }
   }
+
+  test("ngram fingerprint builds run the native kernels, no interpreted HOF lambdas") {
+    // Round-7 verdict item #2: Spark HOFs are CodegenFallback, so a
+    // `transform(..., i -> fold_hex(md5(...)))` in a hot build
+    // interprets its whole lambda per element — at 100 TB a real CPU
+    // multiplier on the trigram/shingle families. The three builds now
+    // project the codegen'd NgramFold kernels; `lambdafunction(`
+    // reappearing in any of these plans means an interpreted HOF crept
+    // back into the hot path (NgramFoldSpec separately pins the
+    // kernels bit-for-bit against the HOF forms, so this swap can
+    // never change a hash).
+    import graft.engine.text.TextOps
+    val tri = TextOps.docTrigramIdArraysPlan(spark, sf0001)
+    val triPlan = tri.queryExecution.executedPlan.toString
+    assert(triPlan.contains("ngram_fold_ids"),
+      s"trigram-id build must use the native kernel:\n$triPlan")
+    assert(!triPlan.toLowerCase.contains("lambdafunction"),
+      s"interpreted HOF lambda back in the trigram-id build:\n$triPlan")
+    for ((k, kernel) <- Seq("winnow_fingerprint" -> "ngram_fold_seq",
+                            "exact_substring_dedup" -> "ngram_md5_set")) {
+      val q = graft.SparkEntry.queries(k)(spark, sf0001)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains(kernel), s"$k must use $kernel:\n$plan")
+      assert(!plan.toLowerCase.contains("lambdafunction"),
+        s"$k has an interpreted HOF lambda in its plan:\n$plan")
+    }
+  }
+
+  test("exact_substring_dedup shuffles O(tokens) digests, windowed on the fingerprint") {
+    // Round-7 verdict item #3: the newest heavy operator, pinned like
+    // the dedup/ANN shapes. The only data that may cross the wire is
+    // the exploded (doc_id, fp) digest stream — 24 bytes/row × O(Σ
+    // tokens) rows; the 50-token SPANS must never shuffle (they exist
+    // only inside the map-side kernel), and the duplication count runs
+    // as a fingerprint-partitioned window (the exact_dedup
+    // discipline), never a global sort or a self-join.
+    val q = graft.SparkEntry.queries("exact_substring_dedup")(spark, sf0001)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // (1) the digest stream leaves its Generate as BARE (doc_id, fp):
+    // the generator's required child output is pruned to doc_id and
+    // its own output is the fp column — the span array w# (and text#)
+    // stay below, inside the map-side stage, so only 24-byte digest
+    // rows ever reach an exchange
+    assert("""Generate explode\(ngram_md5_set\(w#\d+, 50\)\), \[doc_id#\d+L\], false, \[fp#\d+\]""".r
+        .findFirstIn(plan).isDefined,
+      s"digest explode must emit bare (doc_id, fp):\n$plan")
+    // (2) the dup-count shuffle is keyed on the FINGERPRINT alone
+    assert("""Exchange hashpartitioning\(fp#\d+, \d+\)""".r.findFirstIn(plan).isDefined,
+      s"dup-count must run on a fingerprint-partitioned window:\n$plan")
+    assert("""Window \[count\(1\) windowspecdefinition\(fp#\d+""".r.findFirstIn(plan).isDefined,
+      s"the per-span occurrence count must be an fp-partitioned window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"duplication mass is a window + agg, never a join:\n$plan")
+  }
 }

@@ -667,14 +667,22 @@ object Similarity {
   /** Every vector ranked against every cell by ROUNDED squared
     * distance (rn = 1 is the assignment, rn ≤ nprobe the probe set) —
     * the shared front half of the IVF family. Pure plan builder (no
-    * checkpoint) so annIvfPlan's pinned physical shape is unchanged. */
+    * checkpoint) so annIvfPlan's pinned physical shape is unchanged.
+    * The vector's `label` rides along (one int per posting): IVF
+    * postings carrying their filter metadata is the production
+    * pre-filter layout, and it lets `ann_filtered_topk` apply its
+    * label predicate directly on the cell join's two sides — the
+    * round-7-advice alternative was a corpus-sized vec_id→label dim
+    * force-broadcast onto each side, which cannot broadcast at 100 TB
+    * (the hint would OOM instead of degrading to a shuffle). Column
+    * pruning drops the label for every consumer that ignores it. */
   private def cellRanked(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     graft.engine.expr.GraftFunctions.register(v.sparkSession)
     val d2 = fan(v).join(broadcast(seedCells(v, nVecs(s, d))))
       .withColumn("d2", round(ArrayMath.sqDistNative(col("f"), col("cf")), 6))
     val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
-    d2.select(col("vec_id"), col("cell"), col("d2"))
+    d2.select(col("vec_id"), col("cell"), col("d2"), col("label"))
       .withColumn("rn", row_number().over(wCell))
   }
 
@@ -830,24 +838,26 @@ object Similarity {
     // FILTERED vector search — the metadata-predicate ANN every
     // vector store serves ("nearest neighbor WHERE label = X"): each
     // sampled query probes its 2 nearest cells and candidates are
-    // restricted to SAME-LABEL vectors before any scoring. The filter
-    // applies to BARE id pairs with the label attached as a broadcast
-    // dim — post-filtering a scored result would pay the full probe
-    // cost to then discard most of it, and at production scale the
-    // same plan prunes each cell's postings on the label column at
-    // scan time (the classic pre-filter strategy; its risk — a
-    // selective filter emptying the probed cells — surfaces here as a
-    // query with no output row, the honest answer). Queries with no
-    // same-label candidate in their probed cells are absent by
-    // declared semantics.
+    // restricted to SAME-LABEL vectors before any scoring. The label
+    // rides IN the shared cell-ranking postings (cellRanked carries
+    // it — the production pre-filter layout: postings store their
+    // filter metadata), so the predicate applies directly on the cell
+    // equi-join's two sides with NO dim join at all; the former shape
+    // force-broadcast a corpus-sized vec_id→label table onto each
+    // side, which at 100 TB would OOM rather than degrade (round-7
+    // advice). Post-filtering a scored result would instead pay the
+    // full probe cost to then discard most of it. The pre-filter
+    // strategy's known risk — a selective filter emptying the probed
+    // cells — surfaces as a query with no output row, the honest
+    // answer: queries with no same-label candidate in their probed
+    // cells are absent by declared semantics.
     "ann_filtered_topk" -> ((s, d) => {
       val v = vecs(s, d)
-      val lbl = v.select(col("vec_id"), col("label"))
-      val (probesAll, assignedAll) = ivfProbesAssigned(cellRankedCached(s, d))
-      val probes = probesAll.filter(col("id1") % 13 === 0)
-        .join(broadcast(lbl.select(col("vec_id").as("id1"), col("label").as("l1"))), "id1")
-      val assigned = assignedAll
-        .join(broadcast(lbl.select(col("vec_id").as("id2"), col("label").as("l2"))), "id2")
+      val ranked = cellRankedCached(s, d)
+      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id1"), col("cell"), col("label").as("l1"))
+      val assigned = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("id2"), col("cell"), col("label").as("l2"))
       val cand = probes.join(assigned, "cell")
         .filter(col("id1") =!= col("id2") && col("l1") === col("l2"))
         .select("id1", "id2")

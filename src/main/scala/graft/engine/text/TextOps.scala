@@ -1915,9 +1915,12 @@ object TextOps {
     // scalars (vocab size, per-side token totals) come from ONE
     // in-plan aggregation crossJoin-broadcast back (the bm25_topk
     // stats pattern — no driver-side count jobs at plan-build time),
-    // the per-token log-ratio dim joins the token stream (broadcast
-    // at bench SF, token-keyed shuffle at 100 TB), one per-doc agg,
-    // and the top-50 is TakeOrdered — never a global sort.
+    // the per-token log-ratio dim joins the token stream UNHINTED —
+    // AQE broadcasts the measured-small dim at bench SF and falls
+    // back to a token-keyed shuffle at 100 TB vocabularies (a hard
+    // broadcast() hint would forbid exactly that fallback — round-7
+    // advice) — one per-doc agg, and the top-50 is TakeOrdered,
+    // never a global sort.
     // Exact-integer counts everywhere; floats enter only at the two
     // ln() calls and the final ROUND(·,6) mean (the unigram_logppl
     // discipline).
@@ -1942,7 +1945,14 @@ object TextOps {
               / (col("nt") + col("vocab")).cast("double"))
             - log((col("cs") + lit(1L)).cast("double")
               / (col("ns") + col("vocab")).cast("double"))).as("lr"))
-      tr.join(broadcast(ratio), "token")
+      // no broadcast() hint on the vocab-sized log-ratio dim: a hard
+      // hint would OVERRIDE Spark's size threshold and pin the
+      // broadcast at every scale — the documented 100 TB fallback (a
+      // token-keyed shuffle when the vocabulary outgrows executor
+      // memory) must stay reachable, so the strategy choice is left
+      // to AQE, which measures the dim at runtime and broadcasts it
+      // at bench SF (ScaleShapeSpec pins that adaptive choice)
+      tr.join(ratio, "token")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), round(sum("lr") / count(lit(1)), 6).as("w"))
         .orderBy(desc("w"), col("doc_id")).limit(50)

@@ -480,15 +480,18 @@ class ScaleShapeSpec extends SparkSpec {
     val cc2plan = cc2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("Scan parquet".r.findAllIn(cc2plan).isEmpty,
       s"both ccnet branches must read the NLL checkpoint:\n$cc2plan")
-    // dsir_importance_weights: the log-ratio dim must BROADCAST onto
-    // the token stream (a token-keyed shuffle of the corpus for a
-    // vocab-sized dim is the 100 TB fallback, not the bench shape)
-    // and the top-50 must be TakeOrdered, never a global sort
+    // dsir_importance_weights: the log-ratio dim joins the token
+    // stream UNHINTED and AQE must still pick a broadcast at this SF
+    // (it measures the vocab-sized dim at runtime — a SIZE-BASED
+    // choice, so the token-keyed shuffle fallback stays reachable at
+    // 100 TB vocabularies; a hard broadcast() hint passing this same
+    // assertion is exactly what round-7 advice flagged) and the
+    // top-50 must be TakeOrdered, never a global sort
     val ds = graft.SparkEntry.queries("dsir_importance_weights")(spark, sf0001)
     ds.collect()
     val dsplan = ds.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(dsplan.contains("BroadcastHashJoin [token"),
-      s"log-ratio dim must broadcast-join on token:\n$dsplan")
+      s"AQE must broadcast the measured-small log-ratio dim on token:\n$dsplan")
     assert(dsplan.contains("TakeOrderedAndProject"),
       s"top-50 must be TakeOrdered, not a global sort:\n$dsplan")
   }

@@ -211,6 +211,39 @@ object KMeansSweep {
     // #14 optimal-k selection over the sweep (shares the memoized run)
     "optimal_k_select" -> ((s, d) =>
       optimalK(sweepCached(Tables.points(s, d), d, 2, 6, 10))),
+
+    // The k-sweep DETERMINISM contract as an ORACLE-CHECKED query
+    // (round-7 verdict, Next-round #5 — the cms_error_contract
+    // pattern applied to the last spec-only shadow): `k_sweep` and
+    // `optimal_k_select` are no_oracle by design (seeded iterative
+    // MLlib), and their "deterministic given the fixed seed" claim
+    // lived only in InvariantsSpec. This query runs a SECOND,
+    // INDEPENDENT sweep in-session (bypassing the memo — sweepCached
+    // would hand back the first run) and declares the equality
+    // verdict: bit-identical per-k index tables and the same argbest
+    // per criterion. A nondeterministic init, a thread-order-dependent
+    // reduction, or an unseeded sample in the fit flips a TRUE to
+    // FALSE and hash-mismatches the constant oracle. n_rows guards
+    // the sweep's row universe (k ∈ [2,6] → 5 rows) so a silently
+    // truncated sweep can't vacuously agree with itself.
+    "k_sweep_determinism_contract" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val pts = Tables.points(s, d)
+      def table(df: DataFrame) =
+        df.select("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin")
+          .orderBy("k").collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4))).toSeq
+      def best(df: DataFrame) =
+        optimalK(df).select("criterion", "best_k").collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSeq
+      val memo = sweepCached(pts, d, 2, 6, 10)
+      val fresh = sweep(pts, 2, 6, 10)
+      val a = table(memo); val b = table(fresh)
+      Seq((2, 6, a.length.toLong, a == b, best(memo) == best(fresh)))
+        .toDF("k_lo", "k_hi", "n_rows", "sweep_identical", "argbest_identical")
+    }),
   )
 
   /** None of these are DuckDB-expressible (iterative MLlib); the index
@@ -264,5 +297,15 @@ object KMeansSweep {
         |  FROM dmat GROUP BY 1)
         |SELECT ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS silhouette_mllib
         |FROM ab""".stripMargin,
+
+    // the determinism contract's oracle is the constant verdict row
+    // (the cms_error_contract pattern): the engine computes the
+    // booleans from two independent seeded sweeps, DuckDB states what
+    // they must be — any nondeterminism in the MLlib fit chain lands
+    // as a hash mismatch on this row.
+    "k_sweep_determinism_contract" ->
+      """SELECT CAST(2 AS INT) AS k_lo, CAST(6 AS INT) AS k_hi,
+        |  CAST(5 AS BIGINT) AS n_rows,
+        |  TRUE AS sweep_identical, TRUE AS argbest_identical""".stripMargin,
   )
 }

@@ -39,6 +39,7 @@ object Bench {
     "stream_foreach_batch", "sink_partitioned_roundtrip",
     "source_csv_roundtrip", "source_json_roundtrip",
     "source_orc_roundtrip", "source_text_roundtrip",
+    "source_dsv2_roundtrip",
     "bucketed_join_roundtrip", "zorder_layout_audit",
     "ann_lsh_topk", "ann_ivf_topk",
     "heavy_hitters_cms", "cms_error_contract",

@@ -4,9 +4,9 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd n-gram fingerprint kernels — the whole-window
@@ -146,6 +146,60 @@ object NgramFold {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  /** Chunk cover of the word array: chunks of `budget` tokens
+    * starting every `stride` tokens (stride == budget → disjoint
+    * chunks; stride < budget → overlapping RAG windows), enough
+    * chunks to cover the tail (the last one short). Per chunk:
+    * (n_tok, md5 hex of the ' '-joined content) — equals the
+    * `transform(sequence(...), j -> array_join(slice(w, j·stride+1,
+    * budget), ' '))` + md5 + re-split-count composition, with the
+    * chunk STRING never materialized. */
+  def chunkFps(words: ArrayData, budget: Int, stride: Int): ArrayData = {
+    val sz = words.numElements()
+    if (sz <= 0) return new GenericArrayData(Array.empty[Any])
+    val n = if (sz <= budget) 1 else (sz - budget + stride - 1) / stride + 1
+    val md = mdLocal.get()
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val start = j * stride
+      val len = math.min(budget, sz - start)
+      out(j) = new GenericInternalRow(
+        Array[Any](len.toLong, hex(windowDigest(md, words, start, len))))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-code-point frequency histogram of a string, first-occurrence
+    * order: (ch, c) pairs — equals
+    * `transform(sequence(1, length(s)), i -> substring(s, i, 1))` →
+    * explode → count per char, computed in ONE generated pass with
+    * the explode shrunk from per-CHARACTER rows to per-DISTINCT-char
+    * rows (alphabet-bounded). */
+  def charFreq(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    if (b.length == 0) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var bi = 0
+    while (bi < b.length) {
+      val nb = UTF8String.numBytesForFirstByte(b(bi))
+      val ch = UTF8String.fromBytes(b, bi, nb)
+      val prev = counts.get(ch)
+      counts.put(ch, if (prev == null) 1L else prev + 1L)
+      bi += nb
+    }
+    val out = new Array[Any](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[expr] trait NgramFoldLike extends TernaryExpression {
@@ -185,6 +239,51 @@ case class NgramFoldSeq(first: Expression, second: Expression, third: Expression
       s"${ev.value} = graft.engine.expr.NgramFold.foldSeq($w, $n, $width);")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): NgramFoldSeq = copy(f, s, t)
+}
+
+/** `chunk_fps(words, budget, stride)` — see [[NgramFold.chunkFps]]. */
+case class ChunkFps(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"chunk_fps expects (array<string>, int, int), got " +
+          s"(${a.simpleString(3)}, ${b.simpleString(3)}, ${c.simpleString(3)})")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("fp", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "chunk_fps"
+  override def nullSafeEval(w: Any, budget: Any, stride: Any): Any =
+    NgramFold.chunkFps(w.asInstanceOf[ArrayData],
+      budget.asInstanceOf[Int], stride.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, b, s) =>
+      s"${ev.value} = graft.engine.expr.NgramFold.chunkFps($w, $b, $s);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ChunkFps = copy(f, s, t)
+}
+
+/** `char_freq(s)` — see [[NgramFold.charFreq]]. */
+case class CharFreq(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_freq expects string, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ch", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "char_freq"
+  override def nullSafeEval(s: Any): Any =
+    NgramFold.charFreq(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.engine.expr.NgramFold.charFreq($s);")
+  override protected def withNewChildInternal(newChild: Expression): CharFreq =
+    copy(child = newChild)
 }
 
 /** `ngram_md5_set(words, n)` — see [[NgramFold]]. */

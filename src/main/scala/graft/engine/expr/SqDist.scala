@@ -131,9 +131,20 @@ object GraftFunctions {
     new ExpressionInfo(classOf[NgramMd5Set].getCanonicalName, "ngram_md5_set"),
     (children: Seq[Expression]) => NgramMd5Set(children.head, children(1)))
 
+  val chunkFpsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("chunk_fps"),
+    new ExpressionInfo(classOf[ChunkFps].getCanonicalName, "chunk_fps"),
+    (children: Seq[Expression]) => ChunkFps(children.head, children(1), children(2)))
+
+  val charFreqDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_freq"),
+    new ExpressionInfo(classOf[CharFreq].getCanonicalName, "char_freq"),
+    (children: Seq[Expression]) => CharFreq(children.head))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
-      ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor)
+      ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor,
+      chunkFpsDescriptor, charFreqDescriptor)
 
   def register(s: SparkSession): Unit = {
     descriptors.foreach {

@@ -1330,15 +1330,12 @@ object TextOps {
     // per-row explode — no shuffle at all until a consumer aggregates;
     // the doc body is split once into a projected array column.
     "rag_chunk" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
       docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(
-            |  sequence(0, (greatest(0, size(w) - 32) + 23) div 24),
-            |  j -> array_join(slice(w, j*24 + 1, 32), ' '))""".stripMargin))
-          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"),
+          posexplode(expr("chunk_fps(w, 32, 24)")).as(Seq("chunk_id", "c")))
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-          size(split(col("chunk"), " ")).cast("long").as("n_tok"),
-          md5(col("chunk").cast("binary")).as("chunk_md5"))
+          col("c.n_tok").as("n_tok"), col("c.fp").as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
     }),
 
@@ -1355,14 +1352,12 @@ object TextOps {
     // window per fp, the exact_dedup discipline) → per-doc hash agg;
     // nothing global, nothing quadratic.
     "chunk_dedup" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
       val ch = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, (size(w) - 1) div 32),
-            |  j -> array_join(slice(w, j*32 + 1, 32), ' '))""".stripMargin))
-          .as(Seq("ci", "chunk")))
+        .select(col("doc_id"),
+          posexplode(expr("chunk_fps(w, 32, 32)")).as(Seq("ci", "c")))
         .select(col("doc_id"), col("ci").cast("long").as("ci"),
-          size(split(col("chunk"), " ")).cast("long").as("n_tok"),
-          md5(col("chunk").cast("binary")).as("fp"))
+          col("c.n_tok").as("n_tok"), col("c.fp").as("fp"))
       val firstSeen = Window.partitionBy("fp").orderBy("doc_id", "ci")
       ch.withColumn("rn", row_number().over(firstSeen))
         .groupBy("doc_id")
@@ -1600,26 +1595,29 @@ object TextOps {
     // Per-document character-distribution Shannon entropy (nats),
     // H = ln n − (Σ c·ln c)/n — the gibberish/boilerplate screen
     // (natural text sits near ~3 nats over chars+space; repeated
-    // filler collapses toward 0). Chars are generated MAP-SIDE by an
-    // index transform over the text column (substring per position —
-    // no engine-divergent empty-regex split semantics), then one
-    // (doc_id, ch) hash agg + one per-doc agg. Linear in corpus
-    // bytes; partial aggregation absorbs the per-char explosion
-    // before any shuffle. Empty text MUST be guarded: sequence(1, 0)
-    // defaults to step -1 and yields [1, 0], which would fabricate two
-    // phantom '' chars (and a spurious entropy=0 row) where the
-    // oracle's generate_series(1, 0) emits nothing.
-    "char_entropy" -> ((s, d) =>
-      docsF(s, d).select(col("doc_id"), explode(expr(
-          """CASE WHEN length(text) >= 1 THEN
-            |  transform(sequence(1, length(text)), i -> substring(text, i, 1))
-            |ELSE array() END""".stripMargin)).as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    // filler collapses toward 0). The per-doc histogram comes from
+    // the codegen'd `char_freq` kernel (expr/NgramFold.scala): the
+    // former per-position substring transform interpreted its lambda
+    // per CHARACTER — the hottest per-byte interpreted loop left
+    // after the trigram/shingle swaps — and exploded one row per
+    // character into the hash agg; the kernel counts code points in
+    // one generated pass and the explode shrinks to one row per
+    // DISTINCT char (alphabet-bounded), removing the (doc_id, ch)
+    // pre-aggregation entirely. Exact integer counts either way —
+    // only the ln() terms' float ADD ORDER differs, the same
+    // engine-vs-oracle tolerance the ROUND(·,6) already carries.
+    // Empty text emits an empty histogram and therefore NO row,
+    // matching the oracle's generate_series(1, 0) emitting nothing.
+    "char_entropy" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      docsF(s, d).select(col("doc_id"), explode(expr("char_freq(text)")).as("cc"))
         .groupBy("doc_id")
-        .agg(sum("c").as("n_chars"), sum(col("c") * log(col("c"))).as("clc"))
+        .agg(sum("cc.c").as("n_chars"),
+          sum(col("cc.c") * log(col("cc.c"))).as("clc"))
         .select(col("doc_id"), col("n_chars"),
           round(log(col("n_chars")) - col("clc") / col("n_chars"), 6).as("entropy"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Which sources near-duplicate EACH OTHER: the (source, source)
     // matrix of MinHash candidate pairs — the provenance audit that

@@ -30,8 +30,8 @@ class NgramFoldSpec extends SparkSpec {
     (1 to 60).map(i => s"w${i % 7}").mkString(" "),
   ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
-  private lazy val df = rows.toDF("doc_id", "text")
-    .select(col("doc_id"), split(col("text"), " ").as("w"))
+  private lazy val df = rows.toDF("doc_id", "text0")
+    .select(col("doc_id"), col("text0"), split(col("text0"), " ").as("w"))
 
   private def hofFoldIds(n: Int, width: Int): String = {
     val terms = (0 until n).map(k => s"w[i${if (k == 0) "-1" else s"+${k - 1}"}]").mkString(", ")
@@ -98,6 +98,45 @@ class NgramFoldSpec extends SparkSpec {
         expr(hofMd5Set(3)).as("hof"))
       .head()
     assert(gotS.getSeq[String](0) == gotS.getSeq[String](1))
+  }
+
+  test("chunk_fps == transform(array_join∘slice)+md5+re-split for both chunk grids") {
+    // (budget=32, stride=32) is chunk_dedup's disjoint grid;
+    // (budget=32, stride=24) is rag_chunk's overlapping RAG grid —
+    // including each query's own chunk-COUNT formula, which the
+    // kernel's covering-count must reproduce exactly
+    for ((budget, stride, countSql) <- Seq(
+        (32, 32, "sequence(0, (size(w) - 1) div 32)"),
+        (32, 24, "sequence(0, (greatest(0, size(w) - 32) + 23) div 24)"))) {
+      val hof =
+        s"""transform($countSql,
+           |  j -> struct(
+           |    CAST(size(split(array_join(slice(w, j*$stride + 1, $budget), ' '), ' ')) AS BIGINT) AS n_tok,
+           |    md5(CAST(array_join(slice(w, j*$stride + 1, $budget), ' ') AS BINARY)) AS fp))""".stripMargin
+      val bad = df.filter(size(col("w")) >= 1)
+        .select(col("doc_id"),
+          expr(s"chunk_fps(w, $budget, $stride)").as("native"), expr(hof).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .collect()
+      assert(bad.isEmpty, s"budget=$budget stride=$stride diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("char_freq == per-position substring explode + count, order modulo grouping") {
+    // compare as (ch -> c) maps: the kernel emits first-occurrence
+    // order, the HOF+groupBy form emits hash order
+    val rowsK = df.select(col("doc_id"), explode(expr("char_freq(text0)")).as("cc"))
+      .select(col("doc_id"), col("cc.ch"), col("cc.c")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+    val rowsH = df.select(col("doc_id"), explode(expr(
+        """CASE WHEN length(text0) >= 1 THEN
+          |  transform(sequence(1, length(text0)), i -> substring(text0, i, 1))
+          |ELSE array() END""".stripMargin)).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+    assert(rowsK == rowsH, s"char histograms diverged:\n$rowsK\n$rowsH")
   }
 
   test("size < n returns an empty array, not null, and null input stays null") {

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd n-gram fingerprint kernels — the whole-window
@@ -172,6 +173,103 @@ object NgramFold {
     new GenericArrayData(out)
   }
 
+  /** The ' '-joined n-gram STRINGS of the word array, DISTINCT per
+    * row (first-occurrence order) — equals
+    * `array_distinct(CASE WHEN size(w) >= n THEN
+    *    transform(sequence(1, size(w)-n+1), i -> concat_ws(' ', ...))
+    *  ELSE array() END)`.
+    * The per-row distinct is free inside the kernel and shrinks the
+    * downstream explode: a document repeating a shingle ships it
+    * once (the consumers all re-distinct globally at (keep, ng), so
+    * semantics are unchanged — spec-pinned). */
+  def ngramStrings(words: ArrayData, n: Int): ArrayData = {
+    val sz = words.numElements()
+    val m = sz - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < m) {
+      // concat_ws semantics: null elements skipped, separator only
+      // between present ones
+      var totalLen = 0
+      var present = 0
+      var j = 0
+      while (j < n) {
+        if (!words.isNullAt(i + j)) {
+          totalLen += words.getUTF8String(i + j).numBytes()
+          present += 1
+        }
+        j += 1
+      }
+      val out = new Array[Byte](totalLen + math.max(0, present - 1))
+      var o = 0
+      var first = true
+      j = 0
+      while (j < n) {
+        if (!words.isNullAt(i + j)) {
+          if (!first) { out(o) = ' '; o += 1 }
+          first = false
+          val w = words.getUTF8String(i + j)
+          w.writeToMemory(out, Platform.BYTE_ARRAY_OFFSET + o)
+          o += w.numBytes()
+        }
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** All adjacent word pairs as (t1, t2) structs, order and
+    * duplicates kept — equals
+    * `CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),
+    *    i -> struct(w[i-1] AS t1, w[i] AS t2)) ELSE array() END`. */
+  def wordBigrams(words: ArrayData): ArrayData = {
+    val sz = words.numElements()
+    if (sz < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](sz - 1)
+    var i = 0
+    while (i < sz - 1) {
+      val a = if (words.isNullAt(i)) null else words.getUTF8String(i)
+      val b = if (words.isNullAt(i + 1)) null else words.getUTF8String(i + 1)
+      out(i) = new GenericInternalRow(Array[Any](a, b))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent code-point PAIR histogram of a string (c1, c2, c),
+    * first-occurrence order — equals the per-position substring pair
+    * transform → explode → count composition with the explode shrunk
+    * to distinct pairs (alphabet²-bounded). */
+  def charPairFreq(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    if (b.length == 0) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[(UTF8String, UTF8String), java.lang.Long]()
+    var prevStart = 0
+    var prevLen = UTF8String.numBytesForFirstByte(b(0))
+    var bi = prevLen
+    while (bi < b.length) {
+      val nb = UTF8String.numBytesForFirstByte(b(bi))
+      val key = (UTF8String.fromBytes(b, prevStart, prevLen),
+        UTF8String.fromBytes(b, bi, nb))
+      val prev = counts.get(key)
+      counts.put(key, if (prev == null) 1L else prev + 1L)
+      prevStart = bi; prevLen = nb
+      bi += nb
+    }
+    val out = new Array[Any](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey._1, e.getKey._2, e.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-code-point frequency histogram of a string, first-occurrence
     * order: (ch, c) pairs — equals
     * `transform(sequence(1, length(s)), i -> substring(s, i, 1))` →
@@ -239,6 +337,69 @@ case class NgramFoldSeq(first: Expression, second: Expression, third: Expression
       s"${ev.value} = graft.engine.expr.NgramFold.foldSeq($w, $n, $width);")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): NgramFoldSeq = copy(f, s, t)
+}
+
+/** `ngram_strings(words, n)` — see [[NgramFold.ngramStrings]]. */
+case class NgramStrings(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_strings expects (array<string>, int), got " +
+          s"(${a.simpleString(3)}, ${b.simpleString(3)})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_strings"
+  override def nullSafeEval(w: Any, n: Any): Any =
+    NgramFold.ngramStrings(w.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, n) =>
+      s"${ev.value} = graft.engine.expr.NgramFold.ngramStrings($w, $n);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramStrings =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `word_bigrams(words)` — see [[NgramFold.wordBigrams]]. */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_bigrams expects array<string>, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t1", StringType), StructField("t2", StringType))),
+    containsNull = false)
+  override def prettyName: String = "word_bigrams"
+  override def nullSafeEval(w: Any): Any =
+    NgramFold.wordBigrams(w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.engine.expr.NgramFold.wordBigrams($w);")
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}
+
+/** `char_pair_freq(s)` — see [[NgramFold.charPairFreq]]. */
+case class CharPairFreq(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_pair_freq expects string, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("c1", StringType, nullable = false),
+    StructField("c2", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "char_pair_freq"
+  override def nullSafeEval(s: Any): Any =
+    NgramFold.charPairFreq(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.engine.expr.NgramFold.charPairFreq($s);")
+  override protected def withNewChildInternal(newChild: Expression): CharPairFreq =
+    copy(child = newChild)
 }
 
 /** `chunk_fps(words, budget, stride)` — see [[NgramFold.chunkFps]]. */

@@ -141,10 +141,26 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CharFreq].getCanonicalName, "char_freq"),
     (children: Seq[Expression]) => CharFreq(children.head))
 
+  val ngramStringsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngram_strings"),
+    new ExpressionInfo(classOf[NgramStrings].getCanonicalName, "ngram_strings"),
+    (children: Seq[Expression]) => NgramStrings(children.head, children(1)))
+
+  val wordBigramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_bigrams"),
+    new ExpressionInfo(classOf[WordBigrams].getCanonicalName, "word_bigrams"),
+    (children: Seq[Expression]) => WordBigrams(children.head))
+
+  val charPairFreqDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_pair_freq"),
+    new ExpressionInfo(classOf[CharPairFreq].getCanonicalName, "char_pair_freq"),
+    (children: Seq[Expression]) => CharPairFreq(children.head))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
       ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor,
-      chunkFpsDescriptor, charFreqDescriptor)
+      chunkFpsDescriptor, charFreqDescriptor,
+      ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor)
 
   def register(s: SparkSession): Unit = {
     descriptors.foreach {

@@ -106,13 +106,15 @@ object TextOps {
     * transform lambda re-splits the text per element. Shared by
     * `ngram_jaccard_dedup` (n=3) and `decontaminate_ngram` (n=8). */
   private def ngramSet(docsDf: DataFrame, n: Int, keep: Seq[String]): DataFrame = {
-    val terms = (-1 until n - 1).map(k => s"w[i${if (k < 0) "-1" else if (k == 0) "" else s"+$k"}]").mkString(", ")
+    // the codegen'd `ngram_strings` kernel fabricates the shingle
+    // strings in one generated pass (the former concat_ws transform
+    // interpreted its lambda per shingle) and pre-distincts PER DOC
+    // map-side, shrinking the explode before the global distinct —
+    // whose (keep, ng) semantics are unchanged (keep cols are doc
+    // constants, NgramFoldSpec pins the composition)
+    graft.engine.expr.GraftFunctions.register(docsDf.sparkSession)
     docsDf.select(keep.map(col) :+ split(col("text"), " ").as("w"): _*)
-      .select(keep.map(col) :+ explode(expr(
-        s"""CASE WHEN size(w) >= $n THEN
-           |  transform(sequence(1, size(w) - ${n - 1}),
-           |    i -> concat_ws(' ', $terms))
-           |ELSE array() END""".stripMargin)).as("ng"): _*)
+      .select(keep.map(col) :+ explode(expr(s"ngram_strings(w, $n)")).as("ng"): _*)
       .distinct()
       // AQE coalesces the distinct's ~small output under the advisory
       // partition size, narrowing every consumer pass (measured 6
@@ -1575,12 +1577,9 @@ object TextOps {
     // scoring pass is a single (t1,t2) equi-join + per-doc hash agg —
     // AQE broadcasts small LMs, shuffle-joins big ones.
     "bigram_logppl" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
       val bg = docsF(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(w) >= 2 THEN
-            |  transform(sequence(1, size(w) - 1),
-            |    i -> struct(w[i-1] AS t1, w[i] AS t2))
-            |ELSE array() END""".stripMargin)).as("bg"))
+        .select(col("doc_id"), explode(expr("word_bigrams(w)")).as("bg"))
         .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
       val cnt = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
       val ctx = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
@@ -1694,17 +1693,20 @@ object TextOps {
     // ≤alphabet² pair space before the one tiny shuffle, and the
     // top-20 is TakeOrdered — per-partition partial top-k, never a
     // global sort.
-    "bpe_merge_candidates" -> ((s, d) =>
+    "bpe_merge_candidates" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      // the codegen'd `char_pair_freq` kernel histograms each token's
+      // adjacent char pairs in one pass (the former per-position
+      // substring-struct transform interpreted its lambda per char),
+      // and the explode shrinks from per-CHAR rows to per-distinct-
+      // pair rows; sum(c) over the histograms == count over the
+      // exploded pairs (exact integers, NgramFoldSpec-pinned)
       tokens(docsF(s, d)).select(col("token"))
-        .select(explode(expr(
-          """CASE WHEN length(token) >= 2 THEN
-            |  transform(sequence(1, length(token) - 1),
-            |    i -> struct(substring(token, i, 1) AS c1,
-            |                substring(token, i + 1, 1) AS c2))
-            |ELSE array() END""".stripMargin)).as("pr"))
-        .select(col("pr.c1").as("c1"), col("pr.c2").as("c2"))
-        .groupBy("c1", "c2").agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("c1"), col("c2")).limit(20)),
+        .select(explode(expr("char_pair_freq(token)")).as("pr"))
+        .select(col("pr.c1").as("c1"), col("pr.c2").as("c2"), col("pr.c").as("c0"))
+        .groupBy("c1", "c2").agg(sum("c0").as("cnt"))
+        .orderBy(desc("cnt"), col("c1"), col("c2")).limit(20)
+    }),
 
     // Tokenizer-budget curve: share of token OCCURRENCES covered by
     // the top-10 / top-100 / top-1000 corpus vocabulary — the curve a

@@ -139,6 +139,50 @@ class NgramFoldSpec extends SparkSpec {
     assert(rowsK == rowsH, s"char histograms diverged:\n$rowsK\n$rowsH")
   }
 
+  test("ngram_strings == array_distinct∘transform(concat_ws) per row") {
+    for (n <- Seq(3, 8)) {
+      val terms = (0 until n).map(k => s"w[i${if (k == 0) "-1" else s"+${k - 1}"}]").mkString(", ")
+      val hof =
+        s"""array_distinct(CASE WHEN size(w) >= $n THEN
+           |  transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $terms))
+           |ELSE array() END)""".stripMargin
+      val bad = df.select(col("doc_id"),
+          expr(s"ngram_strings(w, $n)").as("native"), expr(hof).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("word_bigrams == transform(struct(w[i-1], w[i])) with order + duplicates kept") {
+    val hof =
+      """CASE WHEN size(w) >= 2 THEN
+        |  transform(sequence(1, size(w) - 1),
+        |    i -> struct(w[i-1] AS t1, w[i] AS t2))
+        |ELSE array() END""".stripMargin
+    val bad = df.select(col("doc_id"),
+        expr("word_bigrams(w)").as("native"), expr(hof).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .collect()
+    assert(bad.isEmpty, s"diverged: ${bad.mkString("; ")}")
+  }
+
+  test("char_pair_freq == per-position substring pair explode + count, as maps") {
+    val rowsK = df.select(col("doc_id"), explode(expr("char_pair_freq(text0)")).as("pr"))
+      .select(col("doc_id"), col("pr.c1"), col("pr.c2"), col("pr.c")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap).toMap
+    val rowsH = df.select(col("doc_id"), explode(expr(
+        """CASE WHEN length(text0) >= 2 THEN
+          |  transform(sequence(1, length(text0) - 1),
+          |    i -> struct(substring(text0, i, 1) AS c1, substring(text0, i + 1, 1) AS c2))
+          |ELSE array() END""".stripMargin)).as("pr"))
+      .groupBy("doc_id", "pr.c1", "pr.c2").agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap).toMap
+    assert(rowsK == rowsH, s"char-pair histograms diverged:\n$rowsK\n$rowsH")
+  }
+
   test("size < n returns an empty array, not null, and null input stays null") {
     val out = Seq((0L, Seq("a", "b")), (1L, null.asInstanceOf[Seq[String]]))
       .toDF("doc_id", "w")

@@ -91,5 +91,20 @@ object FuseVectorKernels extends Rule[LogicalPlan] {
         && isSumMerge(merge) && isIdentity(fin)
         && x.exprId == p1.exprId && y.exprId == p2.exprId =>
       DotProd(a, b)
+
+    // Σ x·x — the L2-norm / self-energy fold (ArrayMath.l2Norm's
+    // inner aggregate, the base projection of EVERY similarity
+    // query): Σᵢ aᵢ·aᵢ IS dot_prod(a, a) — same multiplies, same
+    // left-to-right IEEE accumulation, same NULL surface — so the
+    // fuse needs no third kernel
+    case ArrayAggregate(
+        ArrayTransform(a, LambdaFunction(
+          Multiply(x1: NamedLambdaVariable, x2: NamedLambdaVariable, _),
+          Seq(p: NamedLambdaVariable), _)),
+        zero, merge, fin)
+      if isDoubleArray(a) && isZero(zero)
+        && isSumMerge(merge) && isIdentity(fin)
+        && x1.exprId == p.exprId && x2.exprId == p.exprId =>
+      DotProd(a, a)
   }
 }

@@ -156,11 +156,27 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CharPairFreq].getCanonicalName, "char_pair_freq"),
     (children: Seq[Expression]) => CharPairFreq(children.head))
 
+  val absMaxDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("abs_max"),
+    new ExpressionInfo(classOf[AbsMax].getCanonicalName, "abs_max"),
+    (children: Seq[Expression]) => AbsMax(children.head))
+
+  val quantizeI8Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantize_i8"),
+    new ExpressionInfo(classOf[QuantizeI8].getCanonicalName, "quantize_i8"),
+    (children: Seq[Expression]) => QuantizeI8(children.head, children(1)))
+
+  val quantSseDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quant_sse"),
+    new ExpressionInfo(classOf[QuantSse].getCanonicalName, "quant_sse"),
+    (children: Seq[Expression]) => QuantSse(children.head, children(1)))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
       ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor,
       chunkFpsDescriptor, charFreqDescriptor,
-      ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor)
+      ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor,
+      absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor)
 
   def register(s: SparkSession): Unit = {
     descriptors.foreach {

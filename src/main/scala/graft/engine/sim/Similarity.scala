@@ -24,10 +24,16 @@ import graft.engine.{ArrayMath, Tables}
 object Similarity {
 
   /** (vec_id, f: array<double>, nrm, label). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    // register up front: the FuseVectorKernels rule rewrites l2Norm's
+    // portable aggregate(transform(x·x)) into the fused dot_prod(f, f)
+    // — this norm projection sits under EVERY similarity query, and
+    // unfused it interprets a 64-iteration lambda per row
+    graft.engine.expr.GraftFunctions.register(s)
     Tables.embeddings(s, d).select(
       col("vec_id"), ArrayMath.toDouble(col("embedding")).as("f"), col("label"))
       .withColumn("nrm", ArrayMath.l2Norm(col("f")))
+  }
 
   /** Fan a small scan out to the session's parallelism before a
     * CPU-bound pairwise stage. The fixture tables are ONE parquet file
@@ -311,17 +317,18 @@ object Similarity {
     // (no shuffle beyond the final sort); every op is a single IEEE
     // mul/div/round both engines execute identically, and the 64-term
     // error sum follows the repo's accepted ROUND(·,6) discipline.
+    // per-row folds are the codegen'd abs_max / quant_sse kernels
+    // (expr/VecKernels.scala — the former aggregate(...) lambdas ran
+    // interpreted per element; SqlAndExprSpec pins both against the
+    // HOF forms including the BigDecimal HALF_UP round)
     "embedding_quantize" -> ((s, d) =>
       vecs(s, d).select(col("vec_id"), col("f"))
-        .withColumn("scale", expr("aggregate(f, 0.0D, (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("scale", expr("abs_max(f)"))
         // sc guards the all-zero vector: Spark's 0.0/0.0 is NaN while
         // DuckDB's is NULL — divide by 1 instead (every x is 0, so the
         // quantization is exactly zero error either way)
         .withColumn("sc", when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
-        .withColumn("sse", expr(
-          """aggregate(f, 0.0D, (a, x) ->
-            |  a + (x - round(x * 127 / sc, 0) * sc / 127)
-            |    * (x - round(x * 127 / sc, 0) * sc / 127))""".stripMargin))
+        .withColumn("sse", expr("quant_sse(f, sc)"))
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           round(col("sse") / size(col("f")), 6).as("mse"))
         .orderBy("vec_id")),
@@ -909,10 +916,14 @@ object Similarity {
       graft.engine.expr.GraftFunctions.register(s)
       val v = vecs(s, d)
       val truth = sampledTruth(s, d)
+      // the scale fold and the per-element quantization run as the
+      // codegen'd abs_max / quantize_i8 kernels (the coarse pass is
+      // the memory-bound scan an SQ index exists for — an interpreted
+      // per-element lambda there defeats its own purpose)
       val qv = v.select(col("vec_id"), col("nrm"),
-          col("f"), expr("aggregate(f, 0.0D, (a, x) -> greatest(a, abs(x)))").as("scale"))
+          col("f"), expr("abs_max(f)").as("scale"))
         .withColumn("sc", when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
-        .withColumn("q", expr("transform(f, x -> round(x * 127 / sc, 0))"))
+        .withColumn("q", expr("quantize_i8(f, sc)"))
       val qq = qv.filter(col("vec_id") % 13 === 0)
         .select(col("vec_id").as("id1"), col("q").as("q1"), col("sc").as("s1"),
           col("nrm").as("n1"))

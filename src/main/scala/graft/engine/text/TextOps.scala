@@ -76,6 +76,12 @@ object TextOps {
        |    i -> CAST(instr('0123456789abcdef', substring($hexCol, i, 1)) - 1 AS BIGINT)),
        |  CAST(0 AS BIGINT), (acc, x) -> acc * 16 + x)""".stripMargin
 
+  /** [[foldDigitsSql]] above is the DOCUMENTED portable form — it is
+    * what the DuckDB oracle executes, and the engine keeps it only on
+    * the tiny embedding_project sign matrix (dims×8 rows). Every
+    * corpus-sized engine path calls the native `fold_hex` instead
+    * (FoldWidthSpec pins the two bit-for-bit). */
+
   /** Fold width in hex digits (4 bits each), session-configurable. */
   private def foldWidth(s: SparkSession): Int = {
     val w = s.conf.get("graft.text.foldHexDigits", "8").toInt
@@ -350,9 +356,10 @@ object TextOps {
     * corpus-sized (row per doc), so AQE broadcasts it at bench SF and
     * shuffles both sides at 100 TB. */
   private def sampFlags(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(s)
     val w = foldWidth(s)
     docs(s, d).select(col("doc_id"),
-      expr(s"(${foldDigitsSql(s"md5(CAST(doc_id AS STRING))", w)}) % 20 = 0")
+      expr(s"fold_hex(md5(CAST(doc_id AS STRING)), $w) % 20 = 0")
         .as("samp"))
   }
 
@@ -1250,6 +1257,7 @@ object TextOps {
     // is computed entirely in BIGINT on both engines. The keep-decision
     // predicate itself is unchanged (same IEEE double compare per row).
     "token_budget_sample" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
       val w = foldWidth(s)
       val dt = docs(s, d).select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -1262,7 +1270,7 @@ object TextOps {
           least(lit(1000000L),
             expr("(med2 * 1000000) div (2 * src_tok)")).as("rate_ppm"))
       dt.join(broadcast(rates), "source")
-        .filter(expr(s"(${foldDigitsSql("md5(CAST(doc_id AS STRING))", w)}) % 1000000") < col("rate") * 1e6)
+        .filter(expr(s"fold_hex(md5(CAST(doc_id AS STRING)), $w) % 1000000") < col("rate") * 1e6)
         .groupBy("source")
         .agg(count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"),
           max("rate_ppm").as("rate_ppm"))
@@ -1505,6 +1513,7 @@ object TextOps {
     // its lowest-id existing collision, and the distinct collision
     // count.
     "incremental_dedup" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
       val w = foldWidth(s)
       // the 8-hash signature table IS the shared memoized one (same
       // mh formula, same per-doc agg) — rebuilding it here re-paid the
@@ -1517,7 +1526,7 @@ object TextOps {
             chain(b * 4 until (b + 1) * 4).as("bsig"))
         }.reduce(_ union _)
         .withColumn("inc",
-          expr(s"(${foldDigitsSql("md5(CAST(doc_id AS STRING))", w)}) % 10") === 7)
+          expr(s"fold_hex(md5(CAST(doc_id AS STRING)), $w) % 10") === 7)
       val newB = bands.filter(col("inc")).select(col("doc_id").as("nd"), col("band"), col("bsig"))
       val oldB = bands.filter(!col("inc")).select(col("doc_id").as("od"), col("band"), col("bsig"))
       newB.join(oldB, Seq("band", "bsig"))

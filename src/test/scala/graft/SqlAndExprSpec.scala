@@ -144,6 +144,66 @@ class SqlAndExprSpec extends SparkSpec {
       "-0.0 seed must not fuse")
   }
 
+  test("FuseVectorKernels rewrites Σ x·x (l2Norm's fold) to dot_prod(a, a)") {
+    graft.engine.expr.GraftFunctions.register(spark)
+    val v = Tables.points(spark, sf0001).limit(30)
+      .select(col("vec_id"), col("features").as("f"))
+    val fused = v.select(graft.engine.ArrayMath.l2Norm(col("f")).as("n"))
+    assert(fused.queryExecution.optimizedPlan.toString.contains("dot_prod"),
+      s"self-energy fold did not fuse:\n${fused.queryExecution.optimizedPlan}")
+    // bit-identical to the explicit native form (same multiplies,
+    // same left-to-right accumulation)
+    val viaNative = v.select(sqrt(call_function("dot_prod", col("f"), col("f"))).as("n"))
+      .agg(sum("n")).head().getDouble(0)
+    assert(fused.agg(sum("n")).head().getDouble(0) == viaNative)
+    // x·x with DIFFERENT variables (a zip_with) is the dot kernel's
+    // job; a transform whose body is not a self-product must not fuse
+    val cube = v.select(aggregate(transform(col("f"), x => x * x * x),
+      lit(0.0), (acc, x) => acc + x).as("n"))
+    assert(!cube.queryExecution.optimizedPlan.toString.contains("dot_prod"),
+      "non-square transform body must be left untouched")
+  }
+
+  test("abs_max / quantize_i8 / quant_sse equal their HOF compositions") {
+    graft.engine.expr.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(0.1, -2.5, 2.49, 0.0)),
+      (1L, Seq(-0.5, 0.5, 1.5, -1.5)),           // HALF_UP ties
+      (2L, Seq(0.0, 0.0, 0.0)),                   // all-zero (sc guard)
+      (3L, Seq(1e-9, -1e9, 123.456)),
+      (4L, Seq.empty[Double]),
+    ).toDF("id", "f")
+      .withColumn("scale", expr("abs_max(f)"))
+      .withColumn("sc", when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
+    val bad = rows.select(col("id"),
+        expr("abs_max(f)").as("am"),
+        expr("aggregate(f, 0.0D, (a, x) -> greatest(a, abs(x)))").as("amH"),
+        expr("quantize_i8(f, sc)").as("q"),
+        expr("transform(f, x -> round(x * 127 / sc, 0))").as("qH"),
+        expr("quant_sse(f, sc)").as("e"),
+        expr("""aggregate(f, 0.0D, (a, x) ->
+          |  a + (x - round(x * 127 / sc, 0) * sc / 127)
+          |    * (x - round(x * 127 / sc, 0) * sc / 127))""".stripMargin).as("eH"))
+      .filter(not(col("am") === col("amH")) || not(col("q") === col("qH"))
+        || not(col("e") === col("eH")))
+      .collect()
+    assert(bad.isEmpty, s"quantize kernels diverged: ${bad.mkString("; ")}")
+    // null element: abs_max skips (greatest semantics), quantize_i8
+    // maps to a null slot, quant_sse null-poisons the fold
+    val wn = Seq((0L, Seq[java.lang.Double](1.0, null, 2.0))).toDF("id", "f")
+      .selectExpr("id", "CAST(f AS ARRAY<DOUBLE>) AS f")
+      .withColumn("sc", lit(2.0))
+    val r = wn.select(expr("abs_max(f)").as("am"),
+      expr("aggregate(f, 0.0D, (a, x) -> greatest(a, abs(x)))").as("amH"),
+      expr("quantize_i8(f, sc)").as("q"),
+      expr("transform(f, x -> round(x * 127 / sc, 0))").as("qH"),
+      expr("quant_sse(f, sc)").as("e")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getSeq[Any](2) == r.getSeq[Any](3))
+    assert(r.isNullAt(4), "null element must null-poison quant_sse")
+  }
+
   test("q_recursive_hierarchy: depth = decimal digits − 1, root = leading digit") {
     val rows = graft.engine.rel.RelQueries.queries("q_recursive_hierarchy")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -49,6 +49,8 @@ object ArrayMath {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Cast an array<float> column to array<double> (all index math is
-    * double; matches the oracle's CAST AS DOUBLE discipline, §7.6). */
-  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+    * double; matches the oracle's CAST AS DOUBLE discipline, §7.6).
+    * Array-level Cast — native codegen elementwise cast, where the
+    * `transform(a, _.cast)` lambda form ran interpreted per element. */
+  def toDouble(a: Column): Column = a.cast("array<double>")
 }

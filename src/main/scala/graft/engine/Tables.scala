@@ -92,6 +92,9 @@ object Tables {
   def points(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("features"),
+      // array-level Cast, not transform(x -> cast): Cast on ArrayType
+      // is native codegen; the lambda form interpreted 64 casts/row
+      // under every clustering query
+      col("embedding").cast("array<double>").as("features"),
       col("label").as("cluster"))
 }

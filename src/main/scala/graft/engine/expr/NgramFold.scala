@@ -270,6 +270,86 @@ object NgramFold {
     new GenericArrayData(out)
   }
 
+  /** The 8 modular min-hashes of the token array, map-side:
+    * mh_s = MIN over tokens of ((fold(md5(token)) % P)·(2s+3) + (7s+1)) % P.
+    * Equals the explode→tid→8-min-agg composition EXACTLY because min
+    * over the token MULTISET is min over the distinct set — so the
+    * per-doc signature needs neither the distinct nor the (doc_id,
+    * token) shuffle. Null tokens are skipped (min ignores nulls); an
+    * all-null/empty array returns null (the groupBy form emits no row
+    * — unreachable through split(), which always yields ≥1 element).
+    * NgramFoldSpec pins the kernel against per-seed
+    * `array_min(transform(...))` HOF mirrors. */
+  def minhash8(words: ArrayData, width: Int): ArrayData = {
+    val P = 1000003L
+    val sz = words.numElements()
+    val mins = Array.fill(8)(Long.MaxValue)
+    val md = mdLocal.get()
+    var any = false
+    var i = 0
+    while (i < sz) {
+      if (!words.isNullAt(i)) {
+        any = true
+        md.reset()
+        md.update(words.getUTF8String(i).getBytes)
+        val tid = foldNibbles(md.digest(), width) % P
+        var s = 0
+        while (s < 8) {
+          val h = (tid * (s * 2 + 3) + (s * 7 + 1)) % P
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null else UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** The 16-bit SimHash signature of the token array, map-side:
+    * bit j set iff Σ over tokens of sign_j(token) > 0, where
+    * sign_j = ((j-th hex nibble of md5(token)) % 2)·2 − 1. Equals the
+    * (doc, token)-count → Σ cnt·sign composition EXACTLY because
+    * Σ cnt·sign over distinct tokens IS Σ sign over the multiset; the
+    * count map below only avoids re-digesting repeated tokens. Exact
+    * integer arithmetic — order-free by construction. */
+  def simhash16(words: ArrayData): Long = {
+    val sz = words.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < sz) {
+      if (!words.isNullAt(i)) {
+        val t = words.getUTF8String(i)
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val s = new Array[Long](16)
+    val md = mdLocal.get()
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      md.reset()
+      md.update(e.getKey.getBytes)
+      val digest = md.digest()
+      val cnt = e.getValue.longValue()
+      var j = 0
+      while (j < 16) {
+        val b = digest(j >> 1)
+        val nib = if ((j & 1) == 0) (b >> 4) & 0xf else b & 0xf
+        s(j) += cnt * ((nib % 2) * 2 - 1)
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 16) {
+      if (s(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Per-code-point frequency histogram of a string, first-occurrence
     * order: (ch, c) pairs — equals
     * `transform(sequence(1, length(s)), i -> substring(s, i, 1))` →
@@ -337,6 +417,52 @@ case class NgramFoldSeq(first: Expression, second: Expression, third: Expression
       s"${ev.value} = graft.engine.expr.NgramFold.foldSeq($w, $n, $width);")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): NgramFoldSeq = copy(f, s, t)
+}
+
+/** `minhash8(words, width)` — see [[NgramFold.minhash8]]. */
+case class Minhash8(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"minhash8 expects (array<string>, int), got " +
+          s"(${a.simpleString(3)}, ${b.simpleString(3)})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // all-null/empty token array
+  override def prettyName: String = "minhash8"
+  override def nullSafeEval(w: Any, width: Any): Any =
+    NgramFold.minhash8(w.asInstanceOf[ArrayData], width.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, width) => {
+      val arr = ctx.freshName("mh8")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $arr =
+         |  graft.engine.expr.NgramFold.minhash8($w, $width);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $arr; }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Minhash8 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash16(words)` — see [[NgramFold.simhash16]]. */
+case class Simhash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string>, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+  override def nullSafeEval(w: Any): Any =
+    NgramFold.simhash16(w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.engine.expr.NgramFold.simhash16($w);")
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
 }
 
 /** `ngram_strings(words, n)` — see [[NgramFold.ngramStrings]]. */

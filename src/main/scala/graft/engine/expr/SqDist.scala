@@ -171,12 +171,23 @@ object GraftFunctions {
     new ExpressionInfo(classOf[QuantSse].getCanonicalName, "quant_sse"),
     (children: Seq[Expression]) => QuantSse(children.head, children(1)))
 
+  val minhash8Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash8"),
+    new ExpressionInfo(classOf[Minhash8].getCanonicalName, "minhash8"),
+    (children: Seq[Expression]) => Minhash8(children.head, children(1)))
+
+  val simhash16Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[Simhash16].getCanonicalName, "simhash16"),
+    (children: Seq[Expression]) => Simhash16(children.head))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
       ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor,
       chunkFpsDescriptor, charFreqDescriptor,
       ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor,
-      absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor)
+      absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor,
+      minhash8Descriptor, simhash16Descriptor)
 
   def register(s: SparkSession): Unit = {
     descriptors.foreach {

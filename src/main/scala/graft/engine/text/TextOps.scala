@@ -236,13 +236,22 @@ object TextOps {
     * (per-pair signature-agreement vs exact-Jaccard cross-tab). */
   private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
     sigCache.get(s, s"$d|${foldWidth(s)}") {
-      val tok = distinctTokens(s, d)
-      val dt = withTid(tok).select("doc_id", "tid")
-      // all 8 min-hashes in ONE map-side-combined aggregation (no seed
-      // crossJoin, no second shuffle): mh_s = MIN((tid·(2s+3)+7s+1) % P)
-      def mh(seed: Int) =
-        min((col("tid") * (seed * 2 + 3) + (seed * 7 + 1)) % P).as(s"m$seed")
-      dt.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+      // the whole 8-hash signature is MAP-SIDE: a doc's tokens live in
+      // its own row, min over the token multiset equals min over the
+      // distinct set, and mh_s = MIN((tid·(2s+3)+7s+1) % P) with
+      // tid = fold(md5(token)) % P a pure per-token function — so the
+      // codegen'd `minhash8` kernel computes all 8 mins in one pass
+      // over the split array and the former explode → tid → 8-min-agg
+      // chain (one shuffle + the exploded-token checkpoint read)
+      // disappears from the signature path entirely. NgramFoldSpec
+      // pins the kernel against per-seed array_min HOF mirrors.
+      graft.engine.expr.GraftFunctions.register(s)
+      val w = foldWidth(s)
+      docsF(s, d)
+        .select(col("doc_id"),
+          expr(s"minhash8(split(text, ' '), $w)").as("mh"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => col("mh").getItem(i).as(s"m$i")): _*)
         .localCheckpoint(true)
     }
 
@@ -771,23 +780,17 @@ object TextOps {
     // output on the low-entropy fixture vocabulary — poorly mixed
     // signs make all signatures collapse toward each other).
     "simhash_dedup" -> ((s, d) => {
-      val tok = tokens(docsF(s, d)).select("doc_id", "token")
-      val cnt = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", md5(col("token").cast("binary")))
-        .select("doc_id", "h", "cnt")
-      // all 16 signed bit-sums in ONE map-side-combined aggregation
-      // (the same shape as minhashPairs' 8 min-hashes): the round-2
-      // form crossJoined a 16-row bit dim — a 16× row blow-up through
-      // an extra shuffle level for what is 16 independent aggregates
-      // of the same token-count rows
-      def sgn(j: Int) = sum(col("cnt") *
-        ((expr(s"instr('0123456789abcdef', substring(h, ${j + 1}, 1))")
-          - 1) % 2 * 2 - 1)).as(s"s$j")
-      val sh = cnt.groupBy("doc_id")
-        .agg(sgn(0), (1 until 16).map(sgn): _*)
-        .select(col("doc_id"),
-          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).cast("long").as("simhash"))
+      graft.engine.expr.GraftFunctions.register(s)
+      // the 16-bit signature is MAP-SIDE (codegen'd `simhash16`
+      // kernel): Σ cnt·sign over distinct tokens IS Σ sign over the
+      // token multiset, all exact integers, so the per-doc signature
+      // needs neither the (doc_id, token) count shuffle nor the
+      // 16-column agg the former plan paid (the kernel's count map
+      // only avoids re-digesting repeated tokens). NgramFoldSpec pins
+      // the kernel against an independent JVM model of the published
+      // formula; the DuckDB oracle still computes it the exploded way.
+      val sh = docsF(s, d).select(col("doc_id"),
+        expr("simhash16(split(text, ' '))").as("simhash"))
       // The banded join is COMPLETE for ham ≤ 3 (4 bands, pigeonhole),
       // so the declared output is exactly {(d1 < d2): ham ≤ 3} — which
       // licenses running the band join on the DISTINCT-SIGNATURE dim

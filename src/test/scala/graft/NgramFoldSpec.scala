@@ -183,6 +183,45 @@ class NgramFoldSpec extends SparkSpec {
     assert(rowsK == rowsH, s"char-pair histograms diverged:\n$rowsK\n$rowsH")
   }
 
+  test("minhash8 == per-seed array_min(transform(affine(fold_hex(md5))))") {
+    // min over the token MULTISET equals min over the distinct set, so
+    // the mirror needs no array_distinct; P and the affine constants
+    // are the engine's published signature formula
+    for (width <- Seq(8, 12)) {
+      val mirrors = (0 until 8).map(s =>
+        expr(s"""array_min(transform(w, t ->
+          |  (fold_hex(md5(CAST(t AS BINARY)), $width) % 1000003
+          |    * ${s * 2 + 3} + ${s * 7 + 1}) % 1000003))""".stripMargin).as(s"h$s"))
+      val bad = df.select(
+          (col("doc_id") +: expr(s"minhash8(w, $width)").as("native") +: mirrors): _*)
+        .filter((0 until 8).map(s =>
+          not(col("native").getItem(s) === col(s"h$s"))).reduce(_ || _))
+        .collect()
+      assert(bad.isEmpty, s"width=$width diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("simhash16 == the published count·sign formula (independent JVM model)") {
+    def model(text: String): Long = {
+      val counts = text.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong)
+      val s = new Array[Long](16)
+      for ((tok, cnt) <- counts) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        for (j <- 0 until 16) {
+          val sign = (Character.digit(hex(j), 16) % 2) * 2 - 1
+          s(j) += cnt * sign
+        }
+      }
+      (0 until 16).map(j => if (s(j) > 0) 1L << j else 0L).sum
+    }
+    val got = df.select(col("doc_id"), expr("simhash16(w)").as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, text) =>
+      assert(got(id) == model(text), s"doc=$id: got ${got(id)}, model ${model(text)}")
+    }
+  }
+
   test("size < n returns an empty array, not null, and null input stays null") {
     val out = Seq((0L, Seq("a", "b")), (1L, null.asInstanceOf[Seq[String]]))
       .toDF("doc_id", "w")

@@ -24,7 +24,9 @@ object Explain {
         "ann_lsh_topk", "ann_ivf_topk", "q_join_salted",
         "decontaminate_ngram", "sink_partitioned_roundtrip",
         "event_funnel", "retention_cohort", "bigram_logppl",
-        "kl_source_divergence", "q_histogram", "bpe_merge_candidates")
+        "kl_source_divergence", "q_histogram", "bpe_merge_candidates",
+        "simhash_dedup", "exact_substring_dedup", "char_entropy",
+        "rag_chunk", "embedding_quantize", "source_dsv2_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

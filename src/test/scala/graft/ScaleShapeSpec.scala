@@ -547,7 +547,14 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!triPlan.toLowerCase.contains("lambdafunction"),
       s"interpreted HOF lambda back in the trigram-id build:\n$triPlan")
     for ((k, kernel) <- Seq("winnow_fingerprint" -> "ngram_fold_seq",
-                            "exact_substring_dedup" -> "ngram_md5_set")) {
+                            "exact_substring_dedup" -> "ngram_md5_set",
+                            "bigram_logppl" -> "word_bigrams",
+                            "bpe_merge_candidates" -> "char_pair_freq",
+                            "char_entropy" -> "char_freq",
+                            "rag_chunk" -> "chunk_fps",
+                            "chunk_dedup" -> "chunk_fps",
+                            "simhash_dedup" -> "simhash16",
+                            "embedding_quantize" -> "quant_sse")) {
       val q = graft.SparkEntry.queries(k)(spark, sf0001)
       q.collect()
       val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)

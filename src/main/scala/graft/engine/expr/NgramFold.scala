@@ -248,10 +248,10 @@ object NgramFold {
     if (b.length == 0) return new GenericArrayData(Array.empty[Any])
     val counts = new java.util.LinkedHashMap[(UTF8String, UTF8String), java.lang.Long]()
     var prevStart = 0
-    var prevLen = UTF8String.numBytesForFirstByte(b(0))
+    var prevLen = math.min(UTF8String.numBytesForFirstByte(b(0)), b.length)
     var bi = prevLen
     while (bi < b.length) {
-      val nb = UTF8String.numBytesForFirstByte(b(bi))
+      val nb = math.min(UTF8String.numBytesForFirstByte(b(bi)), b.length - bi)
       val key = (UTF8String.fromBytes(b, prevStart, prevLen),
         UTF8String.fromBytes(b, bi, nb))
       val prev = counts.get(key)
@@ -362,7 +362,10 @@ object NgramFold {
     val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
     var bi = 0
     while (bi < b.length) {
-      val nb = UTF8String.numBytesForFirstByte(b(bi))
+      // clamp the declared code-point width at the buffer end so a
+      // malformed trailing byte can't overrun the array (valid UTF-8 —
+      // everything split() emits — never hits the clamp)
+      val nb = math.min(UTF8String.numBytesForFirstByte(b(bi)), b.length - bi)
       val ch = UTF8String.fromBytes(b, bi, nb)
       val prev = counts.get(ch)
       counts.put(ch, if (prev == null) 1L else prev + 1L)

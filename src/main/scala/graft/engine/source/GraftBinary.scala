@@ -164,8 +164,9 @@ class GbinPartitionReader(file: String, conf: Configuration, picks: Array[Int])
         vals(i) = UTF8String.fromBytes(b)
       } else {
         // pruned string: SKIP the bytes, never allocate/decode them
-        var toSkip = len.toLong
-        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        // (skipNBytes, not skip(): skip() returns 0 forever at EOF, so
+        // a truncated file would spin — skipNBytes throws EOFException)
+        in.skipNBytes(len.toLong)
       }
     }
   }

@@ -69,6 +69,18 @@ class SourceV2Spec extends SparkSpec {
     assert(n == 2, s"overwrite must replace, not append (got $n rows)")
   }
 
+  test("empty write partitions produce readable zero-record files") {
+    val dir = freshDir()
+    docs.repartition(8).write.format(GraftBinarySource.FORMAT)
+      .mode(SaveMode.Overwrite).save(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".gbin"))
+    assert(nFiles == 8, s"expected 8 part files (some empty), got $nFiles")
+    val back = spark.read.format(GraftBinarySource.FORMAT).load(dir)
+    assert(back.count() == 5)
+    assert(back.rdd.getNumPartitions == 8)
+  }
+
   test("pruned-to-nothing scans still count rows (count(*) over the null masks)") {
     val dir = freshDir()
     docs.write.format(GraftBinarySource.FORMAT).mode(SaveMode.Overwrite).save(dir)

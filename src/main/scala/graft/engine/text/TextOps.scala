@@ -51,6 +51,25 @@ object TextOps {
     df.select(col("doc_id"), col("lang"), col("source"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
 
+  /** The map-side bigram stream PLAN (pre-checkpoint), package-private
+    * for ScaleShapeSpec's kernel pin — `bigram_logppl` eagerly
+    * checkpoints it for its three consumers. */
+  private[graft] def bigramStreamPlan(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(s)
+    docsF(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr("word_bigrams(w)")).as("bg"))
+      .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+  }
+
+  /** The map-side SimHash signature PLAN (pre-checkpoint),
+    * package-private for ScaleShapeSpec's kernel pin — `simhash_dedup`
+    * eagerly checkpoints it for its five consumers. */
+  private[graft] def simhashSigPlan(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(s)
+    docsF(s, d).select(col("doc_id"),
+      expr("simhash16(split(text, ' '))").as("simhash"))
+  }
+
   /** Deterministic token id: fold the first `width` lowercase-hex
     * digits of md5(token) as a base-16 integer. Pure per-row arithmetic
     * (codegen'd higher-order functions, no UDF, no shuffle, no global
@@ -780,7 +799,6 @@ object TextOps {
     // output on the low-entropy fixture vocabulary — poorly mixed
     // signs make all signatures collapse toward each other).
     "simhash_dedup" -> ((s, d) => {
-      graft.engine.expr.GraftFunctions.register(s)
       // the 16-bit signature is MAP-SIDE (codegen'd `simhash16`
       // kernel): Σ cnt·sign over distinct tokens IS Σ sign over the
       // token multiset, all exact integers, so the per-doc signature
@@ -789,8 +807,13 @@ object TextOps {
       // only avoids re-digesting repeated tokens). NgramFoldSpec pins
       // the kernel against an independent JVM model of the published
       // formula; the DuckDB oracle still computes it the exploded way.
-      val sh = docsF(s, d).select(col("doc_id"),
-        expr("simhash16(split(text, ' '))").as("simhash"))
+      // FIVE consumers read the signature table (distinct-sig dim,
+      // two doc-expansion joins, both same-sig sides) — eagerly
+      // checkpoint the (doc_id, long) rows so the corpus scan and the
+      // per-token digests run ONCE per execution (the plan audit
+      // showed 5 parquet scans before this); kernel pin lives on
+      // simhashSigPlan.
+      val sh = simhashSigPlan(s, d).localCheckpoint(true)
       // The banded join is COMPLETE for ham ≤ 3 (4 bands, pigeonhole),
       // so the declared output is exactly {(d1 < d2): ham ≤ 3} — which
       // licenses running the band join on the DISTINCT-SIGNATURE dim
@@ -1589,10 +1612,14 @@ object TextOps {
     // scoring pass is a single (t1,t2) equi-join + per-doc hash agg —
     // AQE broadcasts small LMs, shuffle-joins big ones.
     "bigram_logppl" -> ((s, d) => {
-      graft.engine.expr.GraftFunctions.register(s)
-      val bg = docsF(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr("word_bigrams(w)")).as("bg"))
-        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      // three consumers read the bigram stream (c2 counts, c1 context
+      // counts, the final scoring join) — eagerly checkpoint it so the
+      // documents scan + word_bigrams kernel run ONCE per execution
+      // (the dsir/ccnet double-compute lesson; the plan audit showed
+      // 3 parquet scans before this). The kernel pin moved to
+      // bigramStreamPlan (ScaleShapeSpec), since the declared plan now
+      // reads the checkpoint.
+      val bg = bigramStreamPlan(s, d).localCheckpoint(true)
       val cnt = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
       val ctx = bg.groupBy("t1").agg(count(lit(1)).as("c1"))
       val lm = cnt.join(ctx, "t1")

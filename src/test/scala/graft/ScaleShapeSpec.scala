@@ -548,17 +548,36 @@ class ScaleShapeSpec extends SparkSpec {
       s"interpreted HOF lambda back in the trigram-id build:\n$triPlan")
     for ((k, kernel) <- Seq("winnow_fingerprint" -> "ngram_fold_seq",
                             "exact_substring_dedup" -> "ngram_md5_set",
-                            "bigram_logppl" -> "word_bigrams",
                             "bpe_merge_candidates" -> "char_pair_freq",
                             "char_entropy" -> "char_freq",
                             "rag_chunk" -> "chunk_fps",
                             "chunk_dedup" -> "chunk_fps",
-                            "simhash_dedup" -> "simhash16",
                             "embedding_quantize" -> "quant_sse")) {
       val q = graft.SparkEntry.queries(k)(spark, sf0001)
       q.collect()
       val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(plan.contains(kernel), s"$k must use $kernel:\n$plan")
+      assert(!plan.toLowerCase.contains("lambdafunction"),
+        s"$k has an interpreted HOF lambda in its plan:\n$plan")
+    }
+    // bigram_logppl / simhash_dedup eagerly checkpoint their shared
+    // kernel subtree for multiple consumers, so the kernel pin lives
+    // on the pre-checkpoint plan BUILDER, and the declared plan must
+    // show the double-compute stayed gone: at most one parquet scan
+    // (the audit that motivated the checkpoints counted 3 and 5)
+    for ((k, builder) <- Seq[(String, org.apache.spark.sql.DataFrame)](
+        "bigram_logppl" -> TextOps.bigramStreamPlan(spark, sf0001),
+        "simhash_dedup" -> TextOps.simhashSigPlan(spark, sf0001))) {
+      val bplan = builder.queryExecution.executedPlan.toString
+      assert(bplan.contains(if (k == "simhash_dedup") "simhash16" else "word_bigrams"),
+        s"$k builder must use its native kernel:\n$bplan")
+      assert(!bplan.toLowerCase.contains("lambdafunction"),
+        s"$k builder has an interpreted HOF lambda:\n$bplan")
+      val q = graft.SparkEntry.queries(k)(spark, sf0001)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert("Scan parquet".r.findAllIn(plan).size <= 1,
+        s"$k re-derives the checkpointed kernel subtree:\n$plan")
       assert(!plan.toLowerCase.contains("lambdafunction"),
         s"$k has an interpreted HOF lambda in its plan:\n$plan")
     }

@@ -14,13 +14,19 @@ import graft.engine.Tables
   * with 1-based `col[u.i]` (FIXTURES.md).
   */
 object ClusterQueries {
-  /** The ground-truth point frame memoized per (session, sfDir): all
-    * declared index queries then share ONE DataFrame object, which is
-    * what lets Centroids.centroids' identity-keyed memo serve its
-    * checkpointed centroid table across them. */
+  /** The ground-truth point frame memoized per (session, sfDir) as an
+    * EAGER checkpoint — the reference's own `.cache()` lever (SURVEY
+    * §1.1: "the single most important performance behavior to
+    * preserve"). The former plan-only memo still re-scanned parquet
+    * once per aggregate term (the round-8 plan audit counted SIX
+    * scans inside calinski_harabasz alone: n, k, global mean,
+    * centroids, sizes, wssse); every index query now reads the
+    * materialized rows. Sharing ONE DataFrame object is also what
+    * lets Centroids.centroids' identity-keyed memo serve its
+    * checkpointed centroid table across queries. */
   private val ptsCache = new graft.engine.SessionCache[DataFrame]
   private[cluster] def pts(s: SparkSession, d: String): DataFrame =
-    ptsCache.get(s, d)(Tables.points(s, d))
+    ptsCache.get(s, d)(Tables.points(s, d).localCheckpoint(true))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vector_scan" -> ((s, d) =>

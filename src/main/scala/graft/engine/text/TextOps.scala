@@ -1572,12 +1572,21 @@ object TextOps {
     // top-k → merge), never a global sort.
     "bm25_topk" -> ((s, d) => {
       val qTerms = Seq("spark", "join", "data")
-      val tok = tokens(docs(s, d)).select("doc_id", "token")
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // doc length is size(split(·)) — map-side, NO token explode and
+      // no per-doc count shuffle (the former full-token groupBy was
+      // the heaviest of this query's four scans; a doc's tokens live
+      // in its own row, the docTrigramIdArrays discipline)
+      val dl = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      val qtok = tok.filter(col("token").isin(qTerms: _*))
-      val tf = qtok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfq = qtok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val tf = tokens(docs(s, d)).select("doc_id", "token")
+        .filter(col("token").isin(qTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // tf rows ARE the distinct (doc, token) pairs of the query-term
+      // stream, so document frequency derives from tf — the former
+      // qtok.distinct() re-scanned and re-exploded the corpus for a
+      // table tf already contains
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfq), "token")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))

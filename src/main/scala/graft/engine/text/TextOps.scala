@@ -266,12 +266,16 @@ object TextOps {
       // pins the kernel against per-seed array_min HOF mirrors.
       graft.engine.expr.GraftFunctions.register(s)
       val w = foldWidth(s)
+      // checkpoint the ARRAY, then extract m0..m7 from the
+      // materialized rows: the kernel provably runs once per doc
+      // regardless of how project-collapsing treats an alias with 8
+      // references
       docsF(s, d)
         .select(col("doc_id"),
           expr(s"minhash8(split(text, ' '), $w)").as("mh"))
+        .localCheckpoint(true)
         .select(col("doc_id") +:
           (0 until 8).map(i => col("mh").getItem(i).as(s"m$i")): _*)
-        .localCheckpoint(true)
     }
 
   /** The DISTINCT (doc_id, token) set, memoized per (session, sfDir)

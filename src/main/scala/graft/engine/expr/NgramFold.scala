@@ -350,6 +350,31 @@ object NgramFold {
     sig
   }
 
+  /** Per-doc token-repetition sufficient statistics, map-side:
+    * (n_tokens, n_distinct, top_c) over the word array — equals the
+    * explode → (doc, token) count → per-doc (sum, count, max)
+    * composition with NO shuffle (a doc's tokens live in its own
+    * row). Null tokens are skipped like the groupBy they replace. */
+  def wordStats(words: ArrayData): GenericInternalRow = {
+    val sz = words.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    var n = 0L
+    var i = 0
+    while (i < sz) {
+      if (!words.isNullAt(i)) {
+        n += 1
+        val t = words.getUTF8String(i)
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().longValue(); if (c > top) top = c }
+    new GenericInternalRow(Array[Any](n, counts.size.toLong, top))
+  }
+
   /** Per-code-point frequency histogram of a string, first-occurrence
     * order: (ch, c) pairs — equals
     * `transform(sequence(1, length(s)), i -> substring(s, i, 1))` →
@@ -554,6 +579,27 @@ case class ChunkFps(first: Expression, second: Expression, third: Expression)
       s"${ev.value} = graft.engine.expr.NgramFold.chunkFps($w, $b, $s);")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): ChunkFps = copy(f, s, t)
+}
+
+/** `word_stats(words)` — see [[NgramFold.wordStats]]. */
+case class WordStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_stats expects array<string>, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_c", LongType, nullable = false)))
+  override def prettyName: String = "word_stats"
+  override def nullSafeEval(w: Any): Any =
+    NgramFold.wordStats(w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.engine.expr.NgramFold.wordStats($w);")
+  override protected def withNewChildInternal(newChild: Expression): WordStats =
+    copy(child = newChild)
 }
 
 /** `char_freq(s)` — see [[NgramFold.charFreq]]. */

@@ -181,13 +181,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[Simhash16].getCanonicalName, "simhash16"),
     (children: Seq[Expression]) => Simhash16(children.head))
 
+  val wordStatsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_stats"),
+    new ExpressionInfo(classOf[WordStats].getCanonicalName, "word_stats"),
+    (children: Seq[Expression]) => WordStats(children.head))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
       ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor,
       chunkFpsDescriptor, charFreqDescriptor,
       ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor,
       absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor,
-      minhash8Descriptor, simhash16Descriptor)
+      minhash8Descriptor, simhash16Descriptor, wordStatsDescriptor)
 
   def register(s: SparkSession): Unit = {
     descriptors.foreach {

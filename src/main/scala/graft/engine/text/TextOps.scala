@@ -1126,15 +1126,53 @@ object TextOps {
     // word fraction" quality gate a pretraining filter applies before
     // dedup. Two chained hash aggregations keyed by doc_id (partial+
     // final, one shuffle); no windows, no sort beyond the output.
-    "repetition_score" -> ((s, d) =>
-      tokens(docs(s, d)).groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-          max("c").as("top_c"))
+    // per-doc repetition sufficient stats come from the codegen'd
+    // map-side `word_stats` kernel (a doc's tokens live in its own
+    // row — the former explode → (doc, token) count → per-doc agg
+    // paid a corpus shuffle for per-row math; NgramFoldSpec pins the
+    // kernel against that composition)
+    "repetition_score" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      docs(s, d)
+        .select(col("doc_id"), expr("word_stats(split(text, ' '))").as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct").as("n_distinct"), col("st.top_c").as("top_c"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_c"),
           round(col("top_c") / col("n_tokens"), 6).as("top_ratio"),
           round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
+
+    // The Gopher-style repetition FILTER's threshold-picking table
+    // (the `dedup_threshold_sweep` discipline applied to
+    // `repetition_score`'s signal): at each dominant-token-share cut
+    // t% ∈ {10..50}, how many docs and how much token mass a
+    // "drop docs whose top token exceeds t% of tokens" rule removes.
+    // The compare is EXACT integer cross-multiplication
+    // (100·top_c > t·n_tokens — no float boundary can flip a doc),
+    // shares are single divisions of exact integer sums. Scale shape:
+    // one map-side `word_stats` pass × 5 broadcast threshold rows →
+    // one 5-group hash agg; adding this measurement angle costs one
+    // aggregation, not one pipeline.
+    "repetition_filter_sweep" -> ((s, d) => {
+      graft.engine.expr.GraftFunctions.register(s)
+      val st = docs(s, d)
+        .select(col("doc_id"), expr("word_stats(split(text, ' '))").as("st"))
+        .select(col("st.n_tokens").as("n"), col("st.top_c").as("tc"))
+      val cuts = s.range(1, 6).select((col("id") * 10).as("t"))
+      st.crossJoin(broadcast(cuts))
+        .groupBy("t")
+        .agg(count(lit(1)).as("docs_total"),
+          sum(col("n")).as("tokens_total"),
+          sum(when(col("tc") * 100 > col("t") * col("n"), 1L).otherwise(0L))
+            .as("docs_dropped"),
+          sum(when(col("tc") * 100 > col("t") * col("n"), col("n")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(col("t"), col("docs_total"), col("docs_dropped"),
+          col("tokens_total"), col("tokens_dropped"),
+          round(col("tokens_dropped") / col("tokens_total"), 6).as("dropped_share"))
+        .orderBy("t")
+    }),
 
     // per-language EXACT continuous quantiles of document token counts
     // (p25/p50/p75/p95) — the length-distribution screen run before
@@ -2357,6 +2395,23 @@ object TextOps {
         |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ratio,
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio
         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "repetition_filter_sweep" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS tc FROM tc GROUP BY 1),
+        |th AS (SELECT UNNEST([10, 20, 30, 40, 50]) AS t)
+        |SELECT CAST(th.t AS BIGINT) AS t, COUNT(*) AS docs_total,
+        |  CAST(SUM(CASE WHEN tc * 100 > th.t * n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_dropped,
+        |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN tc * 100 > th.t * n THEN n ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped,
+        |  ROUND(SUM(CASE WHEN tc * 100 > th.t * n THEN n ELSE 0 END) * 1.0
+        |    / SUM(n), 6) AS dropped_share
+        |FROM pd CROSS JOIN th
+        |GROUP BY th.t ORDER BY t""".stripMargin,
 
     "token_length_quantiles" ->
       """WITH tc AS (SELECT doc_id, lang,

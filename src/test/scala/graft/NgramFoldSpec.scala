@@ -222,6 +222,18 @@ class NgramFoldSpec extends SparkSpec {
     }
   }
 
+  test("word_stats == explode → (doc, token) count → per-doc (sum, count, max)") {
+    val got = df.select(col("doc_id"), expr("word_stats(w)").as("st"))
+      .select(col("doc_id"), col("st.n_tokens"), col("st.n_distinct"), col("st.top_c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = df.select(col("doc_id"), explode(col("w")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("nd"), max("c").as("tc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"word_stats diverged:\n$got\n$want")
+  }
+
   test("size < n returns an empty array, not null, and null input stays null") {
     val out = Seq((0L, Seq("a", "b")), (1L, null.asInstanceOf[Seq[String]]))
       .toDF("doc_id", "w")

@@ -10,42 +10,56 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native codegen'd n-gram fingerprint kernels — the whole-window
-  * replacement for the interpreted `transform(sequence(...), i -> ...)`
-  * lambdas at the root of the dedup pipelines. Spark's higher-order
-  * functions are `CodegenFallback`: every lambda body (concat_ws, md5,
-  * fold_hex, slice, array_join) evaluates INTERPRETED, with two
+/** Native codegen'd TEXT-FINGERPRINT kernel family — the whole-window
+  * (and whole-document) replacement for the interpreted
+  * `transform(sequence(...), i -> ...)` lambdas at the root of the
+  * dedup/curation pipelines. Spark's higher-order functions are
+  * `CodegenFallback`: every lambda body (concat_ws, md5, fold_hex,
+  * slice, array_join, substring) evaluates INTERPRETED, with two
   * virtual calls and boxed values per element per row — at 100 TB the
-  * per-byte interpreter overhead on the trigram/shingle builds is a
-  * real CPU multiplier (the round-7 verdict's one named hot-loop
-  * item). Each expression here is ONE generated loop over the split
-  * word array inside whole-stage codegen, digesting window bytes
-  * incrementally (no per-window join-string materialization).
+  * per-byte interpreter overhead on these builds is a real CPU
+  * multiplier (the round-7 verdict's one named hot-loop item). Each
+  * expression here is ONE generated loop over the split word array
+  * (or the raw string) inside whole-stage codegen, digesting window
+  * bytes incrementally — no join-string materialization.
   *
-  * Semantics are bit-for-bit the HOF compositions they replace
-  * (NgramFoldSpec pins all three against the original SQL forms, ASCII
-  * and multi-byte UTF-8, widths 8 and 12):
+  * Semantics are bit-for-bit the compositions they replace, pinned in
+  * NgramFoldSpec (ASCII + multi-byte UTF-8, widths 8/12, nulls,
+  * empties, per-query n values) against HOF mirrors or independent
+  * JVM models:
   *
-  *  - `ngram_fold_ids(w, n, width)` ==
-  *    `sort_array(array_distinct(transform(sequence(1, size(w)-n+1),
-  *       i -> fold_hex(md5(CAST(concat_ws(' ', w[i-1]..w[i+n-2]) AS BINARY)), width))))`
-  *  - `ngram_fold_seq(w, n, width)` == the same transform WITHOUT
-  *    distinct/sort (per-position fingerprints, winnowing's input)
-  *  - `ngram_md5_set(w, n)` ==
-  *    `array_distinct(transform(sequence(1, size(w)-n+1),
-  *       i -> md5(CAST(array_join(slice(w, i, n), ' ') AS BINARY))))`
-  *    (first-occurrence order, array_distinct's contract)
+  * Window fingerprints (per-window md5 over ' '-joined words):
+  *  - `ngram_fold_ids(w, n, width)` — sorted distinct folded ids
+  *    (== sort_array ∘ array_distinct ∘ transform(fold_hex ∘ md5 ∘
+  *    concat_ws); the trigram-id table build)
+  *  - `ngram_fold_seq(w, n, width)` — per-position folds (winnowing)
+  *  - `ngram_md5_set(w, n)` — distinct hex digests, first-occurrence
+  *    order (exact-substring dedup, n = 50)
+  *  - `ngram_strings(w, n)` — the distinct shingle STRINGS themselves
+  *    (the 8-gram decontamination set)
+  *  - `chunk_fps(w, budget, stride)` — covering chunk grid →
+  *    (n_tok, md5) structs (RAG chunks, disjoint chunk dedup)
   *
-  * For `size(w) < n` all three return an EMPTY array — the callers'
-  * `CASE WHEN size(w) >= n ... ELSE array() END` guard, absorbed (the
-  * raw HOF would hit sequence(1, 0)'s step-(-1) quirk, see FoldHex).
-  * Null ELEMENTS are skipped exactly as concat_ws/array_join skip
-  * them (split() never produces any; the spec pins the behavior
-  * anyway). The fold consumes the digest's first `width` NIBBLES
-  * directly — arithmetically identical to folding the first `width`
-  * lowercase-hex digits of `md5(...)`'s hex string, since every hex
-  * digit of a digest is a valid nibble (FoldHex's -1/0 edge cases are
-  * unreachable on md5 output).
+  * Whole-document signatures and histograms (one pass per row, no
+  * (doc, token) shuffle — min/Σ over a multiset equals min/Σ·cnt over
+  * the distinct set):
+  *  - `minhash8(w, width)` — the 8 modular min-hashes
+  *  - `simhash16(w)` — the 16-bit signed-sum signature
+  *  - `word_stats(w)` — (n_tokens, n_distinct, top_c)
+  *  - `word_bigrams(w)` — adjacent (t1, t2) struct pairs
+  *  - `char_freq(s)` / `char_pair_freq(s)` — code-point (pair)
+  *    histograms, shrinking the explode to distinct elements
+  *
+  * For `size(w) < n` the window kernels return an EMPTY array — the
+  * callers' `CASE WHEN size(w) >= n ... ELSE array() END` guard,
+  * absorbed (the raw HOF would hit sequence(1, 0)'s step-(-1) quirk,
+  * see FoldHex). Null ELEMENTS are skipped exactly as
+  * concat_ws/array_join/greatest skip them (split() never produces
+  * any; the spec pins the behavior anyway). Folds consume the
+  * digest's first `width` NIBBLES directly — arithmetically identical
+  * to folding the first `width` lowercase-hex digits of `md5(...)`'s
+  * hex string, since every hex digit of a digest is a valid nibble
+  * (FoldHex's -1/0 edge cases are unreachable on md5 output).
   */
 object NgramFold {
 

@@ -955,7 +955,11 @@ object TextOps {
 
     // #22 top-5 TF-IDF terms per source
     "tf_idf_top_terms" -> ((s, d) => {
-      val tok = tokens(docs(s, d))
+      // tf and document-frequency both read the token stream — one
+      // eager checkpoint halves the explode (the dn scalar reads the
+      // unexploded table, pruned to zero columns)
+      val tok = tokens(docs(s, d)).select("doc_id", "source", "token")
+        .localCheckpoint(true)
       val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
       val dfreq = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
       val dn = docs(s, d).agg(count(lit(1)).as("dn"))
@@ -1299,7 +1303,12 @@ object TextOps {
     // agg — no windows, no driver state. Transcendental sum under the
     // repo's ROUND(·,6) discipline.
     "unigram_logppl" -> ((s, d) => {
+      // three consumers read the token stream (LM counts, the corpus
+      // total, the per-doc scoring join) — eagerly checkpoint it so
+      // the documents explode runs once per execution (the dsir
+      // double-compute discipline; the scan audit counted 3)
       val tok = tokens(docs(s, d)).select("doc_id", "token")
+        .localCheckpoint(true)
       val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
       val tot = tok.agg(count(lit(1)).as("n"))
       tok.join(cnt, "token").crossJoin(broadcast(tot))
@@ -1327,8 +1336,12 @@ object TextOps {
     "token_budget_sample" -> ((s, d) => {
       graft.engine.expr.GraftFunctions.register(s)
       val w = foldWidth(s)
+      // the per-doc token-count table feeds the rate build AND the
+      // final keep-join — checkpoint it so the text column is read
+      // once per execution
       val dt = docs(s, d).select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .localCheckpoint(true)
       val bySrc = dt.groupBy("source").agg(sum("n_tok").as("src_tok"))
       val med = bySrc.agg(
         (expr("percentile(src_tok, 0.5)") * 2).cast("long").as("med2"))
@@ -1618,12 +1631,17 @@ object TextOps {
       // no per-doc count shuffle (the former full-token groupBy was
       // the heaviest of this query's four scans; a doc's tokens live
       // in its own row, the docTrigramIdArrays discipline)
+      // dl and tf each feed two consumers; both are tiny derived
+      // tables whose recompute re-reads the text column — checkpoint
+      // them so the two corpus scans run once each
       val dl = docs(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"))
+        .localCheckpoint(true)
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       val tf = tokens(docs(s, d)).select("doc_id", "token")
         .filter(col("token").isin(qTerms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       // tf rows ARE the distinct (doc, token) pairs of the query-term
       // stream, so document frequency derives from tf — the former
       // qtok.distinct() re-scanned and re-exploded the corpus for a
@@ -1857,7 +1875,10 @@ object TextOps {
     // per-source agg; the ~20-row per-source totals BROADCAST, and
     // nothing windows or sorts globally.
     "kl_source_divergence" -> ((s, d) => {
+      // same three-consumer token stream as unigram_logppl — one
+      // eager checkpoint, one documents explode per execution
       val tok = tokens(docs(s, d)).select("source", "token")
+        .localCheckpoint(true)
       val st = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
       val srcTot = st.groupBy("source").agg(sum("cs").as("ns"))
       val ct = tok.groupBy("token").agg(count(lit(1)).as("c"))

@@ -192,7 +192,9 @@ object TextOps {
     // key includes the fold width: the pair list depends on it, and a
     // session may legitimately flip the width between calls
     require(8 % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide 8")
-    val joined = pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand") {
+    val cap = bucketCap(s)
+    require(cap >= 1, s"graft.neardedup.bucketCap=$cap must be >= 1")
+    val joined = pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand|c$cap") {
         val sig = minhashSignatures(s, d)
         // band signatures: the r min-hashes of each band chained base-31
         def chain(idxs: Range) =
@@ -211,18 +213,45 @@ object TextOps {
         // join task that owns its hash key — the fixture's two ~2.5k-doc
         // buckets produce 6M of the 6.5M pairs, and generation+
         // checkpoint write went 4.9 s → 1.9 s at sf0.1 when they
-        // stopped serializing. (At production scale a bucket this hot
-        // gets capped/salted regardless — both shapes are quadratic in
-        // bucket size; this one just parallelizes it.) The fan also
-        // fixes the downstream read width: AQE had coalesced the old
-        // join's ~100 MB checkpoint to 2 partitions, running every
-        // consumer pass 2-wide (3-4 s each, five consumers).
+        // stopped serializing. The fan also fixes the downstream read
+        // width: AQE had coalesced the old join's ~100 MB checkpoint to
+        // 2 partitions, running every consumer pass 2-wide (3-4 s each,
+        // five consumers).
+        //
+        // HOT-BUCKET CAP: each position pairs with at most `cap`
+        // successors in the bucket's sorted doc order (the suffix slice
+        // length is least(cap, remaining)), so a bucket of n docs emits
+        // ≤ n·cap pairs — LINEAR in bucket size — instead of n²/2; an
+        // adversarial boilerplate bucket at 100 TB is bounded instead
+        // of unbounded-quadratic. The window is a per-position SUCCESSOR
+        // window, never a total-pair cutoff, because consecutive pairs
+        // (rank distance 1 ≤ cap for any cap ≥ 1) always survive: every
+        // bucket stays CONNECTED, so connected components over the
+        // capped pair graph equal components over the full one and the
+        // whole group-resolution family (`near_dedup_groups`,
+        // `dedup_survivors`, `dedup_cluster_stats`, `dedup_token_mass`)
+        // is bit-for-bit invariant under the cap (MinhashCapSpec pins
+        // both the emission bound and the group invariance with a
+        // forced tiny cap). A total-pair cutoff would drop the tail
+        // positions' consecutive edges and SPLIT groups — that shape is
+        // rejected by design, not oversight. The default (4096, conf
+        // `graft.neardedup.bucketCap`) exceeds every fixture bucket
+        // (max ~2.5k docs at sf0.1), so declared fixture surfaces are
+        // unchanged while the DuckDB oracles mirror the same window
+        // (ROW_NUMBER per bucket, rank distance ≤ cap) — the contract
+        // is live in both engines, inert below the cap. The slice is
+        // taken BEFORE the repartition so a shuffled row carries at
+        // most `cap` successor ids (≤ 32 KB at the default): carried
+        // bytes per bucket are O(n·cap), not the O(n²) of shipping the
+        // full bucket array on every row.
         bands.groupBy("band", "bsig")
           .agg(sort_array(collect_list("doc_id")).as("ds"))
           .filter(size(col("ds")) >= 2)
           .select(posexplode(col("ds")).as(Seq("i", "d1")), col("ds"))
+          .select(col("d1"),
+            expr(s"slice(ds, i + 2, least($cap, size(ds) - i - 1))").as("succ"))
           .repartition(s.sparkContext.defaultParallelism)
-          .select(col("d1"), explode(expr("slice(ds, i + 2, size(ds) - i - 1)")).as("d2"))
+          .select(col("d1"), explode(col("succ")).as("d2"))
           .localCheckpoint(true)
       }
     // the DISTINCT view gets its own memo level: three declared
@@ -230,7 +259,7 @@ object TextOps {
     // it, and the 4M-row distinct shuffle was re-paid per consumer
     // when only the raw list was cached (round-5 bench: 4.4 s each)
     if (dedup)
-      distinctPairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand") {
+      distinctPairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand|c$cap") {
         // same width pin as the raw list: AQE coalesced the b=1
         // banding's smaller distinct output to 10 partitions
         joined.distinct()
@@ -524,6 +553,18 @@ object TextOps {
   private def quotientMaxEdges(s: SparkSession): Long =
     s.conf.get("graft.neardedup.quotientMaxEdges", "1000000").toLong
 
+  /** Per-position successor window of the hot-bucket cap in
+    * [[minhashPairs]]: each doc pairs with at most this many successors
+    * inside one (band, bsig) bucket's sorted doc order, bounding any
+    * bucket's pair fan-out to cap·|bucket| (linear) instead of
+    * |bucket|²/2. Groups are invariant under the cap (consecutive
+    * pairs always survive ⇒ buckets stay connected — MinhashCapSpec).
+    * The default exceeds every fixture bucket (max ~2.5k docs at
+    * sf0.1), so fixture pair surfaces are unchanged; override per
+    * session via `spark.conf.set("graft.neardedup.bucketCap", n)`. */
+  private[graft] def bucketCap(s: SparkSession): Int =
+    s.conf.get("graft.neardedup.bucketCap", "4096").toInt
+
   /** Resolved near-dup groups `(group_id = component min doc_id,
     * member)`, memoized per (session, sfDir, threshold) within the JVM
     * — the `sweepCached` pattern (KMeansSweep): `near_dedup_groups`
@@ -539,7 +580,7 @@ object TextOps {
 
   private[graft] def resolvedGroups(s: SparkSession, d: String): DataFrame = {
     val maxEdges = quotientMaxEdges(s)
-    groupCache.get(s, s"$d|$maxEdges|${foldWidth(s)}") {
+    groupCache.get(s, s"$d|$maxEdges|${foldWidth(s)}|c${bucketCap(s)}") {
       resolveGroups(s, d, maxEdges).localCheckpoint(true)
     }
   }
@@ -2116,7 +2157,12 @@ object TextOps {
       |  FROM (SELECT DISTINCT token FROM tok), UNNEST(generate_series(1, 8)) AS u(i)
       |  GROUP BY token)""".stripMargin
 
-  /** MinHash signature/band/pair CTEs (assumes $TOK precedes). */
+  /** MinHash signature/band/pair CTEs (assumes $TOK precedes). The
+    * `pairs` CTE mirrors the engine's hot-bucket cap ([[minhashPairs]],
+    * default `graft.neardedup.bucketCap` = 4096): a pair qualifies iff
+    * its rank distance in the bucket's sorted doc order is ≤ 4096 —
+    * inert at fixture bucket sizes (max ~2.5k docs), but the contract
+    * is stated identically in both engines. */
   private val MINHASH =
     """dt AS (SELECT DISTINCT doc_id, tid FROM tok JOIN vocab USING (token)),
       |h AS (SELECT doc_id, u.seed AS seed,
@@ -2129,9 +2175,12 @@ object TextOps {
       |    + MIN(CASE WHEN seed % 4 = 2 THEN mh END)) * 31
       |    + MIN(CASE WHEN seed % 4 = 3 THEN mh END) AS bsig
       |  FROM sig GROUP BY doc_id, seed // 4),
+      |rb AS (SELECT band, bsig, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+      |  FROM bands),
       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND a.doc_id < b.doc_id)""".stripMargin
+      |  FROM rb a JOIN rb b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND b.rn - a.rn BETWEEN 1 AND 4096)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "exact_dedup" ->
@@ -2523,9 +2572,12 @@ object TextOps {
          |    + MIN(CASE WHEN seed = 6 THEN mh END)) * 31
          |    + MIN(CASE WHEN seed = 7 THEN mh END) AS bsig
          |  FROM sig GROUP BY doc_id),
+         |rb1 AS (SELECT bsig, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY bsig ORDER BY doc_id) AS rn
+         |  FROM bands1),
          |pairs1 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands1 a JOIN bands1 b ON a.bsig = b.bsig
-         |    AND a.doc_id < b.doc_id),
+         |  FROM rb1 a JOIN rb1 b ON a.bsig = b.bsig
+         |    AND b.rn - a.rn BETWEEN 1 AND 4096),
          |tokd AS (SELECT DISTINCT doc_id, token FROM tok),
          |samp AS (SELECT doc_id FROM (
          |  SELECT doc_id, CAST(SUM((strpos('0123456789abcdef',

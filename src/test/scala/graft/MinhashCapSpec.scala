@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.text.TextOps
+
+/** Pins the hot-bucket cap in MinHash pair generation
+  * (TextOps.minhashPairs, conf `graft.neardedup.bucketCap`):
+  *
+  *  1. EMISSION BOUND — a bucket of n docs emits exactly
+  *     Σᵢ min(cap, n−1−i) pairs per band (≤ n·cap, linear in bucket
+  *     size), pinned with exact counts on a synthetic corpus whose
+  *     bucket structure is known by construction (identical texts ⇒
+  *     identical signatures ⇒ one full bucket per band).
+  *  2. GROUP INVARIANCE — connected components over the capped pair
+  *     graph equal components over the full one for ANY cap ≥ 1,
+  *     because the per-position successor window always keeps the
+  *     consecutive pairs (rank distance 1) and a sorted bucket's
+  *     consecutive chain spans it. Pinned by resolving groups on the
+  *     sf0.001 fixture with the cap forced to 2 and comparing
+  *     bit-for-bit against the uncapped resolution.
+  *  3. DEFAULT INERTNESS — the default cap (4096) exceeds every
+  *     fixture bucket, so the declared pair surface is unchanged from
+  *     the uncapped semantics (and the DuckDB oracles, which mirror
+  *     the same ROW_NUMBER window, agree with either reading).
+  */
+class MinhashCapSpec extends SparkSpec {
+
+  /** Set a session conf for the duration of `f`, restoring after —
+    * the SparkSession is shared across suites. */
+  private def withConf[A](key: String, value: String)(f: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Synthetic corpus: `nDup` docs sharing one text (one hot bucket
+    * per band) + 3 docs with disjoint token sets (isolated). */
+  private def writeHotBucketCorpus(nDup: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-capspec").toString
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs =
+      (0L until nDup.toLong).map(i => (i, dupText, "en", "web", dupText.length.toLong)) ++
+      Seq((nDup + 0L, "alpha bravo charlie delta echo", "en", "web", 30L),
+          (nDup + 1L, "foxtrot golf hotel india juliett", "en", "web", 32L),
+          (nDup + 2L, "kilo lima mike november oscar papa", "en", "web", 34L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Σᵢ₌₀ⁿ⁻¹ min(cap, n−1−i): capped suffix-pair count of one bucket. */
+  private def cappedBucketPairs(n: Int, cap: Int): Long =
+    (0 until n).map(i => math.min(cap, n - 1 - i).toLong).sum
+
+  test("capped bucket emits exactly sum-of-min(cap, suffix) pairs per band, all adjacent ranks kept") {
+    val dir = writeHotBucketCorpus(nDup = 30)
+    val cap = 4
+    withConf("graft.neardedup.bucketCap", cap.toString) {
+      // raw (band-duplicated) list: both bands hold the SAME single
+      // hot bucket (identical signatures), so raw = 2 × per-band
+      val raw = TextOps.minhashPairs(spark, dir, dedup = false)
+      assert(raw.count() === 2 * cappedBucketPairs(30, cap))
+      val distinct = TextOps.minhashPairs(spark, dir)
+      assert(distinct.count() === cappedBucketPairs(30, cap))
+      // emission bound per position: no doc pairs with more than cap
+      // successors (per band ⇒ ≤ 2·cap raw rows per d1)
+      val maxFan = raw.groupBy("d1").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head.getLong(0)
+      assert(maxFan <= 2L * cap)
+      // connectivity invariant: every consecutive pair of the sorted
+      // bucket survives the window ⇒ all 30 dup docs in ONE group
+      val grp = TextOps.resolveGroups(spark, dir, maxEdges = 1000000L)
+      val groups = grp.groupBy("group_id").agg(count(lit(1)).as("sz")).collect()
+      assert(groups.length === 1 && groups.head.getLong(1) === 30L)
+    }
+  }
+
+  test("uncapped count sanity on the same corpus: C(n,2) distinct pairs") {
+    val dir = writeHotBucketCorpus(nDup = 30)
+    withConf("graft.neardedup.bucketCap", "1000000") {
+      assert(TextOps.minhashPairs(spark, dir).count() === 30L * 29 / 2)
+    }
+  }
+
+  test("groups are invariant under a forced tiny cap on the sf0.001 fixture") {
+    val base = TextOps.resolveGroups(spark, sf0001, maxEdges = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = withConf("graft.neardedup.bucketCap", "2") {
+      TextOps.resolveGroups(spark, sf0001, maxEdges = 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(capped === base)
+  }
+
+  test("default cap is inert on the sf0.001 fixture (pair surface unchanged)") {
+    val def_ = TextOps.minhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = withConf("graft.neardedup.bucketCap", "1000000") {
+      TextOps.minhashPairs(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(def_ === uncapped)
+  }
+}

@@ -26,6 +26,15 @@ import graft.engine.Tables
 object RelQueries {
   import Tables._
 
+  /** Written-once per-lang dim for `q_join_skew_aqe` (the
+    * Sinks.cachedPath pattern: one write per (session, sfDir)). */
+  private val skewDimCache = new graft.engine.SessionCache[String]
+
+  /** Final adaptive plan of the last `q_join_skew_aqe` execution —
+    * spec observability only (RelProfileSpec asserts
+    * `SortMergeJoin(skew=true)` on the lang key). */
+  @volatile private[graft] var lastSkewJoinPlan: String = ""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #25 scan + filter + project — pushed to parquet (PushedFilters)
     "q_filter_project" -> ((s, d) =>
@@ -187,6 +196,69 @@ object RelQueries {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("p_type")
+    }),
+
+    // #26c the AQE-CONFIG skew path as a declared query (the engine
+    // twin of `q_join_salted`'s manual salting): the same skewed-join
+    // problem left UNSALTED, solved by AQE's OptimizeSkewedJoin under
+    // session-scoped skew thresholds. The fixture's one genuinely
+    // skewed join key is documents.lang (en ≈ 40% of rows, carrying
+    // the text payload), joined against a written-and-read-back
+    // per-lang dim so BOTH SortMergeJoin inputs are plain scans —
+    // OptimizeSkewedJoin pattern-matches SMJ(sort(shuffle),
+    // sort(shuffle)) and an aggregate between shuffle and join
+    // disqualifies the side. The post-join aggregate keys on `source`
+    // (NOT the join key), so the join's hash(lang) partitioning can't
+    // be reused downstream — AQE is free to split the skewed
+    // partition without breaking a required distribution (splitting
+    // is vetoed when the join's partitioning feeds a downstream
+    // requirement). CONTRACT QUERY — EAGER like
+    // `k_sweep_determinism_contract`: the skew thresholds must be live
+    // at EXECUTION, so the builder executes the join under
+    // session-scoped confs (saved/restored in finally) and returns the
+    // checkpointed result; merely building this DataFrame runs the
+    // join. The thresholds are FIXTURE-scaled (8 KB / 4 KB advisory —
+    // at 100 TB the 256 MB/64 MB defaults are the right values; the
+    // declared mechanism is the conf path itself), and the
+    // repartition(16) ahead of the join stands in for the thousands
+    // of map tasks a production scan feeds the shuffle with — AQE
+    // splits a skewed reduce partition by MAP-OUTPUT ranges, so a
+    // single-mapper fixture stage has nothing to split by.
+    // RelProfileSpec pins `SortMergeJoin(skew=true)` on the lang key
+    // in the captured final adaptive plan.
+    "q_join_skew_aqe" -> ((s, d) => {
+      val docsT = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "text")
+      val dimPath = skewDimCache.get(s, d) {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-skewdim").toString
+        docsT.groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        p
+      }
+      val keys = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
+      val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val dim = s.read.parquet(dimPath)
+        val joined = docsT.repartition(16).join(dim, "lang")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("lang_docs"), 6).as("avg_lang_docs"),
+            sum(length(col("text"))).cast("long").as("chars"))
+        val out = joined.localCheckpoint(true)
+        lastSkewJoinPlan = joined.queryExecution.executedPlan.toString
+        out.orderBy("source")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }),
 
     // #28b time-series gap-fill + forward-fill: per-user hourly grid
@@ -1070,6 +1142,16 @@ object RelQueries {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    // the AQE path runs the join unsalted; identical semantics, so the
+    // oracle is the plain join+aggregate (the q_join_salted pattern)
+    "q_join_skew_aqe" ->
+      """WITH dim AS (SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(AVG(lang_docs), 6) AS avg_lang_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS chars
+        |FROM documents JOIN dim USING (lang)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_agg_cube" ->
       """SELECT COALESCE(n_name, '__ALL__') AS nation,

@@ -104,6 +104,23 @@ class RelProfileSpec extends SparkSpec {
     assert(passed < total * 6 / 10, s"bloom passed $passed of $total rows")
   }
 
+  test("q_join_skew_aqe: OptimizeSkewedJoin actually split the skewed partition") {
+    // the builder is EAGER (contract query): building the frame runs
+    // the unsalted join under session-scoped skew thresholds and
+    // captures the final adaptive plan
+    val out = RelQueries.queries("q_join_skew_aqe")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val plan = RelQueries.lastSkewJoinPlan
+    // target the join key per the PlanDump discipline — a bare
+    // "contains skew" would match log noise, and skew=true is only
+    // emitted when AQE genuinely split a skewed partition
+    assert(plan.contains("SortMergeJoin(skew=true) [lang"),
+      s"no skew-split SMJ in final adaptive plan:\n$plan")
+    // confs were restored: the session's broadcast threshold is back
+    // to its default (unset ⇒ getOption yields the global default)
+    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "default") != "4KB")
+  }
+
   test("q_cogroup_reconcile: flags and counts are mutually consistent") {
     val rows = RelQueries.queries("q_cogroup_reconcile")(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -47,14 +47,22 @@ import org.apache.spark.util.SerializableConfiguration
   *    (`SerializableConfiguration`), so the same code reads
   *    file://, hdfs:// or s3a:// paths;
   *  - writes go through the full V2 protocol (WriteBuilder →
-  *    BatchWrite → per-task DataWriter + commit messages): each task
-  *    writes `part-<partition>-<task>.gbin` (attempt-unique name, so
-  *    a speculative duplicate never collides), abort deletes the
-  *    orphan, and `SupportsTruncate` implements overwrite. (No
-  *    rename-based commit protocol: a failed job can leave committed
-  *    part files, the same contract as Spark's direct committers —
-  *    the roundtrip query overwrite-truncates first, so the declared
-  *    path never reads a partial layout.)
+  *    BatchWrite → per-task DataWriter + commit messages) with a
+  *    RENAME-ON-COMMIT contract, the same discipline as the built-in
+  *    file committers: each task streams to an attempt-unique STAGING
+  *    name (`part-<partition>-<task>.gbin.tmp` — the extension keeps
+  *    it invisible to `listGbin`), task commit reports the staging
+  *    path in its `WriterCommitMessage`, and `BatchWrite.commit`
+  *    renames ONLY the files named in the messages to their final
+  *    `.gbin` names. A zombie or crashed task whose abort() never ran
+  *    leaves a `.tmp` orphan that no reader ever sees (and the next
+  *    truncate-overwrite sweeps); job abort deletes the staged files.
+  *    Spark's commit coordinator already guarantees at most one
+  *    winning attempt per partition, so the message set is exact.
+  *    (Residual window, shared with Hadoop's v2 file committers: a
+  *    driver crash MIDWAY through the final rename loop can leave a
+  *    prefix of the job visible — closing it needs a manifest/catalog
+  *    transaction, i.e. a table format, out of scope per SURVEY §2.)
   */
 class GraftBinarySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -205,8 +213,12 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     val hconf = spark.sessionState.newHadoopConf()
     val (f, p) = GraftBinarySource.fs(hconf, path)
     if (doTruncate && f.exists(p))
-      f.listStatus(p).filter(_.getPath.getName.endsWith(".gbin"))
-        .foreach(st => f.delete(st.getPath, false))
+      // sweep committed parts AND stale staging orphans of any
+      // previously crashed job — truncate is the directory reset
+      f.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".gbin") || n.endsWith(".gbin.tmp")
+      }.foreach(st => f.delete(st.getPath, false))
     f.mkdirs(p)
     // record layout is CANONICAL order; locate each canonical field in
     // the incoming write schema once, on the driver
@@ -214,17 +226,42 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     GbinWriterFactory(path,
       spark.sparkContext.broadcast(new SerializableConfiguration(hconf)), srcIdx)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** Rename exactly the staged files the winning task attempts
+    * reported — an unreported staging file (zombie attempt, crashed
+    * executor) stays `.tmp` and is invisible to every reader. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    messages.foreach { case GbinCommit(staging, _) =>
+      val (f, sp) = GraftBinarySource.fs(hconf, staging)
+      val dest = new Path(staging.stripSuffix(".tmp"))
+      if (!f.rename(sp, dest))
+        throw new java.io.IOException(s"gbin commit: rename $sp -> $dest failed")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    messages.foreach { case GbinCommit(staging, _) =>
+      val (f, sp) = GraftBinarySource.fs(hconf, staging)
+      try f.delete(sp, false) catch { case _: Exception => () }
+    }
+  }
 }
 
 case class GbinWriterFactory(dir: String, conf: Broadcast[SerializableConfiguration],
     srcIdx: Array[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GbinDataWriter(s"$dir/part-$partitionId-$taskId.gbin", conf.value.value, srcIdx)
+    // STAGING name: the `.tmp` extension keeps in-flight output
+    // invisible to listGbin; BatchWrite.commit renames the reported
+    // files to their final `.gbin` names (attempt-unique, so a
+    // speculative duplicate never collides at either name)
+    new GbinDataWriter(s"$dir/part-$partitionId-$taskId.gbin.tmp", conf.value.value, srcIdx)
 }
 
-case class GbinCommit(file: String, records: Long) extends WriterCommitMessage
+/** `staging` is the task's `.gbin.tmp` path; the final name is the
+  * same path minus the suffix. */
+case class GbinCommit(staging: String, records: Long) extends WriterCommitMessage
 
 class GbinDataWriter(file: String, conf: Configuration, srcIdx: Array[Int])
   extends DataWriter[InternalRow] {

@@ -86,4 +86,35 @@ class SourceV2Spec extends SparkSpec {
     docs.write.format(GraftBinarySource.FORMAT).mode(SaveMode.Overwrite).save(dir)
     assert(spark.read.format(GraftBinarySource.FORMAT).load(dir).count() == 5)
   }
+
+  test("commit protocol: no staging files survive a committed write") {
+    val dir = freshDir()
+    docs.write.format(GraftBinarySource.FORMAT).mode(SaveMode.Overwrite).save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(names.exists(_.endsWith(".gbin")), s"no committed parts in $names")
+    assert(!names.exists(_.endsWith(".tmp")),
+      s"staging files survived commit: $names")
+  }
+
+  test("commit protocol: a zombie task's complete orphan staging file is invisible to readers") {
+    val dir = freshDir()
+    docs.write.format(GraftBinarySource.FORMAT).mode(SaveMode.Overwrite).save(dir)
+    // fabricate the exact failure ADVICE flagged: a COMPLETE record
+    // file from a task whose commit message never reached the driver
+    // (zombie attempt) — under a scan-everything reader it would
+    // silently duplicate rows. Content is a byte-for-byte copy of a
+    // committed part, parked at a staging name.
+    val committed = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gbin")).maxBy(_.length())
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(dir, "part-9-9999.gbin.tmp").toPath)
+    assert(spark.read.format(GraftBinarySource.FORMAT).load(dir).count() == 5,
+      "orphan staging file leaked into the read")
+    // and the next truncate-overwrite sweeps the orphan
+    docs.limit(1).write.format(GraftBinarySource.FORMAT)
+      .mode(SaveMode.Overwrite).save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!names.exists(_.endsWith(".tmp")),
+      s"truncate left stale staging files: $names")
+  }
 }

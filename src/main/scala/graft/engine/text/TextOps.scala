@@ -282,26 +282,37 @@ object TextOps {
     * bench r5: minhash_recall_b1r8 at 6.6 s vs 2.7 s with the
     * signatures warm). Also read directly by `minhash_calibration`
     * (per-pair signature-agreement vs exact-Jaccard cross-tab). */
+  /** The 8-minhash signature-array build PLAN (pre-checkpoint),
+    * package-private for ScaleShapeSpec's kernel-shape pin (the
+    * docTrigramIdArraysPlan pattern — the memoized face below eagerly
+    * checkpoints it, so the subtree is invisible in declared plans).
+    *
+    * The whole 8-hash signature is MAP-SIDE: a doc's tokens live in
+    * its own row, min over the token multiset equals min over the
+    * distinct set, and mh_s = MIN((tid·(2s+3)+7s+1) % P) with
+    * tid = fold(md5(token)) % P a pure per-token function — so the
+    * codegen'd `minhash8` kernel computes all 8 mins in one pass
+    * over the split array and the former explode → tid → 8-min-agg
+    * chain (one shuffle + the exploded-token checkpoint read)
+    * disappears from the signature path entirely. NgramFoldSpec
+    * pins the kernel against per-seed array_min HOF mirrors;
+    * ScaleShapeSpec pins the SHAPE (no Generate, no key-partitioned
+    * exchange — no (doc, token) row ever exists in this path). */
+  private[graft] def minhashSigArrayPlan(s: SparkSession, d: String): DataFrame = {
+    graft.engine.expr.GraftFunctions.register(s)
+    val w = foldWidth(s)
+    docsF(s, d)
+      .select(col("doc_id"),
+        expr(s"minhash8(split(text, ' '), $w)").as("mh"))
+  }
+
   private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
     sigCache.get(s, s"$d|${foldWidth(s)}") {
-      // the whole 8-hash signature is MAP-SIDE: a doc's tokens live in
-      // its own row, min over the token multiset equals min over the
-      // distinct set, and mh_s = MIN((tid·(2s+3)+7s+1) % P) with
-      // tid = fold(md5(token)) % P a pure per-token function — so the
-      // codegen'd `minhash8` kernel computes all 8 mins in one pass
-      // over the split array and the former explode → tid → 8-min-agg
-      // chain (one shuffle + the exploded-token checkpoint read)
-      // disappears from the signature path entirely. NgramFoldSpec
-      // pins the kernel against per-seed array_min HOF mirrors.
-      graft.engine.expr.GraftFunctions.register(s)
-      val w = foldWidth(s)
       // checkpoint the ARRAY, then extract m0..m7 from the
       // materialized rows: the kernel provably runs once per doc
       // regardless of how project-collapsing treats an alias with 8
       // references
-      docsF(s, d)
-        .select(col("doc_id"),
-          expr(s"minhash8(split(text, ' '), $w)").as("mh"))
+      minhashSigArrayPlan(s, d)
         .localCheckpoint(true)
         .select(col("doc_id") +:
           (0 until 8).map(i => col("mh").getItem(i).as(s"m$i")): _*)

@@ -583,6 +583,47 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("signature kernels are map-side: no Generate, no key exchange in any signature path") {
+    // Round-8 verdict item #5: minhash8/simhash16/word_stats have
+    // bit-level VALUE pins (NgramFoldSpec) — this is the SHAPE pin
+    // (the ngram_md5_set pattern): a (doc, token) row must never
+    // exist in a signature path, so the plans may contain no
+    // Generate (token explode) and no key-partitioned exchange (the
+    // docsF fan is RoundRobin and stays legal). A Generate
+    // reappearing here means the explode → per-token → re-agg chain
+    // crept back — one full corpus shuffle per signature build at
+    // 100 TB.
+    import graft.engine.text.TextOps
+    for ((name, df) <- Seq(
+        ("minhash8", TextOps.minhashSigArrayPlan(spark, sf0001)),
+        ("simhash16", TextOps.simhashSigPlan(spark, sf0001)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(name), s"$name build lost its kernel:\n$plan")
+      assert(!plan.contains("Generate "),
+        s"$name signature path explodes tokens:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name signature path shuffles on a key:\n$plan")
+    }
+    // word_stats rides UN-memoized in the declared plans — pin the
+    // score face (range-partitioned output sort only) and the sweep
+    // (its one hash exchange is the 5-group threshold agg, never a
+    // token or doc key)
+    val score = graft.SparkEntry.queries("repetition_score")(spark, sf0001)
+    score.collect()
+    val sp = score.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(sp.contains("word_stats("), s"repetition_score lost the kernel:\n$sp")
+    assert(!sp.contains("Generate ") && !sp.contains("Exchange hashpartitioning"),
+      s"repetition_score must be kernel + output sort only:\n$sp")
+    val sweep = graft.SparkEntry.queries("repetition_filter_sweep")(spark, sf0001)
+    sweep.collect()
+    val wp = sweep.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(wp.contains("word_stats("), s"sweep lost the kernel:\n$wp")
+    assert(!wp.contains("Generate "),
+      s"sweep signature path explodes tokens:\n$wp")
+    assert(!"""hashpartitioning\((doc_id|token)""".r.findFirstIn(wp).isDefined,
+      s"sweep shuffles on a doc/token key:\n$wp")
+  }
+
   test("dsir's token-keyed shuffle fallback exists and is result-identical") {
     // The round-7 advice's real complaint: the documented "token-keyed
     // shuffle at 100 TB" path must actually be REACHABLE, not

@@ -226,6 +226,13 @@ object KMeansSweep {
     // FALSE and hash-mismatches the constant oracle. n_rows guards
     // the sweep's row universe (k ∈ [2,6] → 5 rows) so a silently
     // truncated sweep can't vacuously agree with itself.
+    // CONTRACT QUERY — EAGER BY DESIGN (departs from the repo's lazy
+    // plan-builder convention): BUILDING this DataFrame runs both
+    // seeded MLlib sweeps and the driver-side comparison, because the
+    // verdict must come from executions, not a deferred plan — a
+    // plan-only tool (Explain/PlanDump) therefore pays the two sweeps
+    // when it touches this key. `q_join_skew_aqe` is the same pattern
+    // (its confs must be live at execution).
     "k_sweep_determinism_contract" -> ((s, d) => {
       val sp = s
       import sp.implicits._

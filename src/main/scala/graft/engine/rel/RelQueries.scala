@@ -876,8 +876,13 @@ object RelQueries {
       val custStats = customer(s, d).agg(
         count(lit(1)).as("n_cust_total"),
         sum(when(col("c_custkey") % 20 === 0, 1L).otherwise(0L)).as("n_cust_deleted"))
+      // the delete key set is ~5% of CUSTOMERS — corpus-scaled, the
+      // exact growing-dim shape whose forced broadcast was removed
+      // from dsir/ann_filtered in round 7: no hint, AQE broadcasts it
+      // at bench SF and falls back to the shuffle join at 100 TB
+      // instead of OOMing on a foreclosed plan
       val ordFlag = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(del), col("o_custkey") === col("k"), "left")
+        .join(del, col("o_custkey") === col("k"), "left")
       val ordStats = ordFlag.agg(
         count(lit(1)).as("n_orders_total"),
         count(col("k")).as("n_orders_deleted"))

@@ -301,7 +301,12 @@ object TextOps {
   private[graft] def minhashSigArrayPlan(s: SparkSession, d: String): DataFrame = {
     graft.engine.expr.GraftFunctions.register(s)
     val w = foldWidth(s)
-    docsF(s, d)
+    // null-text docs emit NO row — the row universe of the former
+    // explode-based form and of the oracle's UNNEST (both skip NULL);
+    // the kernel alone would emit a null-signature row instead. A
+    // cheap pre-kernel filter that pushes to the scan (unreachable on
+    // the fixtures, where text is never null — boundary contract only)
+    docsF(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
         expr(s"minhash8(split(text, ' '), $w)").as("mh"))
   }
@@ -1189,7 +1194,9 @@ object TextOps {
     // kernel against that composition)
     "repetition_score" -> ((s, d) => {
       graft.engine.expr.GraftFunctions.register(s)
-      docs(s, d)
+      // null-text guard: match the explode-form/oracle row universe
+      // (no row), not a null-stats row — see minhashSigArrayPlan
+      docs(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), expr("word_stats(split(text, ' '))").as("st"))
         .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
           col("st.n_distinct").as("n_distinct"), col("st.top_c").as("top_c"))
@@ -1212,7 +1219,8 @@ object TextOps {
     // aggregation, not one pipeline.
     "repetition_filter_sweep" -> ((s, d) => {
       graft.engine.expr.GraftFunctions.register(s)
-      val st = docs(s, d)
+      // null-text guard: see repetition_score
+      val st = docs(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), expr("word_stats(split(text, ' '))").as("st"))
         .select(col("st.n_tokens").as("n"), col("st.top_c").as("tc"))
       val cuts = s.range(1, 6).select((col("id") * 10).as("t"))

@@ -243,7 +243,13 @@ object TextOps {
         // taken BEFORE the repartition so a shuffled row carries at
         // most `cap` successor ids (≤ 32 KB at the default): carried
         // bytes per bucket are O(n·cap), not the O(n²) of shipping the
-        // full bucket array on every row.
+        // full bucket array on every row. Residual constant: the
+        // collect_list buffer holds one bucket's sorted ids in memory
+        // — 8 bytes/doc, so even a pathological 10M-doc bucket is an
+        // ~80 MB aggregation buffer in its owner task, LINEAR in
+        // bucket size (the quadratics are all gone; a rank-window +
+        // range self-join shape would bound memory via spill but pays
+        // O(n²) group re-scans in the merge join).
         bands.groupBy("band", "bsig")
           .agg(sort_array(collect_list("doc_id")).as("ds"))
           .filter(size(col("ds")) >= 2)

@@ -1658,7 +1658,13 @@ object TextOps {
     // a daily crawl lands against a 100 TB corpus without re-pairing
     // the corpus with itself). Output: each colliding incoming doc,
     // its lowest-id existing collision, and the distinct collision
-    // count.
+    // count. Skew boundary: the per-NEW-doc cost is ∝ its bucket's
+    // OLD population because `n_matches` is declared EXACT — an
+    // adversarial boilerplate bucket makes that count itself huge; a
+    // deployment that only needs the dup VERDICT caps the old side
+    // per bucket exactly like minhashPairs' successor window (min/any
+    // are cap-invariant once a match is within the window; the exact
+    // count is not, which is why the declared face stays uncapped).
     "incremental_dedup" -> ((s, d) => {
       graft.engine.expr.GraftFunctions.register(s)
       val w = foldWidth(s)

@@ -96,6 +96,43 @@ class MinhashCapSpec extends SparkSpec {
     assert(capped === base)
   }
 
+  test("binding cap ≡ the oracle's ROW_NUMBER window form, pair-for-pair (sf0.001, cap=8)") {
+    // The DuckDB oracles express the cap as a rank-distance window
+    // (ROW_NUMBER per (band, bsig) bucket, b.rn - a.rn BETWEEN 1 AND
+    // cap). The engine uses a capped suffix slice. This pins the two
+    // DEFINITIONS against each other with the cap genuinely BINDING
+    // (cap=8 < fixture bucket sizes) — the driver's oracle gate only
+    // exercises the inert default, so without this the mirrored SQL
+    // semantics would be tested nowhere.
+    import org.apache.spark.sql.expressions.Window
+    val cap = 8
+    val engine = withConf("graft.neardedup.bucketCap", cap.toString) {
+      TextOps.minhashPairs(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // independent reference: rebuild bands from the shared signature
+    // table exactly as minhashPairs does, then apply the window JOIN
+    val sig = TextOps.minhashSignatures(spark, sf0001)
+    def chain(idxs: Range) =
+      idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
+    val bands = (0 until 2).map { b =>
+        sig.select(col("doc_id"), lit(b.toLong).as("band"),
+          chain(b * 4 until (b + 1) * 4).as("bsig"))
+      }.reduce(_ union _)
+    val rb = bands.withColumn("rn", row_number().over(
+      Window.partitionBy("band", "bsig").orderBy("doc_id")))
+    val ref = rb.select(col("band"), col("bsig"), col("doc_id").as("d1"), col("rn").as("r1"))
+      .join(rb.select(col("band"), col("bsig"), col("doc_id").as("d2"), col("rn").as("r2")),
+        Seq("band", "bsig"))
+      .filter(col("r2") - col("r1") >= 1 && col("r2") - col("r1") <= cap)
+      .select("d1", "d2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine === ref,
+      s"suffix-slice cap diverges from the ROW_NUMBER window: " +
+        s"only-engine=${(engine -- ref).take(5)} only-ref=${(ref -- engine).take(5)}")
+    assert(engine.nonEmpty)
+  }
+
   test("default cap is inert on the sf0.001 fixture (pair surface unchanged)") {
     val def_ = TextOps.minhashPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

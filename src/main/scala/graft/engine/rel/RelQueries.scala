@@ -247,7 +247,14 @@ object RelQueries {
       keys.foreach { case (k, v) => s.conf.set(k, v) }
       try {
         val dim = s.read.parquet(dimPath)
-        val joined = docsT.repartition(16).join(dim, "lang")
+        // map-task FLOOR, not a cap: AQE splits a skewed reduce
+        // partition by MAP-OUTPUT ranges, so a single-split fixture
+        // scan has nothing to split by — fan it to 16 mappers. A
+        // production scan already has thousands of splits and skips
+        // the exchange entirely (repartitioning 100 TB to 16 would be
+        // the opposite of the point).
+        val probe = if (docsT.rdd.getNumPartitions < 16) docsT.repartition(16) else docsT
+        val joined = probe.join(dim, "lang")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             round(avg("lang_docs"), 6).as("avg_lang_docs"),

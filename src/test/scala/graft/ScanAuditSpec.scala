@@ -31,8 +31,9 @@ class ScanAuditSpec extends SparkSpec {
     "q_udaf_gini" -> 3,        // orders+customer+nation
     "q_subquery" -> 4,         // lineitem×2 declared subquery reads + part + orders
     "q_delete_cascade" -> 5,   // customer del-set + customer + orders + lineitem (+ semi branch)
-    // SELF-joins / set ops / pushed-filter branches: one table, k
-    // declared logical reads
+    // SELF-joins / set ops / pushed-filter branches / two-pass
+    // analytics (a stats or profile branch + the apply pass over the
+    // same table): one table, k declared logical reads
     "event_funnel" -> 4,       // events, one pushed-filter branch per funnel step
     "q_union" -> 2, "q_intersect" -> 2, "q_except" -> 2,
     "q_join_range" -> 2, "q_range_join_binned" -> 2, // events self-join

@@ -27,13 +27,20 @@ object RelQueries {
   import Tables._
 
   /** Written-once per-lang dim for `q_join_skew_aqe` (the
-    * Sinks.cachedPath pattern: one write per (session, sfDir)). */
+    * Sinks.cachedPath pattern: one write per (session, sfDir); the
+    * temp dir lives until /tmp cleanup like any scratch output — the
+    * cachedPath policy). */
   private val skewDimCache = new graft.engine.SessionCache[String]
 
-  /** Final adaptive plan of the last `q_join_skew_aqe` execution —
-    * spec observability only (RelProfileSpec asserts
+  /** Final adaptive plan of the last `q_join_skew_aqe` execution PER
+    * SESSION (weak-keyed like SessionCache, so concurrent sessions
+    * never observe each other's plan and the string dies with its
+    * session) — spec observability only (RelProfileSpec asserts
     * `SortMergeJoin(skew=true)` on the lang key). */
-  @volatile private[graft] var lastSkewJoinPlan: String = ""
+  private val skewPlanStore = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private[graft] def lastSkewJoinPlan(s: SparkSession): String =
+    Option(skewPlanStore.get(s)).getOrElse("")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #25 scan + filter + project — pushed to parquet (PushedFilters)
@@ -252,15 +259,16 @@ object RelQueries {
         // scan has nothing to split by — fan it to 16 mappers. A
         // production scan already has thousands of splits and skips
         // the exchange entirely (repartitioning 100 TB to 16 would be
-        // the opposite of the point).
-        val probe = if (docsT.rdd.getNumPartitions < 16) docsT.repartition(16) else docsT
+        // the opposite of the point). File count proxies the split
+        // count without Dataset.rdd's throwaway physical-planning pass.
+        val probe = if (docsT.inputFiles.length < 16) docsT.repartition(16) else docsT
         val joined = probe.join(dim, "lang")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             round(avg("lang_docs"), 6).as("avg_lang_docs"),
             sum(length(col("text"))).cast("long").as("chars"))
         val out = joined.localCheckpoint(true)
-        lastSkewJoinPlan = joined.queryExecution.executedPlan.toString
+        skewPlanStore.put(s, joined.queryExecution.executedPlan.toString)
         out.orderBy("source")
       } finally saved.foreach {
         case (k, Some(v)) => s.conf.set(k, v)

@@ -208,6 +208,12 @@ class GbinWriteBuilder(path: String, writeSchema: StructType)
 
 class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
   extends BatchWrite {
+  // job-unique tag in every part name (the built-in committers'
+  // discipline): partitionId/taskId are only unique within one
+  // SparkContext, so an APPEND from a fresh application could
+  // otherwise collide with a previous application's committed parts
+  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
@@ -223,13 +229,18 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     // record layout is CANONICAL order; locate each canonical field in
     // the incoming write schema once, on the driver
     val srcIdx = GraftBinarySource.SCHEMA.fields.map(f2 => writeSchema.fieldIndex(f2.name))
-    GbinWriterFactory(path,
+    GbinWriterFactory(path, jobTag,
       spark.sparkContext.broadcast(new SerializableConfiguration(hconf)), srcIdx)
   }
 
   /** Rename exactly the staged files the winning task attempts
     * reported — an unreported staging file (zombie attempt, crashed
-    * executor) stays `.tmp` and is invisible to every reader. */
+    * executor) stays `.tmp` and is invisible to every reader. After
+    * the renames, sweep any leftover `.tmp` in the directory (zombie
+    * attempts that never reached abort) — the Hadoop-committer
+    * single-writer-per-directory assumption, same as its `_temporary`
+    * cleanup, so append-mode directories don't accumulate staging
+    * garbage across jobs. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     messages.foreach { case GbinCommit(staging, _) =>
@@ -238,25 +249,40 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
       if (!f.rename(sp, dest))
         throw new java.io.IOException(s"gbin commit: rename $sp -> $dest failed")
     }
+    val (f, p) = GraftBinarySource.fs(hconf, path)
+    if (f.exists(p))
+      f.listStatus(p).filter(_.getPath.getName.endsWith(".gbin.tmp"))
+        .foreach(st => try f.delete(st.getPath, false) catch { case _: Exception => () })
   }
 
+  /** Delete the staged files AND any final name a partially-executed
+    * commit() already renamed to — a recoverable rename failure
+    * mid-commit must not leave a visible prefix of the job (the
+    * remaining uncleanable window is a driver crash, where no abort
+    * runs at all — closing that needs a manifest/catalog transaction,
+    * i.e. a table format). */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     messages.foreach { case GbinCommit(staging, _) =>
       val (f, sp) = GraftBinarySource.fs(hconf, staging)
       try f.delete(sp, false) catch { case _: Exception => () }
+      try f.delete(new Path(staging.stripSuffix(".tmp")), false)
+      catch { case _: Exception => () }
     }
   }
 }
 
-case class GbinWriterFactory(dir: String, conf: Broadcast[SerializableConfiguration],
+case class GbinWriterFactory(dir: String, jobTag: String,
+    conf: Broadcast[SerializableConfiguration],
     srcIdx: Array[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // STAGING name: the `.tmp` extension keeps in-flight output
     // invisible to listGbin; BatchWrite.commit renames the reported
-    // files to their final `.gbin` names (attempt-unique, so a
-    // speculative duplicate never collides at either name)
-    new GbinDataWriter(s"$dir/part-$partitionId-$taskId.gbin.tmp", conf.value.value, srcIdx)
+    // files to their final `.gbin` names (attempt-unique within the
+    // job, job-unique across applications via the tag — a speculative
+    // duplicate or a cross-app append never collides at either name)
+    new GbinDataWriter(s"$dir/part-$jobTag-$partitionId-$taskId.gbin.tmp",
+      conf.value.value, srcIdx)
 }
 
 /** `staging` is the task's `.gbin.tmp` path; the final name is the

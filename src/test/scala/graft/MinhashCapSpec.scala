@@ -25,17 +25,6 @@ import graft.engine.text.TextOps
   */
 class MinhashCapSpec extends SparkSpec {
 
-  /** Set a session conf for the duration of `f`, restoring after —
-    * the SparkSession is shared across suites. */
-  private def withConf[A](key: String, value: String)(f: => A): A = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   /** Synthetic corpus: `nDup` docs sharing one text (one hot bucket
     * per band) + 3 docs with disjoint token sets (isolated). */
   private def writeHotBucketCorpus(nDup: Int): String = {

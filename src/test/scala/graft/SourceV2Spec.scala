@@ -117,4 +117,21 @@ class SourceV2Spec extends SparkSpec {
     assert(!names.exists(_.endsWith(".tmp")),
       s"truncate left stale staging files: $names")
   }
+
+  test("commit protocol: APPEND jobs sweep stale staging orphans at commit, keep prior parts") {
+    val dir = freshDir()
+    docs.write.format(GraftBinarySource.FORMAT).mode(SaveMode.Overwrite).save(dir)
+    val committed = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gbin")).maxBy(_.length())
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(dir, "part-dead-7-777.gbin.tmp").toPath)
+    // append 2 rows: prior parts must survive, the orphan must not
+    // (the Hadoop-committer single-writer-per-directory assumption)
+    docs.limit(2).write.format(GraftBinarySource.FORMAT)
+      .mode(SaveMode.Append).save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!names.exists(_.endsWith(".tmp")),
+      s"append commit left staging garbage: $names")
+    assert(spark.read.format(GraftBinarySource.FORMAT).load(dir).count() == 7)
+  }
 }

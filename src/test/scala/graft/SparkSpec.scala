@@ -27,6 +27,18 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   def sf0001: String = SparkSpec.sf0001
 
+  /** Set a session conf for the duration of `f`, restoring after —
+    * the SparkSession is shared across suites, so every conf flip in
+    * a spec must go through this one audited save/restore. */
+  def withConf[A](key: String, value: String)(f: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Six points in two well-separated clusters; every index value is
     * hand-computable in exact arithmetic (FIXTURES.md micro-fixture 1). */
   def sixPoints: DataFrame = {

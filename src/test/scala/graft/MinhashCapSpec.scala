@@ -122,6 +122,78 @@ class MinhashCapSpec extends SparkSpec {
     assert(engine.nonEmpty)
   }
 
+  test("property: random corpora × random caps — window equivalence and group invariance hold") {
+    // Generalizes the fixed pins: small-vocab random corpora (low
+    // entropy forces real band collisions, the hot-bucket regime) and
+    // caps drawn from 1..6, checking on every sample that
+    //  (a) the suffix-slice pair set equals the rank-window reference
+    //      derived independently from the signature table, and
+    //  (b) connected components over capped pairs equal components
+    //      over UNCAPPED pairs (the group-resolution invariance).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.expressions.Window
+    val corpusGen = for {
+      n <- Gen.choose(8, 40)
+      cap <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 6)
+        ws <- Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield ws.mkString(" "))
+    } yield (cap, rows)
+    val samples = (1 to 4).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(907L + i)))
+    for (((cap, texts), si) <- samples.zipWithIndex) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory(s"capprop$si").toString
+      texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "web", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val capped = withConf("graft.neardedup.bucketCap", cap.toString) {
+        TextOps.minhashPairs(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      // (a) independent rank-window reference off the signature table
+      val sig = TextOps.minhashSignatures(spark, dir)
+      def chain(idxs: Range) =
+        idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
+      val bands = (0 until 2).map { b =>
+          sig.select(col("doc_id"), lit(b.toLong).as("band"),
+            chain(b * 4 until (b + 1) * 4).as("bsig"))
+        }.reduce(_ union _)
+      val rb = bands.withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bsig").orderBy("doc_id")))
+      val ref = rb.select(col("band"), col("bsig"), col("doc_id").as("d1"), col("rn").as("r1"))
+        .join(rb.select(col("band"), col("bsig"), col("doc_id").as("d2"), col("rn").as("r2")),
+          Seq("band", "bsig"))
+        .filter(col("r2") - col("r1") >= 1 && col("r2") - col("r1") <= cap)
+        .select("d1", "d2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped === ref, s"sample $si (cap=$cap): slice ≠ window")
+      // (b) components over capped == components over uncapped,
+      //     via driver union-find over each pair set
+      def components(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb2) = (find(a), find(b))
+          if (ra != rb2) { if (ra < rb2) parent(rb2) = ra else parent(ra) = rb2 }
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2))
+        nodes.map(x => x -> find(x)).toMap
+      }
+      val uncapped = withConf("graft.neardedup.bucketCap", "1000000") {
+        TextOps.minhashPairs(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(components(capped) === components(uncapped),
+        s"sample $si (cap=$cap): groups diverge under the cap")
+    }
+  }
+
   test("default cap is inert on the sf0.001 fixture (pair surface unchanged)") {
     val def_ = TextOps.minhashPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

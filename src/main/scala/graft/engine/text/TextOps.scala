@@ -178,105 +178,114 @@ object TextOps {
     * low-entropy token sets — with r=2 the candidate self-join explodes
     * quadratically on corpora whose token sets mostly coincide.
     * Shared by `minhash_near_dedup` (pair surface) and
-    * `near_dedup_groups` (pair → group resolution). `dedup = false`
-    * skips the output distinct (a pair can surface from both bands →
-    * dup factor ≤ 2): consumers whose aggregates absorb duplicates
-    * (min/group resolution) save the 4M-row distinct shuffle. */
+    * `near_dedup_groups` (pair → group resolution). The generation is
+    * DUP-FREE (each qualifying pair is emitted by exactly ONE band —
+    * see the cross-band suppression below), so `dedup` is semantic
+    * documentation only: both views are the same checkpointed frame,
+    * and the former pair-scale distinct shuffle no longer exists. */
   private[graft] def minhashPairs(s: SparkSession, d: String, dedup: Boolean = true,
                            rowsPerBand: Int = 4): DataFrame = {
-    // the raw (band-duplicated) pair list is memoized per
-    // (session, sfDir) as an eager checkpoint: the pair surface
-    // (`minhash_near_dedup`) and group resolution (`resolveGroups`)
-    // both consume it, and re-deriving the MinHash pipeline per
-    // consumer was ~5 s of round-2 bench per extra consumer
-    // key includes the fold width: the pair list depends on it, and a
-    // session may legitimately flip the width between calls
+    // the pair list is memoized per (session, sfDir) as an eager
+    // checkpoint: the pair surface (`minhash_near_dedup`) and group
+    // resolution (`resolveGroups`) both consume it, and re-deriving
+    // the MinHash pipeline per consumer was ~5 s of round-2 bench per
+    // extra consumer. Key includes the fold width: the pair list
+    // depends on it, and a session may legitimately flip the width
+    // between calls.
     require(8 % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide 8")
     val cap = bucketCap(s)
     require(cap >= 1, s"graft.neardedup.bucketCap=$cap must be >= 1")
-    val joined = pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand|c$cap") {
+    val nBands = 8 / rowsPerBand
+    pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand|c$cap") {
         val sig = minhashSignatures(s, d)
         // band signatures: the r min-hashes of each band chained base-31
         def chain(idxs: Range) =
           idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
-        val bands = (0 until 8 / rowsPerBand).map { b =>
-            sig.select(col("doc_id"), lit(b.toLong).as("band"),
-              chain(b * rowsPerBand until (b + 1) * rowsPerBand).as("bsig"))
-          }.reduce(_ union _)
-        // pair generation is bucket-local, so SKIP the band self-join:
-        // aggregate each (band, bsig) bucket to its sorted doc list,
-        // fan the per-position rows across the session, and emit each
-        // position's suffix pairs map-side. Same multiset as the
-        // self-join (sorted array ⇒ d1 < d2; suffix slice ⇒ all pairs,
-        // band-dup factor ≤ 2 as before), but a HOT bucket's quadratic
-        // fan-out spreads over its n rows instead of landing in the ONE
-        // join task that owns its hash key — the fixture's two ~2.5k-doc
-        // buckets produce 6M of the 6.5M pairs, and generation+
-        // checkpoint write went 4.9 s → 1.9 s at sf0.1 when they
-        // stopped serializing. The fan also fixes the downstream read
-        // width: AQE had coalesced the old join's ~100 MB checkpoint to
-        // 2 partitions, running every consumer pass 2-wide (3-4 s each,
-        // five consumers).
+        // Per-doc band signatures bs0..bs{k-1}, plus — for every band
+        // except the last — the doc's RANK inside its band-b bucket's
+        // sorted doc order (one row_number window per band, an n-row
+        // shuffle on a key the bucket aggregation shuffles on anyway).
+        // The ranks make the generation DUP-FREE: band b emits a pair
+        // only if no EARLIER band already emitted it, and "band p
+        // emitted (d1, d2)" is decidable map-side as
+        // bs_p(d1) = bs_p(d2) AND rank-distance in that bucket ≤ cap —
+        // exactly band p's own windowed emission condition. The union
+        // over bands is therefore EXACTLY the declared distinct pair
+        // set (per-band ROW_NUMBER window in the oracle), and the
+        // former distinct() — a shuffle of the PAIR-scale list, 4.4M
+        // rows at sf0.1 and the largest materialized surface of the
+        // chain at 100 TB — is replaced by doc-scale windows.
+        var withB = sig.select(col("doc_id") +:
+          (0 until nBands).map(b =>
+            chain(b * rowsPerBand until (b + 1) * rowsPerBand).as(s"bs$b")): _*)
+        for (b <- 0 until nBands - 1)
+          withB = withB.withColumn(s"rn$b",
+            row_number().over(Window.partitionBy(s"bs$b").orderBy("doc_id")))
+        // Per band: bucket-local generation (the band self-join is
+        // SKIPPED): aggregate each bucket to its sorted doc list, fan
+        // the per-position rows, emit each position's suffix pairs
+        // map-side. A HOT bucket's fan-out spreads over its n rows
+        // instead of landing in the ONE join task owning its hash key
+        // (generation+checkpoint 4.9 s → 1.9 s at sf0.1 when the two
+        // ~2.5k-doc buckets stopped serializing through one task). The
+        // fan also fixes the downstream read width: AQE had coalesced
+        // the old checkpoint to 2 partitions, running every consumer
+        // pass 2-wide. Width default/nBands per band keeps the UNION
+        // at session parallelism (ScaleShapeSpec pins it).
         //
         // HOT-BUCKET CAP: each position pairs with at most `cap`
-        // successors in the bucket's sorted doc order (the suffix slice
-        // length is least(cap, remaining)), so a bucket of n docs emits
-        // ≤ n·cap pairs — LINEAR in bucket size — instead of n²/2; an
-        // adversarial boilerplate bucket at 100 TB is bounded instead
-        // of unbounded-quadratic. The window is a per-position SUCCESSOR
-        // window, never a total-pair cutoff, because consecutive pairs
-        // (rank distance 1 ≤ cap for any cap ≥ 1) always survive: every
-        // bucket stays CONNECTED, so connected components over the
-        // capped pair graph equal components over the full one and the
-        // whole group-resolution family (`near_dedup_groups`,
-        // `dedup_survivors`, `dedup_cluster_stats`, `dedup_token_mass`)
-        // is bit-for-bit invariant under the cap (MinhashCapSpec pins
-        // both the emission bound and the group invariance with a
-        // forced tiny cap). A total-pair cutoff would drop the tail
-        // positions' consecutive edges and SPLIT groups — that shape is
-        // rejected by design, not oversight. The default (4096, conf
-        // `graft.neardedup.bucketCap`) exceeds every fixture bucket
-        // (max ~2.5k docs at sf0.1), so declared fixture surfaces are
-        // unchanged while the DuckDB oracles mirror the same window
-        // (ROW_NUMBER per bucket, rank distance ≤ cap) — the contract
-        // is live in both engines, inert below the cap. The slice is
-        // taken BEFORE the repartition so a shuffled row carries at
-        // most `cap` successor ids (≤ 32 KB at the default): carried
-        // bytes per bucket are O(n·cap), not the O(n²) of shipping the
-        // full bucket array on every row. Residual constant: the
-        // collect_list buffer holds one bucket's sorted ids in memory
-        // — 8 bytes/doc, so even a pathological 10M-doc bucket is an
-        // ~80 MB aggregation buffer in its owner task, LINEAR in
-        // bucket size (the quadratics are all gone; a rank-window +
-        // range self-join shape would bound memory via spill but pays
-        // O(n²) group re-scans in the merge join).
-        bands.groupBy("band", "bsig")
-          .agg(sort_array(collect_list("doc_id")).as("ds"))
-          .filter(size(col("ds")) >= 2)
-          .select(posexplode(col("ds")).as(Seq("i", "d1")), col("ds"))
-          .select(col("d1"),
-            expr(s"slice(ds, i + 2, least($cap, size(ds) - i - 1))").as("succ"))
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("d1"), explode(col("succ")).as("d2"))
-          .localCheckpoint(true)
+        // successors in the bucket's sorted doc order (the suffix
+        // slice length is least(cap, remaining)), so a bucket of n
+        // docs emits ≤ n·cap pairs — LINEAR in bucket size — instead
+        // of n²/2; an adversarial boilerplate bucket at 100 TB is
+        // bounded instead of unbounded-quadratic. The window is a
+        // per-position SUCCESSOR window, never a total-pair cutoff,
+        // because consecutive pairs (rank distance 1 ≤ cap for any
+        // cap ≥ 1) always survive: every bucket stays CONNECTED, so
+        // connected components over the capped pair graph equal
+        // components over the full one and the whole group-resolution
+        // family (`near_dedup_groups`, `dedup_survivors`,
+        // `dedup_cluster_stats`, `dedup_token_mass`) is bit-for-bit
+        // invariant under the cap (MinhashCapSpec pins the emission
+        // bound, the group invariance, and slice≡ROW_NUMBER-window
+        // equivalence, fixed and under scalacheck). A total-pair
+        // cutoff would drop tail positions' consecutive edges and
+        // SPLIT groups — rejected by design, not oversight. The
+        // default (4096, conf `graft.neardedup.bucketCap`) exceeds
+        // every fixture bucket (max ~2.5k docs at sf0.1), so declared
+        // fixture surfaces are unchanged while the DuckDB oracles
+        // mirror the same window — the contract is live in both
+        // engines, inert below the cap. The slice is taken BEFORE the
+        // repartition so a shuffled row carries at most `cap`
+        // successor structs: carried bytes per bucket are O(n·cap),
+        // not the O(n²) of shipping the full bucket array per row.
+        // Residual constant: the collect_list buffer holds one
+        // bucket's sorted entries in memory — O(bucket) in its owner
+        // task (even a pathological 10M-doc bucket is a spill-unsafe
+        // but LINEAR buffer; the quadratics are all gone).
+        val perBand = (0 until nBands).map { b =>
+          val carried = (0 until b).flatMap(p => Seq(s"bs$p", s"rn$p"))
+          val g = withB.groupBy(col(s"bs$b"))
+            .agg(sort_array(collect_list(
+              struct((Seq("doc_id") ++ carried).map(col): _*))).as("ds"))
+            .filter(size(col("ds")) >= 2)
+            .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
+            .select(col("x"),
+              expr(s"slice(ds, i + 2, least($cap, size(ds) - i - 1))").as("succ"))
+            .repartition(math.max(1, s.sparkContext.defaultParallelism / nBands))
+            .select(col("x"), explode(col("succ")).as("y"))
+          val emittedEarlier = (0 until b).map(p =>
+              col(s"x.bs$p") === col(s"y.bs$p")
+                && abs(col(s"y.rn$p") - col(s"x.rn$p")) <= cap)
+            .reduceOption(_ || _)
+          emittedEarlier.map(c => g.filter(!c)).getOrElse(g)
+            .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        }
+        perBand.reduce(_ union _).localCheckpoint(true)
       }
-    // the DISTINCT view gets its own memo level: three declared
-    // queries (pair surface, source matrix, edit-distance audit) read
-    // it, and the 4M-row distinct shuffle was re-paid per consumer
-    // when only the raw list was cached (round-5 bench: 4.4 s each)
-    if (dedup)
-      distinctPairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand|c$cap") {
-        // same width pin as the raw list: AQE coalesced the b=1
-        // banding's smaller distinct output to 10 partitions
-        joined.distinct()
-          .repartition(s.sparkContext.defaultParallelism)
-          .localCheckpoint(true)
-      }
-    else joined
   }
 
   private val pairsCache = new graft.engine.SessionCache[DataFrame]
-  private val distinctPairsCache = new graft.engine.SessionCache[DataFrame]
   private val sigCache = new graft.engine.SessionCache[DataFrame]
 
   /** The 8-minhash signature table `(doc_id, m0..m7)`, memoized per

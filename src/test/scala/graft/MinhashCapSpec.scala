@@ -49,17 +49,23 @@ class MinhashCapSpec extends SparkSpec {
     val dir = writeHotBucketCorpus(nDup = 30)
     val cap = 4
     withConf("graft.neardedup.bucketCap", cap.toString) {
-      // raw (band-duplicated) list: both bands hold the SAME single
-      // hot bucket (identical signatures), so raw = 2 × per-band
+      // DUP-FREE generation: both bands hold the SAME single hot
+      // bucket (identical signatures, identical sorted order), so
+      // band 1's emissions are entirely suppressed by the cross-band
+      // filter and the list is exactly the one-band windowed count —
+      // with all counts 1 (no band-dup rows exist anymore)
       val raw = TextOps.minhashPairs(spark, dir, dedup = false)
-      assert(raw.count() === 2 * cappedBucketPairs(30, cap))
+      assert(raw.count() === cappedBucketPairs(30, cap))
       val distinct = TextOps.minhashPairs(spark, dir)
       assert(distinct.count() === cappedBucketPairs(30, cap))
+      val maxDup = raw.groupBy("d1", "d2").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head.getLong(0)
+      assert(maxDup === 1L, s"dup-free generation emitted a pair twice")
       // emission bound per position: no doc pairs with more than cap
-      // successors (per band ⇒ ≤ 2·cap raw rows per d1)
+      // successors
       val maxFan = raw.groupBy("d1").agg(count(lit(1)).as("n"))
         .agg(max("n")).head.getLong(0)
-      assert(maxFan <= 2L * cap)
+      assert(maxFan <= cap.toLong)
       // connectivity invariant: every consecutive pair of the sorted
       // bucket survives the window ⇒ all 30 dup docs in ONE group
       val grp = TextOps.resolveGroups(spark, dir, maxEdges = 1000000L)

@@ -176,12 +176,13 @@ class ScaleShapeSpec extends SparkSpec {
         "8-gram set" -> TextOps.ngramSetCached(spark, sf0001, 8, Seq("doc_id"))))
       assert(df.rdd.getNumPartitions == par,
         s"$name checkpoint width ${df.rdd.getNumPartitions} != session parallelism $par")
-    // the bucket-local generation (sorted bucket array + suffix slice)
-    // must emit each unordered pair at most once per matching band —
-    // the same ≤2 dup factor the former band self-join had
+    // the bucket-local generation is DUP-FREE (round 9): band b emits
+    // a pair only when no earlier band's window already did, so each
+    // unordered pair appears EXACTLY once and the former pair-scale
+    // distinct shuffle no longer exists anywhere in the chain
     val dupMax = TextOps.minhashPairs(spark, sf0001, dedup = false)
       .groupBy("d1", "d2").count().agg(max("count")).head().getLong(0)
-    assert(dupMax <= 2, s"raw pair band-dup factor $dupMax exceeds the band count 2")
+    assert(dupMax == 1, s"dup-free pair generation emitted a pair $dupMax times")
   }
 
   test("minhash_recall truth join is prefix-filtered, never a raw token-key join") {

@@ -151,8 +151,15 @@ class TextModelPropertySpec extends SparkSpec {
              i <- ids.indices; j <- i + 1 until ids.size)
           model((ids(i), ids(j))) += 1
       }
-      assert(got == model.toMap, s"pair multiset mismatch: engine ${got.size} keys, model ${model.size}")
-      // and the DISTINCT view is exactly the raw list's key set
+      // round 9: generation is DUP-FREE — the engine's pair SET must
+      // equal the band-join model's key set, with every count 1 (the
+      // model's band-dup multiplicities are collapsed by the
+      // cross-band suppression, never by a distinct shuffle)
+      assert(got.keySet == model.keySet,
+        s"pair set mismatch: engine ${got.size} keys, model ${model.size}")
+      assert(got.values.forall(_ == 1),
+        s"dup-free generation emitted duplicates: ${got.filter(_._2 > 1).take(5)}")
+      // and the dedup=true view is the same set
       val dis = TextOps.minhashPairs(spark, d)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(dis == got.keySet)

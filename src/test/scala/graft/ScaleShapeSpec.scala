@@ -170,9 +170,8 @@ class ScaleShapeSpec extends SparkSpec {
     // is pinned by an explicit repartition before each checkpoint
     val par = spark.sparkContext.defaultParallelism
     for ((name, df) <- Seq(
-        "raw pairs" -> TextOps.minhashPairs(spark, sf0001, dedup = false),
-        "distinct pairs" -> TextOps.minhashPairs(spark, sf0001),
-        "b1r8 pairs" -> TextOps.minhashPairs(spark, sf0001, dedup = true, rowsPerBand = 8),
+        "pairs (dup-free, r4)" -> TextOps.minhashPairs(spark, sf0001),
+        "b1r8 pairs" -> TextOps.minhashPairs(spark, sf0001, rowsPerBand = 8),
         "8-gram set" -> TextOps.ngramSetCached(spark, sf0001, 8, Seq("doc_id"))))
       assert(df.rdd.getNumPartitions == par,
         s"$name checkpoint width ${df.rdd.getNumPartitions} != session parallelism $par")
@@ -180,7 +179,7 @@ class ScaleShapeSpec extends SparkSpec {
     // a pair only when no earlier band's window already did, so each
     // unordered pair appears EXACTLY once and the former pair-scale
     // distinct shuffle no longer exists anywhere in the chain
-    val dupMax = TextOps.minhashPairs(spark, sf0001, dedup = false)
+    val dupMax = TextOps.minhashPairs(spark, sf0001)
       .groupBy("d1", "d2").count().agg(max("count")).head().getLong(0)
     assert(dupMax == 1, s"dup-free pair generation emitted a pair $dupMax times")
   }

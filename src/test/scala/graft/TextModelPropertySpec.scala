@@ -131,7 +131,7 @@ class TextModelPropertySpec extends SparkSpec {
     val P = 1000003L
     cases(6).foreach { rows =>
       val d = dirOf(rows)
-      val got = TextOps.minhashPairs(spark, d, dedup = false)
+      val got = TextOps.minhashPairs(spark, d)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         .groupBy(identity).view.mapValues(_.length).toMap
       val tids = spark.read.parquet(s"$d/documents.parquet")

@@ -82,6 +82,78 @@ class DedupLosslessPropertySpec extends SparkSpec {
     }
   }
 
+  test("minhashTruthPairs ≡ unfiltered sample-scoped exact-Jaccard ≥ 0.9 (the recall ground truth loses no pair)") {
+    // The truth table grades minhash_recall/_b1r8 — a lossy prefix
+    // filter HERE corrupts every recall number while staying
+    // oracle-green elsewhere. Planted per case: a pair just ABOVE the
+    // boundary (J = 12/13, one side sampled), a pair just BELOW
+    // (J = 13/15, one side sampled — must be excluded), and a pair
+    // above the boundary with NO sampled side (must be excluded by
+    // the sample scope, not found by accident).
+    graft.engine.expr.GraftFunctions.register(spark)
+    val sampFlag = (id: String) => s"fold_hex(md5(CAST($id AS STRING)), 8) % 20 = 0"
+    val ids = spark.range(0, 500)
+      .withColumn("s", expr(sampFlag("id"))).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val sampledIds = ids.filter(_._2).keys.toSeq.sorted
+    val unsampledIds = ids.filterNot(_._2).keys.toSeq.sorted
+    assert(sampledIds.size >= 2, "need two sampled ids below 500")
+    val vocab = (0 until 40).map(i => s"w$i")
+
+    val gen = for {
+      n <- Gen.choose(8, 20)
+      docs <- Gen.listOfN(n, for {
+        k <- Gen.choose(8, 22)
+        ws <- Gen.pick(k, vocab)
+      } yield ws.mkString(" "))
+    } yield docs
+    (1 to 5).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7451L + i))).foreach { randomDocs =>
+      // planted docs use the vocabulary tail so random docs can't
+      // accidentally change a planted pair's Jaccard
+      val above = vocab.take(12)                       // J = 12/13 ≥ 0.9
+      val below = vocab.take(15)                       // J = 13/15 < 0.9
+      val planted = Seq(
+        (sampledIds(0), above.mkString(" ")),
+        (unsampledIds(0), (above :+ "w39").mkString(" ")),
+        (sampledIds(1), below.mkString(" ")),
+        (unsampledIds(1), below.drop(2).mkString(" ")),
+        // both-unsampled near-dup: in the J ≥ 0.9 set, not in truth
+        (unsampledIds(2), vocab.slice(20, 33).mkString(" ")),
+        (unsampledIds(3), vocab.slice(20, 34).mkString(" ")))
+      val usedIds = planted.map(_._1).toSet
+      val randomIds = unsampledIds.iterator.filterNot(usedIds).take(randomDocs.size).toSeq
+      val rows = (planted ++ randomIds.zip(randomDocs))
+        .map { case (id, t) => (id, t, "en", "s0") }
+      val dir = dirOf(rows)
+
+      val arrs = TextOps.docTokenArrays(spark, dir)
+        .withColumn("samp", expr(sampFlag("doc_id")))
+      val allPairs = arrs.select(col("doc_id").as("d1"), col("arr").as("a1"), col("samp").as("f1"))
+        .crossJoin(arrs.select(col("doc_id").as("d2"), col("arr").as("a2"), col("samp").as("f2")))
+        .filter(col("d1") < col("d2"))
+        .withColumn("i", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+        .withColumn("u",
+          size(col("a1")).cast("long") + size(col("a2")).cast("long") - col("i"))
+        .filter(col("i") / col("u") >= 0.9)
+      val bruteAll = allPairs.select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = allPairs.filter(col("f1") || col("f2")).select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = TextOps.minhashTruthPairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"truth join diverged from all-pairs truth:\n missing=${brute -- got}\n extra=${got -- brute}")
+      val key = (s: Long, o: Long) => (math.min(s, o), math.max(s, o))
+      assert(brute.contains(key(sampledIds(0), unsampledIds(0))),
+        "planted above-boundary sampled pair missing from truth")
+      assert(!bruteAll.contains(key(sampledIds(1), unsampledIds(1))),
+        "planted below-boundary pair unexpectedly qualifies")
+      val unsampledPair = key(unsampledIds(2), unsampledIds(3))
+      assert(bruteAll.contains(unsampledPair) && !got.contains(unsampledPair),
+        "sample scoping violated: both-unsampled pair handling diverged")
+    }
+  }
+
   test("simhash_dedup ≡ brute-force Hamming ≤ 3 over the same signatures (banding complete, pairs exactly-once)") {
     cases(6).foreach { rows =>
       val dir = dirOf(rows)

@@ -57,6 +57,62 @@ class StreamSpec extends SparkSpec {
     assert(streaming.toSeq == batch.toSeq)
   }
 
+  test("checkpoint restart: state and source offsets recover exactly-once across a stop") {
+    // The production streaming contract: a query stopped mid-stream
+    // and restarted from its checkpoint must (a) NOT re-read files it
+    // already committed, (b) restore the state store, so a window
+    // spanning the restart merges pre- and post-restart rows, and
+    // (c) restore the watermark, so a row late relative to run 1 but
+    // above the recovered watermark is still accepted. The planted
+    // user's count of 3 (2 from run-1 state + 1 late row in run 2)
+    // separates every failure mode: lost state → 1, re-read input
+    // with state → 5.
+    val base = java.nio.file.Files.createTempDirectory("restart").toString
+    val in = s"$base/in"; val out = s"$base/out"; val chk = s"$base/chk"
+    def minute(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    def write(name: String, data: Seq[(Long, Timestamp)]): Unit = {
+      // file-source inputs must appear atomically: stage + rename
+      data.toDF("user_id", "ts").coalesce(1).write.parquet(s"$in/.stage_$name")
+      val staged = new java.io.File(s"$in/.stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(staged.renameTo(new java.io.File(s"$in/$name.parquet")))
+    }
+    def runOnce(): Unit = withConf("spark.sql.shuffle.partitions", "4") {
+      val q = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP").option("pathGlobFilter", "*.parquet")
+        .parquet(in)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("user_id"), col("cnt"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: window W1=[0,5) holds u1×2, u2×1; a row at minute 7
+    // advances the watermark to 2 — W1 stays open in state
+    write("f1", Seq((1L, minute(1)), (1L, minute(2)), (2L, minute(3)),
+      (9L, minute(7))))
+    runOnce()
+    // run 2 (fresh query object, same checkpoint): one MORE W1 row
+    // for u1 at minute 4 — late vs run 1's max but above the
+    // recovered watermark — plus minute-16/17 rows pushing the
+    // watermark to 12, which finalizes W1 and W2 for append emission
+    write("f2", Seq((1L, minute(4)), (3L, minute(16)), (3L, minute(17))))
+    runOnce()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = (m: Int) => 1704067200L + m * 60
+    assert(got.contains((w(0), 1L, 3L)),
+      s"cross-restart window count wrong (state or offsets not recovered): $got")
+    assert(got.contains((w(0), 2L, 1L)) && got.contains((w(5), 9L, 1L)), s"got $got")
+    val dups = spark.read.parquet(out).groupBy("wstart", "user_id")
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0, "restart emitted a (window, user) row twice")
+  }
+
   test("watermark drops data later than the threshold") {
     val mem = MemoryStream[(Long, Timestamp, Double)](spark)
     val df = mem.toDF().toDF("event_id", "ts", "value")

@@ -195,19 +195,22 @@ object TextOps {
     require(8 % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide 8")
     val cap = bucketCap(s)
     require(cap >= 1, s"graft.neardedup.bucketCap=$cap must be >= 1")
+    // effective segment size of the oversize-bucket sharding, clamped
+    // to ≥ cap so the overlap replication below is one-segment-deep
+    val shard = math.max(shardSize(s), cap)
     val nBands = 8 / rowsPerBand
-    pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand|c$cap") {
+    pairsCache.get(s, s"$d|${foldWidth(s)}|r$rowsPerBand|c$cap|s$shard") {
         val sig = minhashSignatures(s, d)
         // band signatures: the r min-hashes of each band chained base-31
         def chain(idxs: Range) =
           idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
-        // Per-doc band signatures bs0..bs{k-1}, plus — for every band
-        // except the last — the doc's RANK inside its band-b bucket's
-        // sorted doc order (one row_number window per band, an n-row
-        // shuffle on a key the bucket aggregation shuffles on anyway).
-        // The ranks make the generation DUP-FREE: band b emits a pair
-        // only if no EARLIER band already emitted it, and "band p
-        // emitted (d1, d2)" is decidable map-side as
+        // Per-doc band signatures bs0..bs{k-1}, plus — for EVERY band —
+        // the doc's RANK inside its band-b bucket's sorted doc order
+        // (one row_number window per band, an n-row shuffle on a key
+        // the bucket aggregation shuffles on anyway). The ranks serve
+        // twice: (1) DUP-FREE generation — band b emits a pair only if
+        // no EARLIER band already emitted it, and "band p emitted
+        // (d1, d2)" is decidable map-side as
         // bs_p(d1) = bs_p(d2) AND rank-distance in that bucket ≤ cap —
         // exactly band p's own windowed emission condition. The union
         // over bands is therefore EXACTLY the declared distinct pair
@@ -215,12 +218,27 @@ object TextOps {
         // former distinct() — a shuffle of the PAIR-scale list, 4.4M
         // rows at sf0.1 and the largest materialized surface of the
         // chain at 100 TB — is replaced by doc-scale windows.
+        // (2) bucket SHARDING — band b's own rank assigns each doc its
+        // rank-contiguous segment, bounding the per-task bucket buffer
+        // (see the HOT-BUCKET SHARD note below).
         var withB = sig.select(col("doc_id") +:
           (0 until nBands).map(b =>
             chain(b * rowsPerBand until (b + 1) * rowsPerBand).as(s"bs$b")): _*)
-        for (b <- 0 until nBands - 1)
+        for (b <- 0 until nBands)
           withB = withB.withColumn(s"rn$b",
             row_number().over(Window.partitionBy(s"bs$b").orderBy("doc_id")))
+        // The union below duplicates the ranked frame's lineage into
+        // every band branch; Catalyst PRUNES the windows a branch
+        // doesn't reference (band b keeps rn0..rn_b — verified: a
+        // branch reading only rn0 plans exactly one Window op), so at
+        // the declared bandings (nBands ≤ 2) the duplicated evals cost
+        // 3 doc-scale exchanges — the same count the pre-shard form
+        // paid — and each branch's groupBy reuses its own last
+        // window's exchange (same bs_b key). Past 2 bands the
+        // per-branch re-evaluation grows k(k+1)/2, so materialize the
+        // ranked frame once instead (doc-scale rows of 2k+1 longs, the
+        // same order as the signature checkpoint feeding it).
+        if (nBands > 2) withB = withB.localCheckpoint(true)
         // Per band: bucket-local generation (the band self-join is
         // SKIPPED): aggregate each bucket to its sorted doc list, fan
         // the per-position rows, emit each position's suffix pairs
@@ -259,10 +277,24 @@ object TextOps {
         // repartition so a shuffled row carries at most `cap`
         // successor structs: carried bytes per bucket are O(n·cap),
         // not the O(n²) of shipping the full bucket array per row.
-        // Residual constant: the collect_list buffer holds one
-        // bucket's sorted entries in memory — O(bucket) in its owner
-        // task (even a pathological 10M-doc bucket is a spill-unsafe
-        // but LINEAR buffer; the quadratics are all gone).
+        //
+        // HOT-BUCKET SHARD: the aggregation groups by (bucket,
+        // SEGMENT), not bucket alone — segment = ⌊(rank−1)/shard⌋ off
+        // band b's own rank column — so the collect_list buffer any
+        // single task holds is bounded by shard + cap entries, closing
+        // the last spill-unsafe O(bucket) single-task memory (a
+        // pathological 10M-doc boilerplate bucket lands as ~10M/shard
+        // bounded tasks, not one 10M-entry array). A doc within `cap`
+        // ranks of its segment start is REPLICATED into the previous
+        // segment (one explode row; shard ≥ cap makes one replica
+        // sufficient) as a successor CANDIDATE only — the __home flag
+        // keeps replicas out of the emitting positions — so every home
+        // position sees exactly its global rank-window successors and
+        // the pair surface is BIT-IDENTICAL to the unsharded window
+        // for any shard size (MinhashCapSpec pins surface and groups
+        // under a forced tiny shard). The default (1M) never shards a
+        // fixture bucket, so declared surfaces ride the same plan with
+        // a constant-true home flag and single-segment buckets.
         // per-band fan widths SUM exactly to session parallelism
         // (default ≥ nBands for both declared bandings on any real
         // session): w_b = ⌊default/nBands⌋ + 1 for the first
@@ -274,11 +306,24 @@ object TextOps {
         val perBand = (0 until nBands).map { b =>
           val w = math.max(1, base / nBands + (if (b < base % nBands) 1 else 0))
           val carried = (0 until b).flatMap(p => Seq(s"bs$p", s"rn$p"))
-          val g = withB.groupBy(col(s"bs$b"))
+          // segment assignment off band b's own rank (0-based), plus
+          // the cap-deep overlap replica into the previous segment
+          val rb = col(s"rn$b")
+          val home = floor((rb - 1) / shard)
+          val segs = when(home > 0 && (rb - 1) % shard < cap,
+            array(home - 1, home)).otherwise(array(home))
+          val g = withB
+            .select(col(s"bs$b") +: (Seq("doc_id") ++ carried).map(col)
+              :+ home.as("__hs") :+ explode(segs).as("__seg"): _*)
+            .withColumn("__home", col("__hs") === col("__seg"))
+            .groupBy(col(s"bs$b"), col("__seg"))
             .agg(sort_array(collect_list(
-              struct((Seq("doc_id") ++ carried).map(col): _*))).as("ds"))
+              struct((Seq("doc_id") ++ carried).map(col) :+ col("__home"): _*))).as("ds"))
             .filter(size(col("ds")) >= 2)
             .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
+            // only HOME positions emit: a replica's pairs are emitted
+            // by its own home segment (dup-free across segments)
+            .filter(col("x.__home"))
             .select(col("x"),
               expr(s"slice(ds, i + 2, least($cap, size(ds) - i - 1))").as("succ"))
             .repartition(w)
@@ -604,6 +649,26 @@ object TextOps {
     * session via `spark.conf.set("graft.neardedup.bucketCap", n)`. */
   private[graft] def bucketCap(s: SparkSession): Int =
     s.conf.get("graft.neardedup.bucketCap", "4096").toInt
+
+  /** Segment size of the oversize-bucket SHARDING in [[minhashPairs]]:
+    * a bucket whose sorted doc order exceeds this many ranks is split
+    * into rank-contiguous segments, each aggregated (and buffered) by
+    * its own task, so the per-task `collect_list` buffer is bounded by
+    * shardSize + cap entries instead of O(bucket) — the last
+    * spill-unsafe single-task memory of the dedup chain, closed. The
+    * pair surface is BIT-IDENTICAL to the unsharded successor window
+    * for any shard size (MinhashCapSpec pins it): a doc within `cap`
+    * ranks of its segment start is replicated into the previous
+    * segment as a SUCCESSOR CANDIDATE only (never an emitting
+    * position), so every home position sees exactly its global
+    * rank-window successors. The effective size is clamped to
+    * ≥ bucketCap — that keeps the overlap one-segment-deep (a doc is
+    * needed by at most the one segment before its home). The default
+    * (1M ranks ≈ tens of MB of struct buffer) never shards a fixture
+    * bucket; override per session via
+    * `spark.conf.set("graft.neardedup.shardSize", n)`. */
+  private[graft] def shardSize(s: SparkSession): Int =
+    s.conf.get("graft.neardedup.shardSize", (1 << 20).toString).toInt
 
   /** Resolved near-dup groups `(group_id = component min doc_id,
     * member)`, memoized per (session, sfDir, threshold) within the JVM

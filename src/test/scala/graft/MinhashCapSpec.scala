@@ -207,4 +207,182 @@ class MinhashCapSpec extends SparkSpec {
     }
     assert(def_ === uncapped)
   }
+
+  // ------------------------------------------------ bucket SHARDING
+
+  test("forced tiny shard: pair surface and groups bit-identical on sf0.001 (cap=8 binding)") {
+    // The oversize-bucket shard (conf `graft.neardedup.shardSize`)
+    // bounds the per-task collect_list buffer to shard + cap entries.
+    // Forcing shard=8 with a BINDING cap=8 makes every fixture bucket
+    // larger than one segment, exercising the segment split AND the
+    // cap-deep overlap replication — and the declared surfaces must
+    // not move by one bit.
+    val base = withConf("graft.neardedup.bucketCap", "8") {
+      TextOps.minhashPairs(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val sharded = withConf("graft.neardedup.bucketCap", "8") {
+      withConf("graft.neardedup.shardSize", "8") {
+        TextOps.minhashPairs(spark, sf0001)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    assert(sharded === base,
+      s"shard changed the pair surface: only-sharded=${(sharded -- base).take(5)} " +
+        s"only-base=${(base -- sharded).take(5)}")
+    assert(sharded.nonEmpty)
+    // and the resolved GROUPS under the default cap, sharded vs not
+    val g0 = TextOps.resolveGroups(spark, sf0001, maxEdges = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g1 = withConf("graft.neardedup.shardSize", "2") {
+      // effective shard clamps to max(2, cap=4096) = 4096 — still
+      // larger than any fixture bucket, so this leg pins the CLAMP;
+      // the binding-shard group leg runs with cap forced small
+      TextOps.resolveGroups(spark, sf0001, maxEdges = 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(g1 === g0)
+    val g2 = withConf("graft.neardedup.bucketCap", "2") {
+      withConf("graft.neardedup.shardSize", "3") {
+        TextOps.resolveGroups(spark, sf0001, maxEdges = 1000000L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    assert(g2 === g0, "groups diverge under a forced tiny (cap=2, shard=3)")
+  }
+
+  test("hot bucket under forced sharding emits the exact capped count and one group") {
+    // 30 identical docs = one 30-doc bucket per band; shard=4 splits it
+    // into 8 segments per band. The emission count must equal the
+    // UNsharded capped window exactly (Σ min(cap, suffix)), dup-free,
+    // and the bucket must stay one connected group.
+    val dir = writeHotBucketCorpus(nDup = 30)
+    val cap = 4
+    withConf("graft.neardedup.bucketCap", cap.toString) {
+      withConf("graft.neardedup.shardSize", "4") {
+        val raw = TextOps.minhashPairs(spark, dir)
+        assert(raw.count() === cappedBucketPairs(30, cap))
+        val maxDup = raw.groupBy("d1", "d2").agg(count(lit(1)).as("n"))
+          .agg(max("n")).head.getLong(0)
+        assert(maxDup === 1L, "sharded generation emitted a pair twice")
+        val grp = TextOps.resolveGroups(spark, dir, maxEdges = 1000000L)
+        val groups = grp.groupBy("group_id").agg(count(lit(1)).as("sz")).collect()
+        assert(groups.length === 1 && groups.head.getLong(1) === 30L)
+      }
+    }
+  }
+
+  test("property: random corpora × random caps × random shards — surface equals the rank window") {
+    // The sharded generation must equal the shard-FREE rank-window
+    // reference for every (cap, shard) draw: the reference below is
+    // derived independently from the signature table and never sees
+    // the shard conf, so equality proves shard-inertness in general
+    // form (segments, overlap replication, home-only emission).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.expressions.Window
+    val corpusGen = for {
+      n <- Gen.choose(8, 40)
+      cap <- Gen.choose(1, 6)
+      shard <- Gen.choose(2, 9)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 6)
+        ws <- Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield ws.mkString(" "))
+    } yield (cap, shard, rows)
+    val samples = (1 to 4).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(4177L + i)))
+    for (((cap, shard, texts), si) <- samples.zipWithIndex) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory(s"shardprop$si").toString
+      texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "web", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val sharded = withConf("graft.neardedup.bucketCap", cap.toString) {
+        withConf("graft.neardedup.shardSize", shard.toString) {
+          TextOps.minhashPairs(spark, dir)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      }
+      val sig = TextOps.minhashSignatures(spark, dir)
+      def chain(idxs: Range) =
+        idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
+      val bands = (0 until 2).map { b =>
+          sig.select(col("doc_id"), lit(b.toLong).as("band"),
+            chain(b * 4 until (b + 1) * 4).as("bsig"))
+        }.reduce(_ union _)
+      val rb = bands.withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bsig").orderBy("doc_id")))
+      val ref = rb.select(col("band"), col("bsig"), col("doc_id").as("d1"), col("rn").as("r1"))
+        .join(rb.select(col("band"), col("bsig"), col("doc_id").as("d2"), col("rn").as("r2")),
+          Seq("band", "bsig"))
+        .filter(col("r2") - col("r1") >= 1 && col("r2") - col("r1") <= cap)
+        .select("d1", "d2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sharded === ref,
+        s"sample $si (cap=$cap shard=$shard): sharded slice ≠ rank window: " +
+          s"only-engine=${(sharded -- ref).take(5)} only-ref=${(ref -- sharded).take(5)}")
+    }
+  }
+
+  // -------------------------------------------- nBands > 2 generality
+
+  test("property: 4-band banding (rowsPerBand=2) — dup-free union equals the rank-window reference") {
+    // Declared bandings are b=2×r=4 and b=1×r=8, so the cross-band
+    // "emitted earlier" suppression only ever sees ONE earlier band in
+    // production. This pins the GENERAL form before anyone flips the
+    // knob: at rowsPerBand=2 (4 bands, 3 earlier bands at the last),
+    // the dup-free union over bands must equal the brute-force
+    // distinct of the per-band rank windows — exactly, per pair, with
+    // binding caps, on low-entropy corpora whose buckets collide
+    // across bands by construction.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.expressions.Window
+    val corpusGen = for {
+      n <- Gen.choose(8, 32)
+      cap <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 5)
+        ws <- Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc"))
+      } yield ws.mkString(" "))
+    } yield (cap, rows)
+    val samples = (1 to 4).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(6211L + i)))
+    for (((cap, texts), si) <- samples.zipWithIndex) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory(s"band4prop$si").toString
+      texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "web", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val engine = withConf("graft.neardedup.bucketCap", cap.toString) {
+        TextOps.minhashPairs(spark, dir, rowsPerBand = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      // dup-free: the raw list must already be distinct
+      assert(engine.length === engine.toSet.size,
+        s"sample $si (cap=$cap): 4-band union emitted a duplicate pair")
+      val sig = TextOps.minhashSignatures(spark, dir)
+      def chain(idxs: Range) =
+        idxs.map(i => col(s"m$i")).reduceLeft((a, b) => a * 31 + b)
+      val bands = (0 until 4).map { b =>
+          sig.select(col("doc_id"), lit(b.toLong).as("band"),
+            chain(b * 2 until (b + 1) * 2).as("bsig"))
+        }.reduce(_ union _)
+      val rb = bands.withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bsig").orderBy("doc_id")))
+      val ref = rb.select(col("band"), col("bsig"), col("doc_id").as("d1"), col("rn").as("r1"))
+        .join(rb.select(col("band"), col("bsig"), col("doc_id").as("d2"), col("rn").as("r2")),
+          Seq("band", "bsig"))
+        .filter(col("r2") - col("r1") >= 1 && col("r2") - col("r1") <= cap)
+        .select("d1", "d2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(engine.toSet === ref,
+        s"sample $si (cap=$cap): 4-band union ≠ windowed distinct: " +
+          s"only-engine=${(engine.toSet -- ref).take(5)} only-ref=${(ref -- engine.toSet).take(5)}")
+      assert(ref.nonEmpty, s"sample $si: vacuous (no colliding buckets)")
+    }
+  }
 }

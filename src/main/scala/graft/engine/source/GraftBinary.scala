@@ -58,11 +58,17 @@ import org.apache.spark.util.SerializableConfiguration
   *    leaves a `.tmp` orphan that no reader ever sees (and the next
   *    truncate-overwrite sweeps); job abort deletes the staged files.
   *    Spark's commit coordinator already guarantees at most one
-  *    winning attempt per partition, so the message set is exact.
-  *    (Residual window, shared with Hadoop's v2 file committers: a
-  *    driver crash MIDWAY through the final rename loop can leave a
-  *    prefix of the job visible — closing it needs a manifest/catalog
-  *    transaction, i.e. a table format, out of scope per SURVEY §2.)
+  *    winning attempt per partition, so the message set is exact;
+  *  - ALL-OR-NOTHING visibility via a COMMIT MANIFEST
+  *    (`_graft_manifest`, one committed basename per line): when
+  *    present, readers scan exactly the files it names and nothing
+  *    else, and `BatchWrite.commit` publishes the post-job manifest
+  *    (temp + atomic rename) only AFTER every part rename succeeded —
+  *    so a driver crash midway through the rename loop leaves the
+  *    previous manifest, i.e. the previous table, intact (the window
+  *    Hadoop's v2 file committers share is closed here). Directories
+  *    written by a pre-manifest version read via the directory
+  *    listing until their first new-code commit snapshots one.
   */
 class GraftBinarySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -82,16 +88,67 @@ object GraftBinarySource {
     StructField("source", StringType), StructField("text", StringType)))
   val FORMAT = "graft.engine.source.GraftBinarySource"
 
-  private[source] def fs(conf: Configuration, p: String): (FileSystem, Path) = {
+  private[graft] def fs(conf: Configuration, p: String): (FileSystem, Path) = {
     val path = new Path(p)
     (path.getFileSystem(conf), path)
   }
 
+  /** Commit manifest: the file naming exactly the committed `.gbin`
+    * parts (one basename per line, UTF-8). When present it IS the
+    * table — readers ignore everything else in the directory, so a
+    * driver crash midway through the commit rename loop can never
+    * expose a prefix of a job (the rename loop only becomes visible
+    * when the post-commit manifest is atomically swapped in). Absent
+    * (a directory written by a pre-manifest version), readers fall
+    * back to the directory listing. */
+  private[graft] val MANIFEST = "_graft_manifest"
+
+  /** `Some(basenames)` if a manifest exists, `None` for legacy
+    * listing-based directories. */
+  private[graft] def readManifest(f: FileSystem, dir: Path): Option[Seq[String]] = {
+    val mp = new Path(dir, MANIFEST)
+    if (!f.exists(mp)) None
+    else {
+      val in = f.open(mp)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      finally in.close()
+    }
+  }
+
+  /** Write the manifest via temp + rename — the rename is the commit
+    * point (atomic on posix and HDFS). Renaming onto an existing
+    * manifest: posix rename(2) replaces it atomically; HDFS refuses,
+    * so fall back to delete-then-rename — the instant with NO manifest
+    * is safe, because every writer swaps the manifest only at moments
+    * when the directory listing equals the intended table state
+    * (truncate: after the sweep; commit: after all renames). */
+  private[source] def writeManifest(f: FileSystem, dir: Path,
+      names: Seq[String], tag: String): Unit = {
+    val tmp = new Path(dir, s"$MANIFEST.$tag.tmp")
+    val out = f.create(tmp, true)
+    try out.write(names.distinct.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, MANIFEST)
+    if (!f.rename(tmp, dst)) {
+      f.delete(dst, false)
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(s"gbin manifest publish: rename $tmp -> $dst failed")
+    }
+  }
+
+  private[graft] def listedGbin(f: FileSystem, p: Path): Seq[String] =
+    f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      .filter(_.getName.endsWith(".gbin")).map(_.toString).sorted
+
   private[source] def listGbin(conf: Configuration, dir: String): Seq[String] = {
     val (f, p) = fs(conf, dir)
     if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-      .filter(_.getName.endsWith(".gbin")).map(_.toString).sorted
+    else readManifest(f, p) match {
+      case Some(names) => names.sorted.map(n => new Path(p, n).toString)
+      case None        => listedGbin(f, p)
+    }
   }
 }
 
@@ -223,12 +280,19 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     val (f, p) = GraftBinarySource.fs(hconf, path)
     if (doTruncate && f.exists(p))
       // sweep committed parts AND stale staging orphans of any
-      // previously crashed job — truncate is the directory reset
+      // previously crashed job (including orphan manifest temps) —
+      // truncate is the directory reset
       f.listStatus(p).filter { st =>
         val n = st.getPath.getName
-        n.endsWith(".gbin") || n.endsWith(".gbin.tmp")
+        n.endsWith(".gbin") || n.endsWith(".gbin.tmp") ||
+          (n.startsWith(GraftBinarySource.MANIFEST + ".") && n.endsWith(".tmp"))
       }.foreach(st => f.delete(st.getPath, false))
     f.mkdirs(p)
+    if (doTruncate)
+      // reset the manifest to the (now empty) table state so manifest
+      // readers during the job agree with the swept directory instead
+      // of chasing deleted part names
+      GraftBinarySource.writeManifest(f, p, Seq.empty, jobTag)
     // record layout is CANONICAL order; locate each canonical field in
     // the incoming write schema once, on the driver
     val srcIdx = GraftBinarySource.SCHEMA.fields.map(f2 => writeSchema.fieldIndex(f2.name))
@@ -243,13 +307,28 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     * attempts that never reached abort) — the Hadoop-committer
     * single-writer-per-directory assumption, same as its `_temporary`
     * cleanup, so append-mode directories don't accumulate staging
-    * garbage across jobs. */
+    * garbage across jobs.
+    *
+    * CRASH SAFETY: the renames never become visible on their own —
+    * the table state is the MANIFEST, published once, atomically, as
+    * the last step. A driver crash anywhere before that swap leaves
+    * the previous manifest (the pre-job table) fully intact; the old
+    * mid-rename-loop window (readers seeing a prefix of the job) is
+    * closed. For a legacy directory with no manifest, one capturing
+    * the pre-job listing is written BEFORE the first rename, so
+    * listing-fallback readers can't see a prefix either. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val (f, p) = GraftBinarySource.fs(hconf, path)
+    if (GraftBinarySource.readManifest(f, p).isEmpty)
+      // pre-job snapshot: this job's parts are all still `.tmp`, so
+      // the listing here is exactly the table readers saw until now
+      GraftBinarySource.writeManifest(f, p,
+        GraftBinarySource.listedGbin(f, p).map(new Path(_).getName), jobTag)
     messages.foreach { case GbinCommit(staging, _) =>
-      val (f, sp) = GraftBinarySource.fs(hconf, staging)
+      val (fr, sp) = GraftBinarySource.fs(hconf, staging)
       val dest = new Path(staging.stripSuffix(".tmp"))
-      if (!f.rename(sp, dest))
+      if (!fr.rename(sp, dest))
         throw new java.io.IOException(s"gbin commit: rename $sp -> $dest failed")
     }
     // sweep ONLY THIS JOB's leftover staging (zombie attempts whose
@@ -258,20 +337,26 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     // case the job-unique names make safe. Other crashed jobs'
     // orphans stay invisible to readers and are reclaimed by the
     // next truncate-overwrite (the directory reset).
-    val (f, p) = GraftBinarySource.fs(hconf, path)
     if (f.exists(p))
       f.listStatus(p).filter { st =>
         val n = st.getPath.getName
         n.endsWith(".gbin.tmp") && n.startsWith(s"part-$jobTag-")
       }.foreach(st => try f.delete(st.getPath, false) catch { case _: Exception => () })
+    // the COMMIT POINT: current manifest ∪ this job's parts, swapped
+    // in atomically (names are job-unique, so the union is exact even
+    // under the committer's concurrent-append allowance)
+    val mine = messages.map { case GbinCommit(staging, _) =>
+      new Path(staging.stripSuffix(".tmp")).getName }
+    val base = GraftBinarySource.readManifest(f, p).getOrElse(Seq.empty)
+    GraftBinarySource.writeManifest(f, p, base ++ mine, jobTag)
   }
 
   /** Delete the staged files AND any final name a partially-executed
     * commit() already renamed to — a recoverable rename failure
-    * mid-commit must not leave a visible prefix of the job (the
-    * remaining uncleanable window is a driver crash, where no abort
-    * runs at all — closing that needs a manifest/catalog transaction,
-    * i.e. a table format). */
+    * mid-commit must not leave stray part files behind. (Visibility
+    * never depended on it: commit() publishes the manifest only after
+    * all renames, so even the no-abort driver-crash case exposes
+    * nothing — abort here is garbage collection, not correctness.) */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     messages.foreach { case GbinCommit(staging, _) =>

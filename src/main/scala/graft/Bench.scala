@@ -43,7 +43,11 @@ object Bench {
     "bucketed_join_roundtrip", "zorder_layout_audit",
     "ann_lsh_topk", "ann_ivf_topk",
     "heavy_hitters_cms", "cms_error_contract",
-    "near_dedup_groups", "minhash_near_dedup")
+    "near_dedup_groups", "minhash_near_dedup",
+    // the deferred contracts: their declared output is a memoized
+    // verdict (DeferredContractSource.rowsFor) — a warm attempt would
+    // bill a scan of cached rows instead of the sweeps/join
+    "k_sweep_determinism_contract", "q_join_skew_aqe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

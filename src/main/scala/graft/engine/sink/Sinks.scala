@@ -74,11 +74,12 @@ object Sinks {
     * intermediates. */
   private val layoutCache = new graft.engine.SessionCache[String]
 
-  // weak-keyed per session (bounded map growth; the temp files
-  // themselves live until /tmp cleanup like any scratch output)
+  // weak-keyed per session (bounded map growth); the scratch dirs are
+  // deleted by a JVM shutdown hook (TempDirs) instead of accumulating
+  // until /tmp cleanup
   private def cachedPath(s: SparkSession, key: String)(write: String => Unit): String =
     layoutCache.get(s, key) {
-      val p = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+      val p = graft.engine.TempDirs.scratch("graft_sink") + "/out"
       write(p)
       p
     }

@@ -2,15 +2,28 @@ package graft.engine
 
 /** Scratch directories for session-scoped intermediates (the skew-join
   * dim, sink round-trip layouts): created under the system temp root
-  * and deleted by a JVM shutdown hook, so repeated sessions stop
-  * accumulating orphan directories (round-9 verdict #3 — every session
-  * used to leak one `graft-skewdim*` dir). A hook per directory is
-  * fine at this cardinality (a handful per JVM, memoized per session
-  * by the callers' SessionCaches). */
+  * and deleted at JVM exit, so repeated sessions stop accumulating
+  * orphan directories (round-9 verdict #3 — every session used to
+  * leak one `graft-skewdim*` dir). ONE shutdown hook drains a
+  * concurrent queue of registered paths — bench fresh-epoch runs
+  * create a scratch dir per cold attempt, so a hook-per-dir design
+  * would grow the hook set unboundedly in a long bench session. */
 object TempDirs {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = dirs.poll()
+      while (p != null) {
+        deleteRecursively(p.toFile)
+        p = dirs.poll()
+      }
+    }))
+
   def scratch(prefix: String): String = {
+    hookInstalled
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p.toFile)))
+    dirs.add(p)
     p.toString
   }
 

@@ -66,9 +66,16 @@ import org.apache.spark.util.SerializableConfiguration
   *    (temp + atomic rename) only AFTER every part rename succeeded —
   *    so a driver crash midway through the rename loop leaves the
   *    previous manifest, i.e. the previous table, intact (the window
-  *    Hadoop's v2 file committers share is closed here). Directories
+  *    Hadoop's v2 file committers share is closed here). OVERWRITE is
+  *    the same swap: the old table's parts survive until the commit
+  *    publishes the new-parts-only manifest, then get reclaimed — a
+  *    crash at ANY point leaves either the complete old or the
+  *    complete new table, never empty, never mixed (Hadoop's
+  *    overwrite deletes up front and can't offer this). Directories
   *    written by a pre-manifest version read via the directory
   *    listing until their first new-code commit snapshots one.
+  *    Single-manifest-writer per directory (the Hadoop committers'
+  *    own assumption) — see the commit() scaladoc.
   */
 class GraftBinarySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -279,20 +286,21 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     val hconf = spark.sessionState.newHadoopConf()
     val (f, p) = GraftBinarySource.fs(hconf, path)
     if (doTruncate && f.exists(p))
-      // sweep committed parts AND stale staging orphans of any
-      // previously crashed job (including orphan manifest temps) —
-      // truncate is the directory reset
+      // sweep only stale STAGING orphans (crashed jobs' `.tmp` parts
+      // and manifest temps). The PREVIOUS TABLE'S committed parts are
+      // NOT touched here: overwrite is an atomic swap at commit() —
+      // readers keep the old table until the new manifest is
+      // published, and the superseded parts are reclaimed after it
+      // (sweeping them at factory time would destroy the old table at
+      // job START and, worse, a crash between that sweep and any
+      // manifest reset would leave a manifest naming deleted files —
+      // a persistently unreadable directory).
       f.listStatus(p).filter { st =>
         val n = st.getPath.getName
-        n.endsWith(".gbin") || n.endsWith(".gbin.tmp") ||
+        n.endsWith(".gbin.tmp") ||
           (n.startsWith(GraftBinarySource.MANIFEST + ".") && n.endsWith(".tmp"))
       }.foreach(st => f.delete(st.getPath, false))
     f.mkdirs(p)
-    if (doTruncate)
-      // reset the manifest to the (now empty) table state so manifest
-      // readers during the job agree with the swept directory instead
-      // of chasing deleted part names
-      GraftBinarySource.writeManifest(f, p, Seq.empty, jobTag)
     // record layout is CANONICAL order; locate each canonical field in
     // the incoming write schema once, on the driver
     val srcIdx = GraftBinarySource.SCHEMA.fields.map(f2 => writeSchema.fieldIndex(f2.name))
@@ -311,12 +319,26 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     *
     * CRASH SAFETY: the renames never become visible on their own —
     * the table state is the MANIFEST, published once, atomically, as
-    * the last step. A driver crash anywhere before that swap leaves
-    * the previous manifest (the pre-job table) fully intact; the old
-    * mid-rename-loop window (readers seeing a prefix of the job) is
-    * closed. For a legacy directory with no manifest, one capturing
-    * the pre-job listing is written BEFORE the first rename, so
-    * listing-fallback readers can't see a prefix either. */
+    * the commit point. A driver crash anywhere before that swap
+    * leaves the previous manifest — the pre-job table, for OVERWRITE
+    * jobs too, since truncate no longer deletes the old parts at job
+    * start — fully intact; the old mid-rename-loop window (readers
+    * seeing a prefix of the job) is closed. For a legacy directory
+    * with no manifest, one capturing the pre-job listing is written
+    * BEFORE the first rename, so listing-fallback readers can't see a
+    * prefix either. After the swap, an overwrite reclaims every part
+    * the new manifest superseded (the previous table AND any crashed
+    * job's orphan finals) — a crash mid-reclaim leaves invisible
+    * orphans, never a wrong table.
+    *
+    * CONCURRENCY: part FILES are safe under concurrent appends
+    * (job-unique names, tag-scoped sweeps), but the manifest publish
+    * is a read-modify-write — two appends racing their commits can
+    * lose the slower job's entries (its parts stay on disk, invisible
+    * until re-appended). Single-manifest-writer is the same
+    * single-writer-per-directory assumption the Hadoop committers
+    * make; a true multi-writer table needs a catalog transaction,
+    * i.e. a table format — out of scope per SURVEY §2. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     val (f, p) = GraftBinarySource.fs(hconf, path)
@@ -331,24 +353,38 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
       if (!fr.rename(sp, dest))
         throw new java.io.IOException(s"gbin commit: rename $sp -> $dest failed")
     }
-    // sweep ONLY THIS JOB's leftover staging (zombie attempts whose
-    // abort never ran) — a tag-blind sweep would destroy the staging
+    // sweep ONLY THIS JOB's leftovers (zombie part staging whose abort
+    // never ran, and this job's failed-publish manifest temp if a
+    // retry left one) — a tag-blind sweep would destroy the staging
     // of a concurrent append job to the same directory, the exact
     // case the job-unique names make safe. Other crashed jobs'
     // orphans stay invisible to readers and are reclaimed by the
-    // next truncate-overwrite (the directory reset).
+    // next truncate-overwrite's commit (the table swap).
     if (f.exists(p))
       f.listStatus(p).filter { st =>
         val n = st.getPath.getName
-        n.endsWith(".gbin.tmp") && n.startsWith(s"part-$jobTag-")
+        (n.endsWith(".gbin.tmp") && n.startsWith(s"part-$jobTag-")) ||
+          n == s"${GraftBinarySource.MANIFEST}.$jobTag.tmp"
       }.foreach(st => try f.delete(st.getPath, false) catch { case _: Exception => () })
-    // the COMMIT POINT: current manifest ∪ this job's parts, swapped
-    // in atomically (names are job-unique, so the union is exact even
-    // under the committer's concurrent-append allowance)
+    // the COMMIT POINT: for APPEND, current manifest ∪ this job's
+    // parts; for OVERWRITE, exactly this job's parts — swapped in
+    // atomically. The swap is what makes overwrite all-or-nothing:
+    // readers resolve the old table until this rename lands.
     val mine = messages.map { case GbinCommit(staging, _) =>
       new Path(staging.stripSuffix(".tmp")).getName }
-    val base = GraftBinarySource.readManifest(f, p).getOrElse(Seq.empty)
+    val base = if (doTruncate) Seq.empty
+      else GraftBinarySource.readManifest(f, p).getOrElse(Seq.empty)
     GraftBinarySource.writeManifest(f, p, base ++ mine, jobTag)
+    if (doTruncate) {
+      // reclaim everything the swap superseded: the previous table's
+      // parts and any crashed job's orphan finals. Crash mid-reclaim
+      // leaves manifest-invisible orphans only — the next overwrite's
+      // commit sweeps them.
+      val keep = mine.toSet
+      GraftBinarySource.listedGbin(f, p).map(new Path(_))
+        .filter(q => !keep(q.getName))
+        .foreach(q => try f.delete(q, false) catch { case _: Exception => () })
+    }
   }
 
   /** Delete the staged files AND any final name a partially-executed

@@ -12,11 +12,14 @@ object ProfilePairsAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = args.drop(1).headOption.map(_.toInt).getOrElse(6)
+    // NOTE: heap is whatever the launching JVM started with (sbt's
+    // -Xmx) — spark.driver.memory can't change a running JVM, so it
+    // is deliberately NOT set here; record the launcher heap alongside
+    // cross-round A/B numbers.
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val times = (1 to n).map { i =>
@@ -28,7 +31,7 @@ object ProfilePairsAB {
       println(f"iter $i: $dt%.3f s")
       dt
     }
-    println(f"min=${times.min}%.3f median=${times.sorted.apply(n / 2)}%.3f")
+    println(f"min=${times.min}%.3f median=${times.sorted.apply((n - 1) / 2)}%.3f")
     spark.stop()
   }
 }

@@ -24,15 +24,20 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 class DeferredContractSpec extends SparkSpec {
 
   test("building + explaining the contract frames runs zero jobs; executing runs the real work") {
+    // Count ONLY jobs launched under this test's job group: the
+    // shared listener bus is async and other suites' stray JobStart
+    // events could otherwise land inside the snapshot window (a
+    // fixed-sleep global count is order- and load-sensitive).
+    val group = "deferred-contract-pin"
     @volatile var jobs = 0
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) jobs += 1
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "DeferredContractSpec zero-jobs pin")
     try {
-      // drain in-flight events from earlier suites, then snapshot
-      Thread.sleep(300)
-      val before = jobs
       val df1 = SparkEntry.queries("k_sweep_determinism_contract")(spark, sf0001)
       val df2 = SparkEntry.queries("q_join_skew_aqe")(spark, sf0001)
       // the plan-only tool surface: physical planning + formatted text
@@ -40,18 +45,21 @@ class DeferredContractSpec extends SparkSpec {
       df2.queryExecution.executedPlan
       df1.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
       df2.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-      Thread.sleep(500) // listener bus is async — give events time to land
-      assert(jobs == before,
-        s"plan construction/explain of the deferred contracts ran ${jobs - before} job(s)")
+      Thread.sleep(500) // grace for async delivery of any (unexpected) event
+      assert(jobs == 0,
+        s"plan construction/explain of the deferred contracts ran $jobs job(s)")
       // execution runs the deferred sweeps and must reproduce the
       // oracle-constant verdict
       val r = df1.collect().map(x =>
         (x.getInt(0), x.getInt(1), x.getLong(2), x.getBoolean(3), x.getBoolean(4))).toSeq
       assert(r == Seq((2, 6, 5L, true, true)), s"determinism verdict: $r")
       var waited = 0
-      while (jobs == before && waited < 5000) { Thread.sleep(100); waited += 100 }
-      assert(jobs > before, "executing the contract must run real Spark jobs")
-    } finally spark.sparkContext.removeSparkListener(listener)
+      while (jobs == 0 && waited < 5000) { Thread.sleep(100); waited += 100 }
+      assert(jobs > 0, "executing the contract must run real Spark jobs")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("the skew contract output matches the eager form's shape and the plan captures at execution") {

@@ -286,8 +286,14 @@ object KMeansSweep {
           val fFresh = Future {
             val f = sweep(cached, 2, 6, 10); (table(f), best(f))
           }
-          val (a, bestMemo) = Await.result(fMemo, Duration.Inf)
-          val (b, bestFresh) = Await.result(fFresh, Duration.Inf)
+          // await BOTH legs (as Try) before either finally runs: a
+          // failed fMemo rethrown directly would reach the unpersist
+          // below while fFresh is still mid-fit on the pool thread —
+          // yanking the shared cache out from under its running jobs
+          val tMemo = Await.ready(fMemo, Duration.Inf).value.get
+          val tFresh = Await.ready(fFresh, Duration.Inf).value.get
+          val (a, bestMemo) = tMemo.get
+          val (b, bestFresh) = tFresh.get
           Seq(Seq(2, 6, a.length.toLong, a == b, bestMemo == bestFresh))
         } finally pool.shutdown()
       } finally cached.unpersist()

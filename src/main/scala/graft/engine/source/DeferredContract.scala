@@ -70,6 +70,10 @@ object DeferredContractSource {
     contracts.put(key, Contract(schema, run))
 
   private[source] def contract(key: String): Contract = {
+    // a missing 'contract' option reaches here as null (inferSchema
+    // runs before getTable's require) — CHM.get(null) would NPE
+    require(key != null,
+      "deferred-contract source requires 'contract' and 'sfDir' options")
     val c = contracts.get(key)
     require(c != null, s"unregistered deferred contract '$key'")
     c

@@ -125,11 +125,17 @@ object GraftBinarySource {
 
   /** Write the manifest via temp + rename — the rename is the commit
     * point (atomic on posix and HDFS). Renaming onto an existing
-    * manifest: posix rename(2) replaces it atomically; HDFS refuses,
-    * so fall back to delete-then-rename — the instant with NO manifest
-    * is safe, because every writer swaps the manifest only at moments
-    * when the directory listing equals the intended table state
-    * (truncate: after the sweep; commit: after all renames). */
+    * manifest: posix rename(2) replaces it atomically; HDFS's
+    * `FileSystem.rename` refuses an existing destination, so the swap
+    * goes through `FileContext.rename(OVERWRITE)` — HDFS's native
+    * atomic-replace rename — keeping the publish a single atomic step
+    * there too. A delete-then-rename would NOT be safe mid-overwrite:
+    * its no-manifest instant drops readers onto the directory listing,
+    * which at that point holds old ∪ new parts (the old table is
+    * reclaimed only after the publish) — so that form survives only
+    * as the last resort for schemes with no AbstractFileSystem
+    * binding, where gbin's guarantee honestly degrades to listing
+    * semantics. */
   private[source] def writeManifest(f: FileSystem, dir: Path,
       names: Seq[String], tag: String): Unit = {
     val tmp = new Path(dir, s"$MANIFEST.$tag.tmp")
@@ -139,9 +145,16 @@ object GraftBinarySource {
     finally out.close()
     val dst = new Path(dir, MANIFEST)
     if (!f.rename(tmp, dst)) {
-      f.delete(dst, false)
-      if (!f.rename(tmp, dst))
-        throw new java.io.IOException(s"gbin manifest publish: rename $tmp -> $dst failed")
+      try
+        org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          f.delete(dst, false)
+          if (!f.rename(tmp, dst))
+            throw new java.io.IOException(
+              s"gbin manifest publish: rename $tmp -> $dst failed")
+      }
     }
   }
 
@@ -338,21 +351,44 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     * until re-appended). Single-manifest-writer is the same
     * single-writer-per-directory assumption the Hadoop committers
     * make; a true multi-writer table needs a catalog transaction,
-    * i.e. a table format — out of scope per SURVEY §2. */
+    * i.e. a table format — out of scope per SURVEY §2. Readers:
+    * all-or-nothing is a statement about which TABLE a scan resolves
+    * (never a mixed or partial one), not snapshot isolation — a scan
+    * that resolved the old manifest and is still reading when an
+    * overwrite's post-swap reclaim deletes those parts fails with a
+    * missing-file error, exactly as an in-flight scan over any
+    * non-snapshot layout (parquet dirs included) does; retrying
+    * resolves the new table. Durable isolation, like multi-writer,
+    * is table-format territory. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     val (f, p) = GraftBinarySource.fs(hconf, path)
-    if (GraftBinarySource.readManifest(f, p).isEmpty)
-      // pre-job snapshot: this job's parts are all still `.tmp`, so
-      // the listing here is exactly the table readers saw until now
-      GraftBinarySource.writeManifest(f, p,
-        GraftBinarySource.listedGbin(f, p).map(new Path(_).getName), jobTag)
+    // ONE manifest read serves the legacy-snapshot decision and the
+    // append base below (re-reading after the snapshot write would
+    // just hand back what this method wrote two lines earlier)
+    val preManifest = GraftBinarySource.readManifest(f, p)
+    val preNames = preManifest match {
+      case Some(names) => names
+      case None =>
+        // pre-job snapshot: this job's parts are all still `.tmp`, so
+        // the listing here is exactly the table readers saw until now
+        val snap = GraftBinarySource.listedGbin(f, p).map(new Path(_).getName)
+        GraftBinarySource.writeManifest(f, p, snap, jobTag)
+        snap
+    }
     messages.foreach { case GbinCommit(staging, _) =>
       val (fr, sp) = GraftBinarySource.fs(hconf, staging)
       val dest = new Path(staging.stripSuffix(".tmp"))
       if (!fr.rename(sp, dest))
         throw new java.io.IOException(s"gbin commit: rename $sp -> $dest failed")
     }
+    // ONE post-rename listing serves the leftover sweep here and the
+    // overwrite reclaim below (single-writer: nothing else mutates
+    // the directory between this listing and the reclaim; the only
+    // in-between writes are this method's own tmp deletions and the
+    // manifest swap, neither of which touches a `.gbin` final)
+    val listing =
+      if (f.exists(p)) f.listStatus(p).toSeq.filter(_.isFile) else Seq.empty
     // sweep ONLY THIS JOB's leftovers (zombie part staging whose abort
     // never ran, and this job's failed-publish manifest temp if a
     // retry left one) — a tag-blind sweep would destroy the staging
@@ -360,20 +396,18 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     // case the job-unique names make safe. Other crashed jobs'
     // orphans stay invisible to readers and are reclaimed by the
     // next truncate-overwrite's commit (the table swap).
-    if (f.exists(p))
-      f.listStatus(p).filter { st =>
-        val n = st.getPath.getName
-        (n.endsWith(".gbin.tmp") && n.startsWith(s"part-$jobTag-")) ||
-          n == s"${GraftBinarySource.MANIFEST}.$jobTag.tmp"
-      }.foreach(st => try f.delete(st.getPath, false) catch { case _: Exception => () })
+    listing.filter { st =>
+      val n = st.getPath.getName
+      (n.endsWith(".gbin.tmp") && n.startsWith(s"part-$jobTag-")) ||
+        n == s"${GraftBinarySource.MANIFEST}.$jobTag.tmp"
+    }.foreach(st => try f.delete(st.getPath, false) catch { case _: Exception => () })
     // the COMMIT POINT: for APPEND, current manifest ∪ this job's
     // parts; for OVERWRITE, exactly this job's parts — swapped in
     // atomically. The swap is what makes overwrite all-or-nothing:
     // readers resolve the old table until this rename lands.
     val mine = messages.map { case GbinCommit(staging, _) =>
       new Path(staging.stripSuffix(".tmp")).getName }
-    val base = if (doTruncate) Seq.empty
-      else GraftBinarySource.readManifest(f, p).getOrElse(Seq.empty)
+    val base = if (doTruncate) Seq.empty else preNames
     GraftBinarySource.writeManifest(f, p, base ++ mine, jobTag)
     if (doTruncate) {
       // reclaim everything the swap superseded: the previous table's
@@ -381,8 +415,8 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
       // leaves manifest-invisible orphans only — the next overwrite's
       // commit sweeps them.
       val keep = mine.toSet
-      GraftBinarySource.listedGbin(f, p).map(new Path(_))
-        .filter(q => !keep(q.getName))
+      listing.map(_.getPath)
+        .filter(q => q.getName.endsWith(".gbin") && !keep(q.getName))
         .foreach(q => try f.delete(q, false) catch { case _: Exception => () })
     }
   }

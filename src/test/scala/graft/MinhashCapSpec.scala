@@ -29,7 +29,7 @@ class MinhashCapSpec extends SparkSpec {
     * per band) + 3 docs with disjoint token sets (isolated). */
   private def writeHotBucketCorpus(nDup: Int): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-capspec").toString
+    val dir = graft.engine.TempDirs.scratch("graft-capspec")
     val dupText = "the quick brown fox jumps over the lazy dog again and again"
     val docs =
       (0L until nDup.toLong).map(i => (i, dupText, "en", "web", dupText.length.toLong)) ++
@@ -149,7 +149,7 @@ class MinhashCapSpec extends SparkSpec {
       corpusGen.apply(Gen.Parameters.default, Seed(907L + i)))
     for (((cap, texts), si) <- samples.zipWithIndex) {
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory(s"capprop$si").toString
+      val dir = graft.engine.TempDirs.scratch(s"capprop$si")
       texts.zipWithIndex.map { case (t, i) =>
         (i.toLong, t, "en", "web", t.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -294,7 +294,7 @@ class MinhashCapSpec extends SparkSpec {
       corpusGen.apply(Gen.Parameters.default, Seed(4177L + i)))
     for (((cap, shard, texts), si) <- samples.zipWithIndex) {
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory(s"shardprop$si").toString
+      val dir = graft.engine.TempDirs.scratch(s"shardprop$si")
       texts.zipWithIndex.map { case (t, i) =>
         (i.toLong, t, "en", "web", t.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -352,7 +352,7 @@ class MinhashCapSpec extends SparkSpec {
       corpusGen.apply(Gen.Parameters.default, Seed(6211L + i)))
     for (((cap, texts), si) <- samples.zipWithIndex) {
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory(s"band4prop$si").toString
+      val dir = graft.engine.TempDirs.scratch(s"band4prop$si")
       texts.zipWithIndex.map { case (t, i) =>
         (i.toLong, t, "en", "web", t.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -62,6 +62,20 @@ class DeferredContractSpec extends SparkSpec {
     }
   }
 
+  test("a missing or unregistered 'contract' option fails with the designed message, not an NPE") {
+    // inferSchema runs BEFORE getTable's require, so a null option
+    // must be caught there too (CHM.get(null) would throw a bare NPE)
+    val noOption = intercept[IllegalArgumentException] {
+      spark.read.format(graft.engine.source.DeferredContractSource.FORMAT).load()
+    }
+    assert(noOption.getMessage.contains("requires 'contract' and 'sfDir'"))
+    val unregistered = intercept[IllegalArgumentException] {
+      spark.read.format(graft.engine.source.DeferredContractSource.FORMAT)
+        .option("contract", "no_such_contract").option("sfDir", sf0001).load()
+    }
+    assert(unregistered.getMessage.contains("unregistered deferred contract"))
+  }
+
   test("the skew contract output matches the eager form's shape and the plan captures at execution") {
     val df = SparkEntry.queries("q_join_skew_aqe")(spark, sf0001)
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==

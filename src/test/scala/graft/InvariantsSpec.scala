@@ -138,4 +138,24 @@ class InvariantsSpec extends SparkSpec {
         .select("criterion", "best_k").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(pick(a) == pick(b))
   }
+
+  test("sweep leaves a caller-persisted point set cached; releases one it persisted itself") {
+    // the ownership contract the determinism contract's CONCURRENT
+    // sweeps rely on: an unconditional unpersist inside sweep() would
+    // yank the shared cache out from under the sibling sweep mid-fit
+    import graft.engine.cluster.KMeansSweep
+    import org.apache.spark.storage.StorageLevel
+    val pts = graft.engine.Tables.points(spark, sf0001)
+    val cached = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      KMeansSweep.sweep(cached, 2, 3, 5).collect()
+      assert(cached.storageLevel != StorageLevel.NONE,
+        "sweep must not unpersist a caller-managed cache")
+    } finally cached.unpersist()
+    // self-persisted path: the input arrives uncached and must leave
+    // uncached (sweep persists, fits, and releases its own cache)
+    KMeansSweep.sweep(pts, 2, 3, 5).collect()
+    assert(pts.storageLevel == StorageLevel.NONE,
+      "sweep must release the cache it created itself")
+  }
 }

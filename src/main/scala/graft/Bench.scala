@@ -47,7 +47,10 @@ object Bench {
     // the deferred contracts: their declared output is a memoized
     // verdict (DeferredContractSource.rowsFor) — a warm attempt would
     // bill a scan of cached rows instead of the sweeps/join
-    "k_sweep_determinism_contract", "q_join_skew_aqe")
+    "k_sweep_determinism_contract", "q_join_skew_aqe",
+    // the bloom builds joined the session memos in round 12 (they ran
+    // eagerly-unmemoized before): cold-bill them like the CMS sketch
+    "bloom_fpp_contract", "q_join_bloom_prefilter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

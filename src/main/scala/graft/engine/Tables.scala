@@ -50,16 +50,23 @@ object Tables {
       case _ => col("ts")
     }
 
-  def events(s: SparkSession, d: String): DataFrame = {
-    ensureNanosAsLong(s)
-    // eventTsExpr's NTZ→TIMESTAMP branch is instant-preserving only
-    // under a UTC session zone (the entry points pin it); a library
-    // caller under a local TZ would get wall-clock-shifted instants
-    // for the µs generation only — fail fast instead of drifting
+  /** eventTsExpr's NTZ→TIMESTAMP branch is instant-preserving only
+    * under a UTC session zone (the entry points pin it); a library
+    * caller under a local TZ would get wall-clock-shifted instants
+    * for the µs generation only — fail fast instead of drifting.
+    * Shared by the batch loader below and every STREAMING query that
+    * applies [[eventTsExpr]] to a readStream (which cannot go through
+    * Tables.events). */
+  def requireUtcForEventTs(s: SparkSession): Unit = {
     val tz = s.conf.get("spark.sql.session.timeZone")
     require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
-      s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
-        "the TIMESTAMP_NTZ normalization is only instant-preserving under UTC")
+      s"event timestamp normalization requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the TIMESTAMP_NTZ cast is only instant-preserving under UTC")
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    ensureNanosAsLong(s)
+    requireUtcForEventTs(s)
     val raw = table(s, d, "events")
     raw.withColumn("ts", eventTsExpr(raw.schema))
   }

@@ -52,6 +52,8 @@ object KMeansSweep {
     * enters the math); t_ms is per-k wall-clock and now overlaps. */
   def sweep(points: DataFrame, kMin: Int, kMax: Int,
             maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    require(kMin <= kMax && kMin >= 1,
+      s"k-sweep needs a non-empty range of k >= 1, got [$kMin, $kMax]")
     val spark = points.sparkSession
     import spark.implicits._
     // an already-persisted input keeps its caller-managed lifetime —
@@ -115,6 +117,7 @@ object KMeansSweep {
     import spark.implicits._
     val rows = sweepDf.select("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin")
       .orderBy("k").collect() // k_max − k_min + 1 rows: driver-side is O(k)
+    require(rows.nonEmpty, "optimalK needs a non-empty sweep table")
     def best(idx: Int, maximize: Boolean): (Int, Double) = {
       val vals = rows.map(r => (r.getInt(0), r.getDouble(idx)))
       val pick = if (maximize) vals.maxBy(v => (v._2, -v._1)) else vals.minBy(v => (v._2, v._1.toDouble))
@@ -177,8 +180,10 @@ object KMeansSweep {
           .unionAll(one("bd_dunn", Indices.bdDunn(p), "bd_dunn"))
           .unionAll(one("davies_bouldin", Indices.daviesBouldin(p), "davies_bouldin"))
           .localCheckpoint(true)
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_report").toString + "/report"
+        // TempDirs-registered: fresh-epoch bench attempts evict the
+        // reportCache entry, so every cold re-timing writes a new
+        // report dir — without the exit hook each one is an orphan
+        val out = graft.engine.TempDirs.scratch("graft_report") + "/report"
         writeReport(report, out, alsoCsv = true)
         out
       }

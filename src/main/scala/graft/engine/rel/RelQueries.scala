@@ -32,6 +32,8 @@ object RelQueries {
     * [[graft.engine.TempDirs.scratch]] — so sessions stop leaking one
     * `graft-skewdim*` directory each, round-9 verdict #3). */
   private val skewDimCache = new graft.engine.SessionCache[String]
+  private val urgentBloomCache =
+    new graft.engine.SessionCache[org.apache.spark.util.sketch.BloomFilter]
 
   /** Final adaptive plan of the last `q_join_skew_aqe` execution PER
     * SESSION (weak-keyed like SessionCache, so concurrent sessions
@@ -211,7 +213,14 @@ object RelQueries {
     "q_join_bloom_prefilter" -> ((s, d) => {
       val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_orderdate"))
-      val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      // memoized per (session, sfDir): `.stat.bloomFilter` is a full
+      // Spark action, and running it at frame BUILD made plan-only
+      // tools (Explain/PlanDump/ScanAudit) pay an orders scan per
+      // look — the same class the deferred contracts fixed. ownMemo
+      // keeps the bench billing this build cold every attempt.
+      val bloom = urgentBloomCache.get(s, d) {
+        urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      }
       val bc = s.sparkContext.broadcast(bloom)
       val might = graft.engine.sketch.Sketches.udfMightContainLong(bc)
       lineitem(s, d).filter(might(col("l_orderkey")))

@@ -142,19 +142,23 @@ object Sinks {
       val path = cachedPath(s, s"$d|csv")(p =>
         graft.engine.Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source")
-          .write.mode(SaveMode.Overwrite).option("header", "true").csv(p))
+          .write.mode(SaveMode.Overwrite).option("header", "true")
+          .option("nullValue", "\u0001").csv(p))
       // multiLine: the writer quotes embedded newlines, but the
       // default reader splits records at EVERY newline even inside
       // quotes — a newline-bearing text would shatter into malformed
-      // rows and falsely flag corruption. nullValue sentinel (a
-      // control char the writer never emits): the reader's DEFAULT
-      // treats "" as NULL, which would silently drop an empty text
-      // from countDistinct while the oracle counts it.
+      // rows and falsely flag corruption. nullValue sentinel (u0001,
+      // a control char real text never contains) on BOTH sides: the
+      // reader's DEFAULT nullValue is "" and would silently turn an
+      // empty text into NULL, dropping it from countDistinct while
+      // the oracle counts it, and the symmetric writer sentinel makes
+      // a genuine NULL roundtrip as NULL instead of "". (Inert on the
+      // fixtures - no null or empty text exists - boundary contract.)
       s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
         .option("header", "true")
         .option("multiLine", "true")
-        .option("nullValue", "")
+        .option("nullValue", "\u0001")
         .csv(path)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),

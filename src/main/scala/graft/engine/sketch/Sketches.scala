@@ -41,12 +41,19 @@ object Sketches {
 
   /** Bloom filter over distinct tokens (pre-filter for "possibly a
     * known token" checks — e.g. skipping the dedup path for docs made
-    * entirely of never-seen tokens). */
+    * entirely of never-seen tokens). Memoized per (session, sfDir,
+    * sizing) like its sibling tokenCms and for the same reason: the
+    * corpus token scan + filter build amortizes across invocations
+    * (the bench bills `bloom_fpp_contract` cold via ownMemo). */
+  private val bloomCache =
+    new graft.engine.SessionCache[BloomFilter]
   def tokenBloom(s: SparkSession, d: String, expectedItems: Long = 100000L,
                  fpp: Double = 0.01): BloomFilter =
-    Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .stat.bloomFilter("token", expectedItems, fpp)
+    bloomCache.get(s, s"$d|$expectedItems|$fpp") {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .stat.bloomFilter("token", expectedItems, fpp)
+    }
 
   /** Exact top-10 (token, count), memoized per (session, sfDir) —
     * shared by the declared heavy-hitter surface and the CMS contract

@@ -298,7 +298,7 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
     val (f, p) = GraftBinarySource.fs(hconf, path)
-    if (doTruncate && f.exists(p))
+    if (doTruncate && f.exists(p)) {
       // sweep only stale STAGING orphans (crashed jobs' `.tmp` parts
       // and manifest temps). The PREVIOUS TABLE'S committed parts are
       // NOT touched here: overwrite is an atomic swap at commit() —
@@ -308,11 +308,25 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
       // job START and, worse, a crash between that sweep and any
       // manifest reset would leave a manifest naming deleted files —
       // a persistently unreadable directory).
+      // AGE-GATED: a `.tmp` younger than the TTL may be a CONCURRENT
+      // append job's live staging (job-unique names make the files
+      // collision-safe, but a tag-blind delete here would fail that
+      // job's commit renames — violating the module's own concurrent-
+      // append contract). A crashed job's orphan is by definition not
+      // being written anymore, so it ages past the TTL and the next
+      // overwrite reclaims it; until then it is invisible to readers
+      // and costs only disk. Default 24 h — longer than any sane task
+      // attempt; crash-sim tests force 0 to sweep immediately.
+      val ttl = spark.conf
+        .get("graft.gbin.staleStagingTtlMs", (24L * 3600 * 1000).toString).toLong
+      val now = System.currentTimeMillis()
       f.listStatus(p).filter { st =>
         val n = st.getPath.getName
-        n.endsWith(".gbin.tmp") ||
-          (n.startsWith(GraftBinarySource.MANIFEST + ".") && n.endsWith(".tmp"))
+        (n.endsWith(".gbin.tmp") ||
+          (n.startsWith(GraftBinarySource.MANIFEST + ".") && n.endsWith(".tmp"))) &&
+          now - st.getModificationTime >= ttl
       }.foreach(st => f.delete(st.getPath, false))
+    }
     f.mkdirs(p)
     // record layout is CANONICAL order; locate each canonical field in
     // the incoming write schema once, on the driver
@@ -345,7 +359,10 @@ class GbinBatchWrite(path: String, writeSchema: StructType, doTruncate: Boolean)
     * orphans, never a wrong table.
     *
     * CONCURRENCY: part FILES are safe under concurrent appends
-    * (job-unique names, tag-scoped sweeps), but the manifest publish
+    * (job-unique names, tag-scoped sweeps here in commit(); the
+    * truncate factory's stale-orphan sweep is AGE-GATED by
+    * `graft.gbin.staleStagingTtlMs` so it cannot delete a live
+    * concurrent append's staging), but the manifest publish
     * is a read-modify-write — two appends racing their commits can
     * lose the slower job's entries (its parts stay on disk, invisible
     * until re-appended). Single-manifest-writer is the same

@@ -53,6 +53,31 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** At most ONE live memory-sink table per (session, query key):
+    * each invocation registers a fresh uniquely-named table (two
+    * concurrent streams cannot share a query name), but drops the
+    * PREVIOUS invocation's table first — without this, bench re-runs
+    * accumulated a full result copy per attempt in the driver catalog
+    * for the session's lifetime. Weak session key, like SessionCache:
+    * a GC'd session's entries die with it (so do its temp views). */
+  private val lastSink =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private def freshSinkName(s: SparkSession, key: String): String = {
+    val name = s"${key}_${System.nanoTime()}"
+    val perSession = lastSink.synchronized {
+      var m = lastSink.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        lastSink.put(s, m)
+      }
+      m
+    }
+    val prev = perSession.put(key, name)
+    if (prev != null)
+      try s.catalog.dropTempView(prev) catch { case _: Exception => () }
+    name
+  }
+
   /** Tumbling 1 h window × event_type (#41, batch form). */
   private def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -88,8 +113,9 @@ object StreamQueries {
     * stream. */
   private def watermarkDedup(s: SparkSession, d: String): DataFrame = {
     Tables.ensureNanosAsLong(s)
+    Tables.requireUtcForEventTs(s) // eventTsExpr on a readStream below
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = s"wm_dedup_${System.nanoTime()}"
+    val name = freshSinkName(s, "wm_dedup")
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(d)
@@ -111,7 +137,7 @@ object StreamQueries {
     import s.implicits._
     Tables.ensureNanosAsLong(s)
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = s"stateful_${System.nanoTime()}"
+    val name = freshSinkName(s, "stateful")
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .selectExpr("user_id", "value").as[(Long, Double)]
@@ -144,6 +170,7 @@ object StreamQueries {
     * and the DuckDB oracle applies. */
   private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     Tables.ensureNanosAsLong(s)
+    Tables.requireUtcForEventTs(s) // eventTsExpr on a readStream below
     val schema = s.read.parquet(s"$d/events.parquet").schema
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -154,7 +181,7 @@ object StreamQueries {
     val clk = src.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("tss").as("cts"))
       .withWatermark("cts", "10 minutes")
-    val name = s"ssj_${System.nanoTime()}"
+    val name = freshSinkName(s, "ssj")
     withStatePartitions(s, 4) {
       val q = err.join(clk,
           col("eu") === col("cu")
@@ -211,7 +238,7 @@ object StreamQueries {
   private def transformWithStateRun(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = s"tws_${System.nanoTime()}"
+    val name = freshSinkName(s, "tws")
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -240,7 +267,7 @@ object StreamQueries {
     * DuckDB oracle. */
   private def streamContentDedup(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val name = s"scd_${System.nanoTime()}"
+    val name = freshSinkName(s, "scd")
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -271,8 +298,9 @@ object StreamQueries {
 
   private def foreachBatchSink(s: SparkSession, d: String): DataFrame = {
     Tables.ensureNanosAsLong(s)
+    Tables.requireUtcForEventTs(s) // eventTsExpr on a readStream below
     val out = febCache.get(s, d) {
-      val p = java.nio.file.Files.createTempDirectory("graft_febs").toString + "/agg"
+      val p = graft.engine.TempDirs.scratch("graft_febs") + "/agg"
       foreachBatchRun(s, d, p)
       p
     }

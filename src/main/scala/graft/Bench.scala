@@ -155,6 +155,18 @@ object Bench {
     // German default locale and break the JSON protocol
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // JSON string escape (Verify's q(), same failure mode): sfDir is
+    // env-controlled — a quote/backslash/control char in the path
+    // would emit invalid JSON and zero the round's bench parse
+    def q(str: String): String = "\"" + str.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
     // queries (the driver never sets it — full surface by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -206,14 +218,14 @@ object Bench {
           // attempts are cold by construction now)
           if (second < 0) first else math.min(first, second)
         } else first
-      println(s"""{"metric":"query","name":"$name","value":${fmt(sec)},"unit":"sec"}""")
+      println(s"""{"metric":"query","name":${q(name)},"value":${fmt(sec)},"unit":"sec"}""")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => q(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"per-query min of 2 full executions (2nd only if 1st > ${fmt(rerunThreshold)} s; EVERY attempt of an own-memo query runs cold under a throwaway memo epoch)"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)},"protocol":"per-query min of 2 full executions (2nd only if 1st > ${fmt(rerunThreshold)} s; EVERY attempt of an own-memo query runs cold under a throwaway memo epoch)"}"""
     println(summary)
     // the full summary line above is ~2.5 KB at 90+ queries and the
     // driver's tail capture has cut its HEAD off every round
@@ -222,9 +234,9 @@ object Bench {
     // can truncate it; per-query detail stays in the full line, the
     // per-query lines, and the summary file
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => q(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${results.size},"protocol":"per-query min of 2 full executions (2nd only if 1st > ${fmt(rerunThreshold)} s; EVERY attempt of an own-memo query runs cold under a throwaway memo epoch)","detail":"bench_summary.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"sf":${q(sfDir)},"n_queries":${results.size},"protocol":"per-query min of 2 full executions (2nd only if 1st > ${fmt(rerunThreshold)} s; EVERY attempt of an own-memo query runs cold under a throwaway memo epoch)","detail":"bench_summary.json"}"""
     println(compact)
     // ALSO on stderr: sbt prefixes every stdout line with "[info] ",
     // which has broken the driver's JSON parse four rounds running

@@ -19,12 +19,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ClusterQueries.queries("wssse")(spark, "/root/testdata/sf0.001")
 
+  /** The individual packs, exposed so InvariantsSpec can assert
+    * cross-pack key uniqueness: `++` is last-wins, so a query name
+    * declared in two packs would silently shadow one implementation —
+    * the shadowed one never benched or verified again while every
+    * name-presence check still passes. */
+  private[graft] val queryPacks: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    Seq(ClusterQueries.queries, RelQueries.queries, Udafs.queries,
+      StreamQueries.queries, TextOps.queries, Similarity.queries,
+      KMeansSweep.queries, Multimodal.queries, Sketches.queries,
+      graft.engine.sink.Sinks.queries)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ClusterQueries.queries ++ RelQueries.queries ++ Udafs.queries ++
-      StreamQueries.queries ++ TextOps.queries ++ Similarity.queries ++
-      KMeansSweep.queries ++ Multimodal.queries ++ Sketches.queries ++
-      graft.engine.sink.Sinks.queries
+    queryPacks.reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

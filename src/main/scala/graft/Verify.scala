@@ -14,6 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the TOK/MINHASH/minhash_recall oracle SQL hardcodes the default
+    // 8-hex-digit md5 fold; a session running a different width would
+    // silently desynchronize token ids / sample predicates from the
+    // oracle. Fail BEFORE the dump loop — failing after it wasted the
+    // whole multi-minute dump and left stale wrong-fold parquet in
+    // outDir for the driver to compare.
+    val fw = spark.conf.get("graft.text.foldHexDigits", "8")
+    require(fw == "8",
+      s"oracled runs require graft.text.foldHexDigits=8 (got $fw): the oracle SQL hardcodes the 8-digit fold")
     new java.io.File(outDir).mkdirs()
     // iteration aid: SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps just those
     // queries (the driver never sets it — full surface by default)
@@ -40,13 +49,6 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // the TOK/MINHASH/minhash_recall oracle SQL hardcodes the default
-    // 8-hex-digit md5 fold; a session running a different width would
-    // silently desynchronize token ids / sample predicates from the
-    // oracle. Fail loudly instead of producing a confusing mismatch.
-    val fw = spark.conf.get("graft.text.foldHexDigits", "8")
-    require(fw == "8",
-      s"oracled runs require graft.text.foldHexDigits=8 (got $fw): the oracle SQL hardcodes the 8-digit fold")
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -47,14 +47,19 @@ object ProfileAnn {
       BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def wt(i: Int, j: Int): Long =
       (((i * 73 + 19) * (j * 31 + 7) + i.toLong * j * j + i.toLong * i) % 13) - 6
+    // bits per table MUST track production (lshBits scales with the
+    // vector count — 5 at sf0.1's 2000 vecs, not a hardcoded 3): a
+    // denser banding inflates candidate counts ~4x and the profile
+    // stops decomposing the real annLshPlan cost
+    val bits = graft.engine.sim.Similarity.lshBits(v.count())
     val sig = v.select("vec_id", "f").as[(Long, Array[Double])]
       .mapPartitions { it =>
         it.flatMap { case (id, f) =>
           (0 until 5).map { tt =>
             var sigv = 0L
             var b = 0
-            while (b < 3) {
-              val j = tt * 3 + b
+            while (b < bits) {
+              val j = tt * bits + b
               var proj = 0.0
               var i = 0
               while (i < f.length) { proj += f(i) * wt(i + 1, j); i += 1 }

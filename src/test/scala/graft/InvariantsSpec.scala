@@ -139,6 +139,15 @@ class InvariantsSpec extends SparkSpec {
     assert(pick(a) == pick(b))
   }
 
+  test("no query name is declared by two packs (Map ++ is last-wins shadowing)") {
+    val total = SparkEntry.queryPacks.map(_.size).sum
+    assert(total == SparkEntry.queries.size, {
+      val dups = SparkEntry.queryPacks.flatMap(_.keys)
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+      s"${total - SparkEntry.queries.size} shadowed query key(s): ${dups.mkString(", ")}"
+    })
+  }
+
   test("sweep leaves a caller-persisted point set cached; releases one it persisted itself") {
     // the ownership contract the determinism contract's CONCURRENT
     // sweeps rely on: an unconditional unpersist inside sweep() would

@@ -25,13 +25,19 @@ class EmptyCorpusSpec extends SparkSpec {
   }
 
   test("dedup chains yield empty frames, not throws, on an empty corpus") {
+    // per-doc / per-pair shapes must be EXACTLY empty — a uniform
+    // n <= 1 allowance would let a global-agg-on-empty phantom row
+    // (all-NULL keeper, zero fingerprint) flow into downstream
+    // aggregates unnoticed. Only exact_substring_dedup is
+    // aggregate-shaped and legitimately emits one all-zero row.
     for (q <- Seq("exact_dedup", "minhash_near_dedup", "near_dedup_groups",
         "dedup_survivors", "simhash_dedup", "ngram_jaccard_dedup",
-        "exact_substring_dedup", "chunk_dedup", "doc_fingerprint",
-        "winnow_fingerprint")) {
+        "chunk_dedup", "doc_fingerprint", "winnow_fingerprint")) {
       val n = TextOps.queries(q)(spark, emptyDir).count()
-      // aggregate-shaped outputs may legitimately emit one all-zero row
-      assert(n <= 1, s"$q returned $n rows on an empty corpus")
+      assert(n == 0, s"$q returned $n rows on an empty corpus (expected 0)")
     }
+    val nSub = TextOps.queries("exact_substring_dedup")(spark, emptyDir).count()
+    assert(nSub <= 1,
+      s"exact_substring_dedup returned $nSub rows on an empty corpus (aggregate shape: <= 1)")
   }
 }

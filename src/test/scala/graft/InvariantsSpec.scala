@@ -103,15 +103,35 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
-  test("exact dedup is idempotent") {
-    val docs = Seq(
-      (1L, "a b c"), (2L, "a b c"), (3L, "d e f"), (4L, "g h i"),
-    ).toDF("doc_id", "text")
-    val survivors = docs.groupBy("text")
-      .agg(min("doc_id").as("doc_id"), first("text").as("t"))
-    val once = survivors.count()
-    val twice = survivors.groupBy("t").agg(min("doc_id")).count()
-    assert(once == twice && once == 3)
+  test("exact dedup is idempotent (the PRODUCTION query, not an inline mirror)") {
+    // the old form recomputed dedup with ad-hoc groupBy aggregations
+    // written in the test itself — no production regression could
+    // fail it. This one runs the declared query twice: once over a
+    // corpus with PLANTED duplicates (adding the vacuity guard
+    // revealed the sf0.001 fixture contains NO exact-duplicate texts
+    // — the old test had nothing to collapse either), once over the
+    // survivor corpus the first pass produced.
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    val planted = base.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val dir0 = graft.engine.TempDirs.scratch("dedup-idem-src")
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$dir0/documents.parquet")
+    val first = SparkEntry.queries("exact_dedup")(spark, dir0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(first.exists(_._2 > 1),
+      "planted duplicates missing — idempotence test would be vacuous")
+    val keepers = first.map(_._1).toSet
+    val dir = graft.engine.TempDirs.scratch("dedup-idem")
+    spark.read.parquet(s"$dir0/documents.parquet")
+      .filter(col("doc_id").isInCollection(keepers))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val second = SparkEntry.queries("exact_dedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(second.forall(_._2 == 1L),
+      "survivor corpus must contain no remaining duplicates")
+    assert(second.map(_._1).toSet == keepers,
+      "second pass must keep exactly the first pass's keepers")
   }
 
   test("seeded k-sweep and optimal-k selection are run-to-run deterministic") {

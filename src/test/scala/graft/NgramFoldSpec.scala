@@ -60,7 +60,7 @@ class NgramFoldSpec extends SparkSpec {
       val bad = df.select(col("doc_id"),
           expr(s"ngram_fold_ids(w, $n, $width)").as("native"),
           expr(hofFoldIds(n, width)).as("hof"))
-        .filter(not(col("native") === col("hof")))
+        .filter(!(col("native") <=> col("hof"))) // null-safe: a NULL kernel result must FAIL, not filter out
         .collect()
       assert(bad.isEmpty, s"n=$n width=$width diverged: ${bad.mkString("; ")}")
     }
@@ -71,7 +71,7 @@ class NgramFoldSpec extends SparkSpec {
       val bad = df.select(col("doc_id"),
           expr(s"ngram_fold_seq(w, $n, $width)").as("native"),
           expr(hofFoldSeq(n, width)).as("hof"))
-        .filter(not(col("native") === col("hof")))
+        .filter(!(col("native") <=> col("hof"))) // null-safe: a NULL kernel result must FAIL, not filter out
         .collect()
       assert(bad.isEmpty, s"n=$n width=$width diverged: ${bad.mkString("; ")}")
     }
@@ -82,7 +82,7 @@ class NgramFoldSpec extends SparkSpec {
       val bad = df.select(col("doc_id"),
           expr(s"ngram_md5_set(w, $n)").as("native"),
           expr(hofMd5Set(n)).as("hof"))
-        .filter(not(col("native") === col("hof")))
+        .filter(!(col("native") <=> col("hof"))) // null-safe: a NULL kernel result must FAIL, not filter out
         .collect()
       assert(bad.isEmpty, s"n=$n diverged: ${bad.mkString("; ")}")
     }
@@ -116,7 +116,7 @@ class NgramFoldSpec extends SparkSpec {
       val bad = df.filter(size(col("w")) >= 1)
         .select(col("doc_id"),
           expr(s"chunk_fps(w, $budget, $stride)").as("native"), expr(hof).as("hof"))
-        .filter(not(col("native") === col("hof")))
+        .filter(!(col("native") <=> col("hof"))) // null-safe: a NULL kernel result must FAIL, not filter out
         .collect()
       assert(bad.isEmpty, s"budget=$budget stride=$stride diverged: ${bad.mkString("; ")}")
     }
@@ -148,7 +148,7 @@ class NgramFoldSpec extends SparkSpec {
            |ELSE array() END)""".stripMargin
       val bad = df.select(col("doc_id"),
           expr(s"ngram_strings(w, $n)").as("native"), expr(hof).as("hof"))
-        .filter(not(col("native") === col("hof")))
+        .filter(!(col("native") <=> col("hof"))) // null-safe: a NULL kernel result must FAIL, not filter out
         .collect()
       assert(bad.isEmpty, s"n=$n diverged: ${bad.mkString("; ")}")
     }
@@ -162,7 +162,7 @@ class NgramFoldSpec extends SparkSpec {
         |ELSE array() END""".stripMargin
     val bad = df.select(col("doc_id"),
         expr("word_bigrams(w)").as("native"), expr(hof).as("hof"))
-      .filter(not(col("native") === col("hof")))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a NULL kernel result must FAIL, not filter out
       .collect()
     assert(bad.isEmpty, s"diverged: ${bad.mkString("; ")}")
   }
@@ -195,7 +195,7 @@ class NgramFoldSpec extends SparkSpec {
       val bad = df.select(
           (col("doc_id") +: expr(s"minhash8(w, $width)").as("native") +: mirrors): _*)
         .filter((0 until 8).map(s =>
-          not(col("native").getItem(s) === col(s"h$s"))).reduce(_ || _))
+          !(col("native").getItem(s) <=> col(s"h$s"))).reduce(_ || _))
         .collect()
       assert(bad.isEmpty, s"width=$width diverged: ${bad.mkString("; ")}")
     }

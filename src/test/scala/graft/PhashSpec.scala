@@ -41,16 +41,29 @@ class PhashSpec extends SparkSpec {
   }
 
   test("declared query returns one fingerprint per image and detects payload dups") {
+    import org.apache.spark.sql.functions.{col, expr}
     val df = graft.SparkEntry.queries("multimodal_phash")(spark, sf0001).collect()
     val nImages = graft.engine.Tables.documents(spark, sf0001)
-      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 0")).count()
+      .filter(expr("doc_id % 3 = 0")).count()
     assert(df.length == nImages, s"${df.length} rows for $nImages images")
-    // identical texts (exact dups exist in the fixture) => equal phash
-    val byText = graft.engine.Tables.documents(spark, sf0001)
-      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 0"))
+    // identical payloads (payload = text bytes) ⇒ equal phash. The
+    // fixture contains NO duplicate texts (adding a vacuity guard here
+    // revealed the dup half of this test had never executed), so PLANT
+    // dups: copy a few image docs under new ids that keep the
+    // doc_id % 3 == 0 image classification.
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    val planted = base.filter(col("doc_id").isin(0L, 3L, 6L))
+      .withColumn("doc_id", col("doc_id") + 3000000L) // 3000000 % 3 == 0
+    val dir = graft.engine.TempDirs.scratch("phash-dups")
+    base.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val df2 = graft.SparkEntry.queries("multimodal_phash")(spark, dir).collect()
+    val byText = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(expr("doc_id % 3 = 0"))
       .select("doc_id", "text").collect()
       .groupBy(_.getString(1)).values.filter(_.length > 1)
-    val hashes = df.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byText.nonEmpty, "planted duplicate image texts missing — dup half would be vacuous")
+    val hashes = df2.map(r => r.getLong(0) -> r.getLong(1)).toMap
     byText.foreach { grp =>
       val hs = grp.map(r => hashes(r.getLong(0))).distinct
       assert(hs.length == 1, s"dup texts ${grp.map(_.getLong(0)).mkString(",")} got $hs")

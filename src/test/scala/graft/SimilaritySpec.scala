@@ -102,7 +102,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("ann_lsh_topk agrees with brute force for most vectors (recall ≥ 0.3)") {
+  test("ann_lsh_topk agrees with brute force for most vectors (recall ≥ 0.6)") {
     // LSH with 8 hyperplanes on 10 well-separated clusters: the
     // same-bucket best neighbor should often be the global best.
     val ann = Similarity.queries("ann_lsh_topk")(spark, sf0001)
@@ -111,7 +111,10 @@ class SimilaritySpec extends SparkSpec {
       .filter("rank = 1").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val hits = ann.count { case (id, nn) => brute.get(id).contains(nn) }
     assert(ann.nonEmpty)
-    assert(hits.toDouble / ann.size >= 0.3, s"recall ${hits.toDouble / ann.size}")
+    // measured deterministic fixture recall is 0.700 (modular hashes,
+    // fixed fixture) — the old 0.3 floor only bound at near-total
+    // collapse; 0.6 binds on any real degradation (e.g. losing tables)
+    assert(hits.toDouble / ann.size >= 0.6, s"recall ${hits.toDouble / ann.size}")
   }
 
   test("ann_recall: one row per ANN algo, counts consistent, recall in [0,1]") {
@@ -125,7 +128,8 @@ class SimilaritySpec extends SparkSpec {
     // the LSH answer agrees with the truth often enough to be an ANN
     // (uniform-random agreement would be ~1/n)
     val lsh = rows.find(_.getString(0) == "ann_lsh_topk").get
-    assert(lsh.getDouble(4) >= 0.3, s"LSH recall collapsed: $lsh")
+    // measured deterministic sampled recall is 0.641 — floor 0.55
+    assert(lsh.getDouble(4) >= 0.55, s"LSH recall collapsed: $lsh")
   }
 
   test("ann_nprobe_sweep: monotone recall/cost curve; np=2 matches ann_recall's IVF row") {
@@ -188,7 +192,10 @@ class SimilaritySpec extends SparkSpec {
     }
     // int8 error at 64 dims is ~1e-2 relative: a 16-deep exact rescore
     // must recover most of the exact recall
-    assert(sweep.last._4 >= 0.5, s"16-deep rescore recall collapsed: ${sweep.toSeq}")
+    // measured deterministic rescore recall is 1.0 at every depth on
+    // this fixture (int8 error at 64 dims never flips the argmax) —
+    // the old 0.5 floor tolerated half the answers going wrong
+    assert(sweep.last._4 >= 0.9, s"16-deep rescore recall collapsed: ${sweep.toSeq}")
   }
 
   test("ann_filtered_topk: answers satisfy the predicate and never beat the unfiltered probe") {

@@ -185,8 +185,8 @@ class SqlAndExprSpec extends SparkSpec {
         expr("""aggregate(f, 0.0D, (a, x) ->
           |  a + (x - round(x * 127 / sc, 0) * sc / 127)
           |    * (x - round(x * 127 / sc, 0) * sc / 127))""".stripMargin).as("eH"))
-      .filter(not(col("am") === col("amH")) || not(col("q") === col("qH"))
-        || not(col("e") === col("eH")))
+      .filter(!(col("am") <=> col("amH")) || !(col("q") <=> col("qH"))
+        || !(col("e") <=> col("eH"))) // null-safe: a NULL kernel result must FAIL
       .collect()
     assert(bad.isEmpty, s"quantize kernels diverged: ${bad.mkString("; ")}")
     // null element: abs_max skips (greatest semantics), quantize_i8

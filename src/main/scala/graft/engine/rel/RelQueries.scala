@@ -398,10 +398,26 @@ object RelQueries {
       orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .rollup(col("n_name"), year(col("o_orderdate")).as("yr"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))
-        .select(coalesce(col("n_name"), lit("__ALL__")).as("nation"),
-          coalesce(col("yr"), lit(-1)).as("yr"), col("revenue"), col("n"))
+        // yr computed BEFORE the rollup: grouping() below must name a
+        // plain grouping ATTRIBUTE (an aliased expression in the
+        // rollup list is unmatchable by either alias or expression)
+        .withColumn("yr", year(col("o_orderdate")))
+        .rollup(col("n_name"), col("yr"))
+        // decimal-exact money sum (this file's own discipline — the
+        // grand-total row sums the whole table, where double
+        // summation-order drift can reach the 0.005 round boundary);
+        // GROUPING() distinguishes the subtotal slot (-1/__ALL__)
+        // from a data-NULL year/nation (-2/__NULL__): coalescing both
+        // to one sentinel left two identical keys whose relative
+        // order the final sort could not pin across engines
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"), count(lit(1)).as("n"),
+          grouping(col("n_name")).as("gn"), grouping(col("yr")).as("gy"))
+        .select(when(col("gn") === 1, lit("__ALL__"))
+            .otherwise(coalesce(col("n_name"), lit("__NULL__"))).as("nation"),
+          when(col("gy") === 1, lit(-1))
+            .otherwise(coalesce(col("yr"), lit(-2))).as("yr"),
+          col("revenue"), col("n"))
         .orderBy("nation", "yr")),
 
     // #31b cube — the full grouping-set lattice over the same dims
@@ -411,10 +427,26 @@ object RelQueries {
       orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .cube(col("n_name"), year(col("o_orderdate")).as("yr"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))
-        .select(coalesce(col("n_name"), lit("__ALL__")).as("nation"),
-          coalesce(col("yr"), lit(-1)).as("yr"), col("revenue"), col("n"))
+        // yr computed BEFORE the cube: grouping() below must name a
+        // plain grouping ATTRIBUTE (an aliased expression in the
+        // cube list is unmatchable by either alias or expression)
+        .withColumn("yr", year(col("o_orderdate")))
+        .cube(col("n_name"), col("yr"))
+        // decimal-exact money sum (this file's own discipline — the
+        // grand-total row sums the whole table, where double
+        // summation-order drift can reach the 0.005 round boundary);
+        // GROUPING() distinguishes the subtotal slot (-1/__ALL__)
+        // from a data-NULL year/nation (-2/__NULL__): coalescing both
+        // to one sentinel left two identical keys whose relative
+        // order the final sort could not pin across engines
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"), count(lit(1)).as("n"),
+          grouping(col("n_name")).as("gn"), grouping(col("yr")).as("gy"))
+        .select(when(col("gn") === 1, lit("__ALL__"))
+            .otherwise(coalesce(col("n_name"), lit("__NULL__"))).as("nation"),
+          when(col("gy") === 1, lit(-1))
+            .otherwise(coalesce(col("yr"), lit(-2))).as("yr"),
+          col("revenue"), col("n"))
         .orderBy("nation", "yr")),
 
     // #32 window ranking: top-3 orders per customer
@@ -538,7 +570,12 @@ object RelQueries {
       events(s, d)
         .withColumn("k", from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
-        .withColumn("gk", get_json_object(col("props"), "$.k").cast("int"))
+        // try_cast, NOT cast: Spark 4 is ANSI by default, so a plain
+        // cast THROWS on the first '{"k": 5.7}' or '{"k": "x"}' in the
+        // stream — a latent whole-query crash at adversarial props the
+        // integer-only fixture never fired. try_cast('5.7') = NULL,
+        // matching the oracle's integer-format regex gate.
+        .withColumn("gk", expr("try_cast(get_json_object(props, '$.k') AS int)"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
           round(avg("k"), 6).as("avg_k"), max("gk").as("max_k"))
@@ -690,14 +727,22 @@ object RelQueries {
       val delta = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id").as("mk"), col("event_type"),
           round(col("value"), 4).as("new_bal"))
-      base.join(delta, Seq("mk"), "full_outer")
+      // presence marker, NOT the nullable measure: classifying
+      // "inserted" off bal.isNull would call a base row with a NULL
+      // balance "inserted" (inert on TPC-H's non-null acctbal; wrong
+      // on adversarial data) — and the oracle used to restate the
+      // same proxy, so the shared misclassification was invisible to
+      // the compare. The marker survives the full-outer join as the
+      // true base-presence test; the oracle keys on b.mk IS NULL.
+      base.withColumn("__in_base", lit(true))
+        .join(delta, Seq("mk"), "full_outer")
         // delete only when a delta row says 'error'; NULL event_type
         // (base-only row) keeps — coalesce gives the tri-state filter
         .filter(coalesce(col("event_type") =!= "error", lit(true)))
         .select(col("mk"),
           when(col("event_type").isNotNull, col("new_bal"))
             .otherwise(col("bal")).as("bal"),
-          when(col("bal").isNull, lit("inserted"))
+          when(col("__in_base").isNull, lit("inserted"))
             .when(col("event_type").isNull, lit("kept"))
             .otherwise(lit("updated")).as("op"))
         .orderBy("mk")
@@ -1165,9 +1210,12 @@ object RelQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_agg_rollup" ->
-      """SELECT COALESCE(n_name, '__ALL__') AS nation,
-        |  COALESCE(EXTRACT(year FROM o_orderdate), -1) AS yr,
-        |  ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+      """SELECT CASE WHEN GROUPING(n_name) = 1 THEN '__ALL__'
+        |       ELSE COALESCE(n_name, '__NULL__') END AS nation,
+        |  CASE WHEN GROUPING(EXTRACT(year FROM o_orderdate)) = 1 THEN -1
+        |       ELSE COALESCE(EXTRACT(year FROM o_orderdate), -2) END AS yr,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, EXTRACT(year FROM o_orderdate))
@@ -1205,9 +1253,12 @@ object RelQueries {
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_agg_cube" ->
-      """SELECT COALESCE(n_name, '__ALL__') AS nation,
-        |  COALESCE(EXTRACT(year FROM o_orderdate), -1) AS yr,
-        |  ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+      """SELECT CASE WHEN GROUPING(n_name) = 1 THEN '__ALL__'
+        |       ELSE COALESCE(n_name, '__NULL__') END AS nation,
+        |  CASE WHEN GROUPING(EXTRACT(year FROM o_orderdate)) = 1 THEN -1
+        |       ELSE COALESCE(EXTRACT(year FROM o_orderdate), -2) END AS yr,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, EXTRACT(year FROM o_orderdate))
@@ -1295,12 +1346,24 @@ object RelQueries {
         |  len(list_filter(s8, x -> x > 0)) AS npos
         |FROM e ORDER BY vec_id""".stripMargin,
 
+    // real JSON parsing (DuckDB's built-in json extension), not the
+    // old '"k"\s*:\s*(-?\d+)' regex — the regex agreed with Spark only
+    // on flat integer props (it read 5 out of 5.7, missed quoted "5",
+    // matched inside nested objects and string values). Each leg
+    // mirrors its Spark twin EXACTLY (probed case-by-case on both
+    // engines): strict k = from_json(k INT) accepts only JSON integer
+    // tokens (json_type UBIGINT/BIGINT); lenient gk = try_cast of the
+    // unquoted string accepts integer-format strings only (regex gate
+    // — DuckDB's own TRY_CAST would lenient-round '5.7' to 6).
     "q_json_fns" ->
       """WITH e AS (SELECT event_type,
-        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k
+        |  CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('UBIGINT','BIGINT')
+        |       THEN CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INTEGER) END AS k,
+        |  CASE WHEN regexp_matches(COALESCE(json_extract_string(TRY_CAST(props AS JSON), '$.k'), ''), '^\s*-?\d+\s*$')
+        |       THEN CAST(trim(json_extract_string(TRY_CAST(props AS JSON), '$.k')) AS INTEGER) END AS gk
         |  FROM events)
         |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
-        |  ROUND(AVG(k), 6) AS avg_k, MAX(k) AS max_k
+        |  ROUND(AVG(k), 6) AS avg_k, MAX(gk) AS max_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_subquery" ->
@@ -1409,7 +1472,7 @@ object RelQueries {
         |  WHERE rn = 1)
         |SELECT mk,
         |  CASE WHEN d.event_type IS NOT NULL THEN d.new_bal ELSE b.bal END AS bal,
-        |  CASE WHEN b.bal IS NULL THEN 'inserted'
+        |  CASE WHEN b.mk IS NULL THEN 'inserted'
         |       WHEN d.event_type IS NULL THEN 'kept'
         |       ELSE 'updated' END AS op
         |FROM base b FULL OUTER JOIN delta d USING (mk)

@@ -55,7 +55,11 @@ object Udafs {
   )
 
   val oracles: Map[String, String] = Map(
-    // window-rank formulation of the identical formula
+    // window-rank formulation of the identical formula. The zero-mass
+    // CASE states the DECLARED semantics (gini of a zero-sum group is
+    // 0.0, GiniAgg.finish's own special case) — without it DuckDB's
+    // x/0 DOUBLE yields NULL where the engine yields 0.0 (inert on
+    // TPC-H's strictly positive totalprice; live on adversarial data)
     "q_udaf_gini" ->
       """WITH j AS (SELECT n_name, o_totalprice AS x, o_orderkey
         |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -64,7 +68,9 @@ object Udafs {
         |  ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY x, o_orderkey) AS i
         |  FROM j)
         |SELECT n_name,
-        |  ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        |  CASE WHEN SUM(x) = 0 THEN 0.0 ELSE
+        |    ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) - (COUNT(*) + 1.0) / COUNT(*), 6)
+        |  END AS gini
         |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

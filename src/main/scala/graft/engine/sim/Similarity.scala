@@ -91,7 +91,15 @@ object Similarity {
 
   /** Matches Spark's `round(c, 6)` semantics (HALF_UP on the shortest
     * decimal representation) so kernel output hash-matches the
-    * declarative form and the DuckDB oracle. */
+    * declarative form. CAVEAT — this is NOT exactly DuckDB's
+    * ROUND(DOUBLE, 6): Spark rounds the shortest decimal repr while
+    * DuckDB rounds the binary-scaled value, so doubles sitting on a
+    * 1e-6 half boundary can round apart (e.g. 0.0001245 → 0.000125
+    * Spark vs 0.000124 DuckDB). The fixtures avoid such boundaries
+    * (flake-probed per SURVEY §7.6; the one observed instance,
+    * incremental_ann_upsert round 6, was reworked to exact-integer
+    * cores) — a future boundary hit is a FIXTURE-value event to fix
+    * by rule (c), not a code bug to chase. */
   private def round6(x: Double): Double =
     BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -123,7 +131,7 @@ object Similarity {
         .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))))
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+          when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6)).as("cos"))
         .groupBy("id1")
         .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
         .select(col("id1"), (-col("m.nid")).as("true_nn"))
@@ -147,7 +155,7 @@ object Similarity {
       .crossJoin(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6)).as("cos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -548,7 +556,7 @@ object Similarity {
       .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
       .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
-        round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6)).as("cos"))
       .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
       .select(col("id1"), col("id2").as("nn_id"), col("cos"))
   }
@@ -618,7 +626,7 @@ object Similarity {
         .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
         .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
         .select(col("cell"), col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+          when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6)).as("cos"))
         .filter(col("cos") >= 0.3)
       val dropped = dup.select("cell", "id2").distinct()
       assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
@@ -730,7 +738,7 @@ object Similarity {
       .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
       .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
-        round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6).as("cos"))
+        when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6)).as("cos"))
       .groupBy("id1")
       .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"),
         count(lit(1)).as("cands"))
@@ -932,8 +940,8 @@ object Similarity {
       val coarse = broadcast(qq).crossJoin(qc)
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),
-          round(ArrayMath.dotNative(col("q1"), col("q2")) * col("s1") * col("s2")
-            / (lit(127.0 * 127.0) * col("n1") * col("n2")), 6).as("qcos"))
+          when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("q1"), col("q2")) * col("s1") * col("s2")
+            / (lit(127.0 * 127.0) * col("n1") * col("n2")), 6)).as("qcos"))
       val wq = Window.partitionBy("id1").orderBy(desc("qcos"), col("id2"))
       // the 16-deep shortlist + exact rescore feed all three operating
       // points: checkpoint the (|Q|·16)-row table so the union
@@ -943,7 +951,7 @@ object Similarity {
         .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("rn1")), "id1")
         .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("rn2")), "id2")
         .select(col("id1"), col("id2"), col("qr"),
-          round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("rn1") * col("rn2")), 6).as("cos"))
+          when(col("rn1") * col("rn2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("rn1") * col("rn2")), 6)).as("cos"))
         .localCheckpoint(true)
       def point(k: Int): DataFrame = {
         val wk = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))

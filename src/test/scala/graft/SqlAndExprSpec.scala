@@ -11,6 +11,32 @@ import graft.engine.cluster.Indices
   */
 class SqlAndExprSpec extends SparkSpec {
 
+  test("json extraction legs: strict from_json vs lenient try_cast on adversarial props") {
+    // pins the probed case table behind q_json_fns' oracle parity
+    // (the oracle's json_type/regex gates mirror EXACTLY these
+    // outcomes) — and the ANSI-crash fix: a plain cast of
+    // get_json_object's '5.7' THROWS under Spark 4's default ANSI
+    // mode, so a revert of try_cast fails this test loudly
+    import spark.implicits._
+    val cases = Seq(
+      ("""{"k": 5}""", Some(5), Some(5)),
+      ("""{"k": 5.7}""", None, None),
+      ("""{"k": "5"}""", None, Some(5)),
+      ("""{"k": "x"}""", None, None),
+      ("""{"a": 1}""", None, None),
+      ("not json", None, None),
+      ("""{"k": 5.0}""", None, None),
+      ("""{"k": -3}""", Some(-3), Some(-3)))
+    val got = cases.map(_._1).toDF("props")
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .withColumn("gk", expr("try_cast(get_json_object(props, '$.k') AS int)"))
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int])))
+    assert(got.toSeq == cases, s"json leg semantics drifted:\n${got.toSeq}\nvs\n$cases")
+  }
+
   test("spark.sql over registered views matches the DataFrame query") {
     val viaSql = SqlSurface.sql(spark, sf0001,
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -16,6 +16,19 @@ import org.apache.spark.sql.SparkSession
   * durable form of a shared artifact is an explicit Sinks
   * materialization — these caches are the single-process
   * bench/pipeline convenience.
+  *
+  * IMMUTABLE-FIXTURE ASSUMPTION: keys are (sfDir, config) strings,
+  * never data fingerprints — a parquet table rewritten IN PLACE under
+  * a cached sfDir within one session serves the stale artifact. For
+  * most memos that only re-serves an identical recomputation or
+  * affects timing, but for memos whose value gates ANOTHER query's
+  * rows (the token bloom filters in Sketches/RelQueries: a stale
+  * filter silently changes which rows a bloom-gated join emits) it is
+  * a correctness assumption. It holds by construction here — the
+  * driver's fixtures are written once per scale factor and never
+  * touched — and a pipeline with mutable inputs should fold a data
+  * fingerprint (file count + max mtime) into the key at the call
+  * site.
   */
 final class SessionCache[V] {
   SessionCache.register(this)

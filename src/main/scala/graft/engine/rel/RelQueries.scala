@@ -32,6 +32,9 @@ object RelQueries {
     * [[graft.engine.TempDirs.scratch]] — so sessions stop leaking one
     * `graft-skewdim*` directory each, round-9 verdict #3). */
   private val skewDimCache = new graft.engine.SessionCache[String]
+  /** Bloom filter feeding q_join_bloom_prefilter's row gate: a stale
+    * entry changes RESULT ROWS, not just timing — safe only under the
+    * immutable-fixture assumption on [[graft.engine.SessionCache]]. */
   private val urgentBloomCache =
     new graft.engine.SessionCache[org.apache.spark.util.sketch.BloomFilter]
 
@@ -1354,13 +1357,20 @@ object RelQueries {
     // engines): strict k = from_json(k INT) accepts only JSON integer
     // tokens (json_type UBIGINT/BIGINT); lenient gk = try_cast of the
     // unquoted string accepts integer-format strings only (regex gate
-    // — DuckDB's own TRY_CAST would lenient-round '5.7' to 6).
+    // — DuckDB's own TRY_CAST would lenient-round '5.7' to 6). The final
+    // cast is TRY_CAST, not CAST: the gates pass integer TOKENS of any
+    // magnitude (json_type BIGINT; regex \d+), and an int32-overflowing
+    // value like 9999999999 must become NULL (as Spark's from_json k INT
+    // and try_cast both do), not abort the whole oracle query. The gates
+    // have already excluded the inputs where DuckDB's TRY_CAST is more
+    // lenient than Spark's ('5.7'), so TRY_CAST here only adds
+    // NULL-on-overflow.
     "q_json_fns" ->
       """WITH e AS (SELECT event_type,
         |  CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('UBIGINT','BIGINT')
-        |       THEN CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INTEGER) END AS k,
+        |       THEN TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INTEGER) END AS k,
         |  CASE WHEN regexp_matches(COALESCE(json_extract_string(TRY_CAST(props AS JSON), '$.k'), ''), '^\s*-?\d+\s*$')
-        |       THEN CAST(trim(json_extract_string(TRY_CAST(props AS JSON), '$.k')) AS INTEGER) END AS gk
+        |       THEN TRY_CAST(trim(json_extract_string(TRY_CAST(props AS JSON), '$.k')) AS INTEGER) END AS gk
         |  FROM events)
         |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  ROUND(AVG(k), 6) AS avg_k, MAX(gk) AS max_k

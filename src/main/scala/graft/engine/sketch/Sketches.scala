@@ -44,7 +44,10 @@ object Sketches {
     * entirely of never-seen tokens). Memoized per (session, sfDir,
     * sizing) like its sibling tokenCms and for the same reason: the
     * corpus token scan + filter build amortizes across invocations
-    * (the bench bills `bloom_fpp_contract` cold via ownMemo). */
+    * (the bench bills `bloom_fpp_contract` cold via ownMemo).
+    * Unlike most memos, a stale filter here changes RESULT ROWS of
+    * bloom-gated queries, not just timing — safe only under the
+    * immutable-fixture assumption documented on [[graft.engine.SessionCache]]. */
   private val bloomCache =
     new graft.engine.SessionCache[BloomFilter]
   def tokenBloom(s: SparkSession, d: String, expectedItems: Long = 100000L,

@@ -53,29 +53,36 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
-  /** At most ONE live memory-sink table per (session, query key):
-    * each invocation registers a fresh uniquely-named table (two
-    * concurrent streams cannot share a query name), but drops the
-    * PREVIOUS invocation's table first — without this, bench re-runs
-    * accumulated a full result copy per attempt in the driver catalog
-    * for the session's lifetime. Weak session key, like SessionCache:
-    * a GC'd session's entries die with it (so do its temp views). */
-  private val lastSink =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
-  private def freshSinkName(s: SparkSession, key: String): String = {
-    val name = s"${key}_${System.nanoTime()}"
-    val perSession = lastSink.synchronized {
-      var m = lastSink.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
-        lastSink.put(s, m)
-      }
-      m
-    }
-    val prev = perSession.put(key, name)
-    if (prev != null)
-      try s.catalog.dropTempView(prev) catch { case _: Exception => () }
-    name
+  /** Unique memory-sink table name per invocation (two concurrent
+    * streams cannot share a query name). Cleanup is NOT deferred to
+    * the next invocation — each query drains its own sink via
+    * [[drainSink]] before returning, so no name bookkeeping exists. */
+  private def freshSinkName(key: String): String =
+    s"${key}_${System.nanoTime()}"
+
+  /** Drain a finished memory sink SYNCHRONOUSLY: run the query's
+    * final transform over the sink, snapshot the (small) RESULT into
+    * a driver-local relation, and drop the temp view before the query
+    * function returns. This (a) keeps the catalog from accumulating a
+    * full result copy per bench/verify attempt, and (b) makes the
+    * returned DataFrame self-contained — the previous design dropped
+    * the PREVIOUS invocation's view as a side effect of the next one,
+    * which broke any still-live frame from an earlier invocation of
+    * the same key (lazy re-evaluation after a re-run →
+    * AnalysisException: table not found). The snapshot happens AFTER
+    * the transform, never on the raw sink: collecting the raw sink
+    * re-encoded the full result set row-by-row on the driver
+    * (stream_watermark's sink is the whole deduped events table —
+    * +2.5 s at sf0.1), while the aggregated outputs are a few hundred
+    * rows. Row order of the transform (its declared ORDER BY) is
+    * preserved — a local relation scans in list order. */
+  private def drainSink(s: SparkSession, name: String)
+                       (transform: DataFrame => DataFrame): DataFrame = {
+    val out = transform(s.table(name))
+    val schema = out.schema
+    val rows = out.collect()
+    try s.catalog.dropTempView(name) catch { case _: Exception => () }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Tumbling 1 h window × event_type (#41, batch form). */
@@ -115,7 +122,7 @@ object StreamQueries {
     Tables.ensureNanosAsLong(s)
     Tables.requireUtcForEventTs(s) // eventTsExpr on a readStream below
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = freshSinkName(s, "wm_dedup")
+    val name = freshSinkName("wm_dedup")
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(d)
@@ -126,8 +133,8 @@ object StreamQueries {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    s.table(name).groupBy("event_type").agg(count(lit(1)).as("cnt"))
-      .orderBy("event_type")
+    drainSink(s, name)(_.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type"))
   }
 
   /** #44: arbitrary stateful streaming — flatMapGroupsWithState keyed
@@ -137,7 +144,7 @@ object StreamQueries {
     import s.implicits._
     Tables.ensureNanosAsLong(s)
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = freshSinkName(s, "stateful")
+    val name = freshSinkName("stateful")
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .selectExpr("user_id", "value").as[(Long, Double)]
@@ -158,7 +165,7 @@ object StreamQueries {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    s.table(name).orderBy("user_id")
+    drainSink(s, name)(_.orderBy("user_id"))
   }
 
   /** Stream-STREAM interval join (the remaining streaming join shape):
@@ -181,7 +188,7 @@ object StreamQueries {
     val clk = src.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("tss").as("cts"))
       .withWatermark("cts", "10 minutes")
-    val name = freshSinkName(s, "ssj")
+    val name = freshSinkName("ssj")
     withStatePartitions(s, 4) {
       val q = err.join(clk,
           col("eu") === col("cu")
@@ -191,8 +198,8 @@ object StreamQueries {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    s.table(name).groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
-      .orderBy("event_id")
+    drainSink(s, name)(_.groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id"))
   }
 
   /** Spark 4 `transformWithState` processor: per-user running
@@ -238,7 +245,7 @@ object StreamQueries {
   private def transformWithStateRun(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val name = freshSinkName(s, "tws")
+    val name = freshSinkName("tws")
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -251,7 +258,7 @@ object StreamQueries {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    s.table(name).orderBy("user_id")
+    drainSink(s, name)(_.orderBy("user_id"))
   }
 
   /** Streaming CONTENT dedup — the "dedupe the crawl as it lands"
@@ -267,7 +274,7 @@ object StreamQueries {
     * DuckDB oracle. */
   private def streamContentDedup(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val name = freshSinkName(s, "scd")
+    val name = freshSinkName("scd")
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -283,8 +290,8 @@ object StreamQueries {
         .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    s.table(name).groupBy("lang").agg(count(lit(1)).as("n_kept"))
-      .orderBy("lang")
+    drainSink(s, name)(_.groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang"))
   }
 
   /** foreachBatch sink — the remaining production sink surface (the

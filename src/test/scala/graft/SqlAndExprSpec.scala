@@ -26,7 +26,14 @@ class SqlAndExprSpec extends SparkSpec {
       ("""{"a": 1}""", None, None),
       ("not json", None, None),
       ("""{"k": 5.0}""", None, None),
-      ("""{"k": -3}""", Some(-3), Some(-3)))
+      ("""{"k": -3}""", Some(-3), Some(-3)),
+      // int32 overflow: a JSON integer TOKEN that passes both oracle
+      // gates (json_type BIGINT; integer regex) — both legs must go
+      // NULL (from_json PERMISSIVE drops the field; try_cast nulls),
+      // and the oracle's final TRY_CAST (not CAST) mirrors that
+      // instead of aborting the whole DuckDB query
+      ("""{"k": 9999999999}""", None, None),
+      ("""{"k": "9999999999"}""", None, None))
     val got = cases.map(_._1).toDF("props")
       .withColumn("k", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))

@@ -159,6 +159,24 @@ class StreamSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L, 5L), s"kept=$kept")
   }
 
+  test("a stream query's frame survives a later re-invocation of its key") {
+    // regression for the deferred-drop design: the first invocation's
+    // memory-sink view used to be dropped as a side effect of the
+    // SECOND invocation registering its sink, so lazily re-evaluating
+    // the first frame afterwards threw TABLE_OR_VIEW_NOT_FOUND. Each
+    // query now drains its sink into a self-contained local relation
+    // before returning, so evaluation order cannot matter — and no
+    // sink view outlives its builder (catalog stays clean).
+    val first = SparkEntry.queries("stream_watermark")(spark, sf0001)
+    val second = SparkEntry.queries("stream_watermark")(spark, sf0001)
+    val a = second.collect().toSeq
+    val b = first.collect().toSeq // evaluated AFTER the re-invocation
+    assert(a == b && a.nonEmpty)
+    val leftover = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("wm_dedup_"))
+    assert(leftover.isEmpty, s"sink views leaked: ${leftover.mkString(",")}")
+  }
+
   test("session_window matches gaps-and-islands semantics") {
     // user 10: events at 00:05, 00:15 (gap 10m → same), 00:50 (gap 35m → new)
     val df = Seq(

@@ -92,12 +92,58 @@ object Tables {
       array(featCols.map(c => col(c).cast("double")): _*).as("features"))
   }
 
+  /** Vector-universe boundary (mirrors the null-text dedup contract):
+    * a row whose embedding is NULL, or contains a NULL element, leaves
+    * every vector computation — the array<double> kernels NULL-poison
+    * on such rows and MLlib's dense-vector conversion cannot represent
+    * them (a raw NULL array NPEs the Vectors.dense UDF: one corrupt
+    * row would kill a 100 TB job). A NULL label is excluded by the
+    * same boundary: the declared table carries the ground-truth
+    * assignment in every row, and MLlib's evaluators reject a NULL
+    * label row at runtime (ROW_VALUE_IS_NULL) — an unlabeled vector
+    * is adversarial input, not a meaningful member of the validity
+    * universe. Cheap: one codegen'd null-mask scan
+    * (`vec_has_null_elem`) over an array the consumer reads anyway —
+    * a native kernel, because the equivalent HOF lambda is
+    * interpreted per row. Every embedding ORACLE gates
+    * on the same predicate via [[gateEmbeddingsSql]], so both
+    * engines see the identical universe. The driver fixtures contain
+    * no such rows — this boundary is live only on adversarial corpora
+    * (tools/AdversarialFixture). */
+  def cleanVectors(df: DataFrame, embCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame = {
+    // native kernel, not forall(x -> x IS NOT NULL): HOF lambdas are
+    // interpreted per row and this predicate sits under EVERY vector
+    // scan (and would break the no-lambda plan pins)
+    graft.engine.expr.GraftFunctions.register(df.sparkSession)
+    df.filter(col(embCol).isNotNull
+      && !expr(s"vec_has_null_elem($embCol)")
+      && col(labelCol).isNotNull)
+  }
+
+  /** The DuckDB face of [[cleanVectors]]: wrap an oracle's SQL in a
+    * table-shadowing CTE (CTE names resolve before base tables in
+    * DuckDB) so every `embeddings` reference inside sees only the
+    * clean vector universe — the one boundary definition, applied once
+    * per engine side. Handles SQL that already opens with WITH by
+    * splicing the gate in as the first CTE. */
+  def gateEmbeddingsSql(sql: String): String = {
+    // main.embeddings: DuckDB rejects a CTE that references its own
+    // name as a circular reference — the schema-qualified form reaches
+    // the base table (the driver registers tables as main-schema views)
+    val cte = "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL" +
+      " AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL)"
+    if (sql.stripLeading.startsWith("WITH "))
+      sql.replaceFirst("WITH ", s"WITH $cte,\n")
+    else s"WITH $cte\n$sql"
+  }
+
   /** The clustering-validity point set: embeddings with float64 features
     * and the ground-truth label used as the fixed cluster assignment for
     * all oracle-checked index queries (SURVEY.md §2.1).
     */
   def points(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(
+    cleanVectors(embeddings(s, d)).select(
       col("vec_id"),
       // array-level Cast, not transform(x -> cast): Cast on ArrayType
       // is native codegen; the lambda form interpreted 64 casts/row

@@ -208,5 +208,11 @@ object ClusterQueries {
         |  / (rtt * ctt / nn)), 6) AS chi2
         |FROM rt CROSS JOIN ct CROSS JOIN n
         |LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source""".stripMargin,
-  )
+  // all cluster queries read pts() = cleanVectors(points) — gate their
+  // oracles identically; vector_scan alone reads the RAW embeddings
+  // (posexplode skips NULL arrays and surfaces NULL elements, exactly
+  // like the ungated UNNEST), so its oracle stays raw
+  ).map { case (k, v) =>
+    k -> (if (k == "vector_scan") v else graft.engine.Tables.gateEmbeddingsSql(v))
+  }
 }

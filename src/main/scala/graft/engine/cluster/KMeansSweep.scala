@@ -339,6 +339,11 @@ object KMeansSweep {
          |  UNION ALL SELECT 'davies_bouldin', ROUND(AVG(rmax), 6) FROM db_r
          |) ORDER BY index_name""".stripMargin,
 
+    // singleton-cluster convention (probed on the adversarial
+    // fixture): MLlib scores a point whose own cluster has ONE member
+    // as s(i) = 0 and KEEPS it in the corpus mean (evaluator source:
+    // pointClusterNumOfPoints == 1 => 0.0); the naive n/(n-1) form
+    // NULLs that point out of the AVG and shifts the mean by n/(n-1)
     "silhouette_mllib" ->
       """WITH pt AS (SELECT vec_id, label, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS v
         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
@@ -351,10 +356,12 @@ object KMeansSweep {
         |  sq.sqn - 2 * d.xdotmu + c.avg_sqn AS dist
         |  FROM sq JOIN dots d ON d.vec_id = sq.vec_id JOIN csq c ON c.cl = d.cl),
         |ab AS (SELECT vec_id,
-        |  MAX(CASE WHEN label = cl THEN dist * n / (n - 1) END) AS a,
+        |  MAX(CASE WHEN label = cl AND n > 1 THEN dist * n / (n - 1) END) AS a,
+        |  MAX(CASE WHEN label = cl THEN n END) AS own_n,
         |  MIN(CASE WHEN label <> cl THEN dist END) AS b
         |  FROM dmat GROUP BY 1)
-        |SELECT ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS silhouette_mllib
+        |SELECT ROUND(AVG(CASE WHEN own_n = 1 THEN 0.0
+        |  ELSE (b - a) / GREATEST(a, b) END), 6) AS silhouette_mllib
         |FROM ab""".stripMargin,
 
     // the determinism contract's oracle is the constant verdict row
@@ -366,5 +373,7 @@ object KMeansSweep {
       """SELECT CAST(2 AS INT) AS k_lo, CAST(6 AS INT) AS k_hi,
         |  CAST(5 AS BIGINT) AS n_rows,
         |  TRUE AS sweep_identical, TRUE AS argbest_identical""".stripMargin,
-  )
+  // the sweep/report queries read Tables.points = cleanVectors —
+  // gate the oracles on the same vector universe
+  ).view.mapValues(graft.engine.Tables.gateEmbeddingsSql).toMap
 }

@@ -171,6 +171,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[QuantSse].getCanonicalName, "quant_sse"),
     (children: Seq[Expression]) => QuantSse(children.head, children(1)))
 
+  val vecHasNullElemDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_has_null_elem"),
+    new ExpressionInfo(classOf[VecHasNullElem].getCanonicalName, "vec_has_null_elem"),
+    (children: Seq[Expression]) => VecHasNullElem(children.head))
+
   val minhash8Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash8"),
     new ExpressionInfo(classOf[Minhash8].getCanonicalName, "minhash8"),
@@ -192,6 +197,7 @@ object GraftFunctions {
       chunkFpsDescriptor, charFreqDescriptor,
       ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor,
       absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor,
+      vecHasNullElemDescriptor,
       minhash8Descriptor, simhash16Descriptor, wordStatsDescriptor)
 
   def register(s: SparkSession): Unit = {

@@ -85,6 +85,40 @@ object VecKernels {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
+  /** TRUE iff the array carries a NULL element — reads only the null
+    * mask, never the values, so it works on any element type. */
+  def hasNullElem(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** `vec_has_null_elem(a)` — the codegen'd face of the vector-universe
+  * boundary ([[graft.engine.Tables.cleanVectors]]): the equivalent
+  * `forall(a, x -> x IS NOT NULL)` HOF is an INTERPRETED lambda (HOFs
+  * never enter whole-stage codegen) sitting under every similarity and
+  * clustering scan, and it breaks the no-lambda hot-path discipline
+  * ScaleShapeSpec pins. Null-mask-only read — element type agnostic. */
+case class VecHasNullElem(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_has_null_elem expects an array, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "vec_has_null_elem"
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.hasNullElem(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.expr.VecKernels.hasNullElem($a);")
+  override protected def withNewChildInternal(newChild: Expression): VecHasNullElem =
+    copy(child = newChild)
 }
 
 /** `abs_max(a)` — see [[VecKernels.absMax]]. */

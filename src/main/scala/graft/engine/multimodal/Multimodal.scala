@@ -249,6 +249,11 @@ object Multimodal {
     * files and needs none. */
   private def payloads(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // null boundary (the null-text dedup discipline): a NULL text
+      // has no media payload — cast("binary") yields NULL and the
+      // typed Array[Byte] codec rows NPE/NOT_NULL-abort on it. Every
+      // multimodal oracle gates on the same text IS NOT NULL.
+      .filter(col("text").isNotNull)
       .repartition(s.sparkContext.defaultParallelism)
       .select(
       col("doc_id").as("media_id"),
@@ -446,7 +451,8 @@ object Multimodal {
     // payload-equal group ever sees more than one distinct phash.
     "phash_dup_contract" -> ((s, d) => {
       import s.implicits._
-      val imgs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      val imgs = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0 && col("text").isNotNull)
         .select(col("doc_id").as("media_id"), col("text"))
       val dups = imgs.filter(col("media_id") % 30 === 0)
         .select((col("media_id") + 1000000L).as("media_id"), col("text"))
@@ -469,13 +475,14 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mime_sniff_audit" ->
       """WITH m AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
-        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind FROM documents)
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind FROM documents
+        |  WHERE text IS NOT NULL)
         |SELECT kind, COUNT(*) AS n, COUNT(*) AS n_match, TRUE AS all_match
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
     "phash_dup_contract" ->
       """WITH img AS (SELECT doc_id AS media_id, text
-        |  FROM documents WHERE doc_id % 3 = 0),
+        |  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
         |all_rows AS (SELECT media_id, text FROM img
         |  UNION ALL SELECT media_id + 1000000, text FROM img
         |  WHERE media_id % 30 = 0),
@@ -490,7 +497,7 @@ object Multimodal {
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS nb
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT kind, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN kind = 'image' THEN GREATEST((nb + 15) // 16, 1)
         |    ELSE (nb + 15) // 16 END) AS BIGINT) AS sum_h,
@@ -502,7 +509,7 @@ object Multimodal {
 
     "multimodal_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
-        |  FROM documents WHERE doc_id % 3 = 2)
+        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL)
         |SELECT media_id, CAST(((nb + 127) // 128 + 1) // 2 AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
 
@@ -511,7 +518,7 @@ object Multimodal {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS kind,
         |  (octet_length(encode(text)) + 3) // 4 AS ln
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |v AS (SELECT kind, ln,
         |  CASE WHEN kind = 'image' THEN GREATEST((ln + 15) // 16, 1)
         |       WHEN kind = 'audio' THEN (ln + 15) // 16

@@ -248,8 +248,14 @@ object RelQueries {
     "q_cogroup_reconcile" -> ((s, d) => {
       val sp = s
       import sp.implicits._
-      val os = orders(s, d).select(col("o_custkey")).as[Long]
-      val es = events(s, d).select(col("user_id")).as[Long]
+      // null boundary BEFORE the typed encoders: a NULL key row kills
+      // the job ([NOT_NULL_ASSERT_VIOLATION] — the Long encoder has no
+      // null slot), and a NULL id is not a reconcilable entity anyway;
+      // the oracle gates both CTEs on the same predicate
+      val os = orders(s, d).filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey")).as[Long]
+      val es = events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id")).as[Long]
       os.groupByKey(identity).cogroup(es.groupByKey(identity)) { (k, a, b) =>
         val na = a.size.toLong; val nb = b.size.toLong
         Iterator((k, na, nb, na > 0 && nb > 0))
@@ -466,7 +472,12 @@ object RelQueries {
     "q_window_frame" -> ((s, d) => {
       val ord = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      orders(s, d)
+      // date boundary: a dateless order has no position in a
+      // date-ordered running frame — and engine null-ORDERING defaults
+      // diverge (Spark ASC=NULLS FIRST, DuckDB=NULLS LAST), so leaving
+      // such rows in makes every later running sum engine-dependent.
+      // The oracle gates on the same predicate.
+      orders(s, d).filter(col("o_orderdate").isNotNull)
         .select(col("o_custkey"), col("o_orderkey"),
           round(sum("o_totalprice").over(frame), 2).as("running"),
           round(col("o_totalprice") - lag("o_totalprice", 1).over(ord), 2).as("delta"))
@@ -638,7 +649,12 @@ object RelQueries {
     // reused by the final aggregation); no global sort. Epoch-second
     // integer arithmetic keeps the gap test engine-exact.
     "q_sessionize" -> ((s, d) =>
-      sessionizeCore(events(s, d).select(col("event_id"), col("user_id"),
+      // time boundary: an event without a timestamp cannot be
+      // sessionized (and null-ORDERING defaults diverge across
+      // engines, silently renumbering every later session) — the
+      // oracle gates identically
+      sessionizeCore(events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
         unix_timestamp(date_trunc("second", col("ts"))).as("es"), col("value")))),
 
     // #28e CDC compaction / latest-per-key: collapse an event log to
@@ -666,7 +682,10 @@ object RelQueries {
     // events produce the standard degenerate interval (valid_to <
     // valid_from), deterministic under the event_id tie-break.
     "q_scd2_build" -> ((s, d) => {
-      val ev = events(s, d).select(col("event_id"), col("user_id"),
+      // time boundary (same contract as q_sessionize): an undated
+      // change record has no place in a validity chain
+      val ev = events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"),
         unix_timestamp(date_trunc("second", col("ts"))).as("es"),
         col("event_type"), col("value"))
       val w = Window.partitionBy("user_id").orderBy("es", "event_id")
@@ -1170,8 +1189,10 @@ object RelQueries {
         |GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q_cogroup_reconcile" ->
-      """WITH o AS (SELECT o_custkey AS id, COUNT(*) AS n_orders FROM orders GROUP BY 1),
-        |e AS (SELECT user_id AS id, COUNT(*) AS n_events FROM events GROUP BY 1)
+      """WITH o AS (SELECT o_custkey AS id, COUNT(*) AS n_orders FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |e AS (SELECT user_id AS id, COUNT(*) AS n_events FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
         |SELECT COALESCE(o.id, e.id) AS id,
         |  COALESCE(n_orders, 0) AS n_orders,
         |  COALESCE(n_events, 0) AS n_events,
@@ -1280,7 +1301,8 @@ object RelQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
         |  ROUND(o_totalprice - LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey), 2) AS delta
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1338,14 +1360,23 @@ object RelQueries {
         |  ROUND(COALESCE(NULLIF(l_discount, 0.0), -1.0), 6) AS nzdisc
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // NULL-element parity is pinned EXPLICITLY (probed on the
+    // adversarial fixture): Spark's aggregate(+) NULL-POISONS the sum
+    // while list_sum skips NULLs (CASE gate); array_distinct KEEPS one
+    // NULL as a distinct value while list_distinct drops it (+1 when
+    // any element is NULL); sort_array is ASC NULLS FIRST while
+    // list_sort defaults NULLS LAST (explicit 'NULLS FIRST');
+    // array_max and the x>0 filter skip NULLs in both engines.
     "q_array_fns" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS s8 FROM embeddings)
         |SELECT vec_id,
-        |  ROUND(list_sum(s8), 6) AS sum8,
+        |  ROUND(CASE WHEN len(list_filter(s8, x -> x IS NULL)) > 0 THEN NULL
+        |    ELSE list_sum(s8) END, 6) AS sum8,
         |  ROUND(list_max(s8), 6) AS max8,
-        |  len(list_distinct(list_transform(s8, x -> ROUND(x, 1)))) AS nd,
-        |  ROUND(list_sort(s8)[3], 6) AS third,
+        |  len(list_distinct(list_transform(s8, x -> ROUND(x, 1))))
+        |    + CASE WHEN len(list_filter(s8, x -> x IS NULL)) > 0 THEN 1 ELSE 0 END AS nd,
+        |  ROUND(list_sort(s8, 'ASC', 'NULLS FIRST')[3], 6) AS third,
         |  len(list_filter(s8, x -> x > 0)) AS npos
         |FROM e ORDER BY vec_id""".stripMargin,
 
@@ -1404,7 +1435,7 @@ object RelQueries {
     "q_sessionize" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es, value
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |g AS (SELECT *, CASE WHEN LAG(es) OVER w IS NULL
         |                       OR es - LAG(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
@@ -1440,7 +1471,7 @@ object RelQueries {
     "q_scd2_build" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) AS es,
-        |    event_type, value FROM events)
+        |    event_type, value FROM events WHERE ts IS NOT NULL)
         |SELECT user_id, event_id, es AS valid_from,
         |  LEAD(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - 1 AS valid_to,
         |  event_type, ROUND(value, 4) AS value

@@ -30,7 +30,10 @@ object Similarity {
     // — this norm projection sits under EVERY similarity query, and
     // unfused it interprets a 64-iteration lambda per row
     graft.engine.expr.GraftFunctions.register(s)
-    Tables.embeddings(s, d).select(
+    // cleanVectors: NULL / NULL-element embeddings leave the vector
+    // universe (boundary contract on Tables.cleanVectors) — without it
+    // the pairwise kernels NPE on the first corrupt row
+    Tables.cleanVectors(Tables.embeddings(s, d)).select(
       col("vec_id"), ArrayMath.toDouble(col("embedding")).as("f"), col("label"))
       .withColumn("nrm", ArrayMath.l2Norm(col("f")))
   }
@@ -48,9 +51,12 @@ object Similarity {
   private def fan(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Corpus vector count (drives the LSH/IVF index granularity). */
+  /** Corpus vector count (drives the LSH/IVF index granularity) —
+    * counted over the CLEAN vector universe so the oracle's gated
+    * `nv` CTE derives the identical lshBits/ivfK on corpora where
+    * the boundary is live. */
   private def nVecs(s: SparkSession, d: String): Long =
-    Tables.embeddings(s, d).count()
+    Tables.cleanVectors(Tables.embeddings(s, d)).count()
 
   /** LSH sign bits per table: smallest b ≥ 3 with 64·2^b ≥ n, i.e. the
     * expected bucket occupancy stays ≈64 as the corpus grows — the
@@ -1417,5 +1423,7 @@ object Similarity {
          |FROM ks CROSS JOIN truth t
          |LEFT JOIN ans a ON a.rescore_k = ks.rescore_k AND a.id1 = t.id1
          |GROUP BY ks.rescore_k ORDER BY ks.rescore_k""".stripMargin,
-  )
+  // every Similarity query flows through vecs() = cleanVectors, so
+  // every oracle sees the identically-gated embeddings CTE
+  ).view.mapValues(graft.engine.Tables.gateEmbeddingsSql).toMap
 }

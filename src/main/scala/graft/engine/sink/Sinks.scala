@@ -86,34 +86,38 @@ object Sinks {
 
   /** Tab-line serialization for the text roundtrip (and SinksSpec's
     * adversarial-content cases): (doc_id, lang, source, text) → one
-    * `value` line with every string field hex-armored; plain `concat`
-    * so a NULL field nulls the LINE, and an EXPLICIT raise_error on a
-    * null line makes the write genuinely fail fast — Spark's text sink
-    * would otherwise emit a bare newline for a NULL value (verified
-    * against TextOutputWriter: a null row skips the payload but still
-    * writes the line separator), which decodes to a phantom
-    * all-NULL/empty row that silently shifts downstream aggregates
-    * (the concat_ws left-shift failure mode in a different coat).
-    * Inverse below. */
+    * `value` line with every string field hex-armored and NULL fields
+    * carried as the `\N` sentinel (Hive TextFile's convention — `\N`
+    * is outside the hex alphabet and outside decimal digits, so it
+    * can never collide with a real encoded value; in particular the
+    * empty string encodes as an empty hex field, DISTINCT from `\N`).
+    * This makes the line format TOTAL: every (doc_id, lang, source,
+    * text) row round-trips losslessly, including all-NULL rows — the
+    * previous contract raised on the first NULL field, which is the
+    * right call for a format that cannot represent NULL but a
+    * job-killer on real corpora now that the sentinel removes the
+    * restriction. The line itself can never be NULL (concat of
+    * non-null pieces), so Spark's text sink bare-newline hazard for
+    * NULL values is structurally unreachable. Inverse below. */
   private[graft] def textLineEncode(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    def h(c: String) = hex(encode(col(c), "UTF-8"))
-    // project the line ONCE, then guard — referencing the concat in
-    // both the null test and the else branch would hex-encode every
-    // field twice wherever codegen subexpression elimination doesn't
-    // collapse the CASE WHEN
-    df.select(concat(col("doc_id").cast("string"), lit("\t"), h("lang"),
-        lit("\t"), h("source"), lit("\t"), h("text")).as("value"))
-      .select(when(col("value").isNull, raise_error(lit(
-          "textLineEncode: NULL field is unrepresentable in the tab-line format")))
-        .otherwise(col("value")).as("value"))
+    val NUL = "\\N"
+    def h(c: String) =
+      coalesce(hex(encode(col(c), "UTF-8")), lit(NUL))
+    df.select(concat(
+      coalesce(col("doc_id").cast("string"), lit(NUL)), lit("\t"), h("lang"),
+      lit("\t"), h("source"), lit("\t"), h("text")).as("value"))
   }
 
   private[graft] def textLineDecode(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    def u(c: org.apache.spark.sql.Column) = decode(unhex(c), "UTF-8")
+    val NUL = "\\N"
+    def u(c: org.apache.spark.sql.Column) =
+      when(c === NUL, lit(null)).otherwise(decode(unhex(c), "UTF-8"))
     df.select(split(col("value"), "\t", 4).as("f"))
-      .select(col("f").getItem(0).cast("bigint").as("doc_id"),
+      .select(
+        when(col("f").getItem(0) === NUL, lit(null))
+          .otherwise(col("f").getItem(0)).cast("bigint").as("doc_id"),
         u(col("f").getItem(1)).as("lang"), u(col("f").getItem(2)).as("source"),
         u(col("f").getItem(3)).as("text"))
   }
@@ -143,7 +147,15 @@ object Sinks {
         graft.engine.Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source")
           .write.mode(SaveMode.Overwrite).option("header", "true")
-          .option("nullValue", "\u0001").csv(p))
+          .option("nullValue", "\u0001")
+          // the WRITER trims unquoted values by default
+          // (ignoreLeading/TrailingWhiteSpace default TRUE on write,
+          // FALSE on read) — a whitespace-only or space-padded text
+          // silently lost bytes through the roundtrip. Preserve
+          // exactly; the reader side already defaults to preserving.
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(p))
       // multiLine: the writer quotes embedded newlines, but the
       // default reader splits records at EVERY newline even inside
       // quotes — a newline-bearing text would shatter into malformed
@@ -310,10 +322,8 @@ object Sinks {
     // every 76 chars, re-breaking the very lines it was meant to
     // protect), so the roundtrip contract leans on NO fixture
     // content invariant (SinksSpec drives tabs/newlines/empties
-    // through it). NULL remains unrepresentable in a line format —
-    // and fails LOUDLY: plain concat (not concat_ws, which skips
-    // NULLs and silently shifts the record left) nulls the whole
-    // line and the text sink rejects a NULL value at write time.
+    // through it). NULL fields ride the \N sentinel (see
+    // textLineEncode) so the roundtrip is lossless for every row.
     // Any line-splitting or UTF-8 corruption shifts
     // n/chars/distinct/id_sum and hash-mismatches against the
     // original-table oracle.

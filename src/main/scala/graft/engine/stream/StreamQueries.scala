@@ -87,7 +87,11 @@ object StreamQueries {
 
   /** Tumbling 1 h window × event_type (#41, batch form). */
   private def tumbling(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    // time boundary: window() assigns NO window to a NULL timestamp
+    // (the row silently vanishes from the aggregate) — declare the
+    // drop explicitly so the oracle can gate identically instead of
+    // emitting a phantom NULL-window group
+    Tables.events(s, d).filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
@@ -96,7 +100,7 @@ object StreamQueries {
 
   /** Sliding 1 h window every 15 min × event_type (#42a, batch form). */
   private def sliding(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    Tables.events(s, d).filter(col("ts").isNotNull) // see tumbling
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("cnt"))
@@ -106,7 +110,7 @@ object StreamQueries {
     * ts is second-truncated on BOTH sides so µs-vs-ns read precision
     * cannot flip a gap comparison at the boundary. */
   private def session(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    Tables.events(s, d).filter(col("ts").isNotNull) // see tumbling
       .withColumn("tss", date_trunc("second", col("ts")))
       .groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_v"))
@@ -127,6 +131,13 @@ object StreamQueries {
       val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .withColumn("ts", Tables.eventTsExpr(schema))
+        // stream-time boundary, declared EXPLICITLY: Structured
+        // Streaming's event-time watermark starts at epoch 0, so a
+        // pre-1970 row is late-dropped in the very first batch, and a
+        // NULL event time never enters a watermarked operator — both
+        // engine facts would otherwise silently desync the batch
+        // oracle (WHERE ts IS NOT NULL AND ts >= epoch 0)
+        .filter(col("ts").isNotNull && col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream.format("memory").queryName(name)
@@ -147,6 +158,13 @@ object StreamQueries {
     val name = freshSinkName("stateful")
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      // null boundary BEFORE the typed encoder: a NULL user_id or
+      // value row kills the stream ([NOT_NULL_ASSERT_VIOLATION] — the
+      // (Long, Double) encoder has no null slot); such rows leave the
+      // per-user aggregate universe, and the oracle gates on the same
+      // predicate. Live only on adversarial input (the fixtures are
+      // null-free here).
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
       .selectExpr("user_id", "value").as[(Long, Double)]
     withStatePartitions(s, 4) {
       val q = events.groupByKey(_._1)
@@ -182,6 +200,9 @@ object StreamQueries {
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("tss", date_trunc("second", Tables.eventTsExpr(schema)))
+      // initial-watermark boundary (see watermarkDedup): pre-1970 and
+      // NULL event times never reach the join state on either side
+      .filter(col("tss").isNotNull && col("tss") >= lit("1970-01-01 00:00:00").cast("timestamp"))
     val err = src.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id").as("eu"), col("tss").as("ets"))
       .withWatermark("ets", "10 minutes")
@@ -249,6 +270,8 @@ object StreamQueries {
     withStatePartitions(s, 4) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
+        // same null boundary as statefulPerUser (typed encoder)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
         .selectExpr("user_id", "value").as[(Long, Double)]
         .groupByKey(_._1)
         .transformWithState(new PerUserAgg, TimeMode.None(), OutputMode.Append())
@@ -328,6 +351,17 @@ object StreamQueries {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts", Tables.eventTsExpr(schema))
+        .filter(col("ts").isNotNull) // window() boundary, see tumbling
+        // fold '' into NULL BEFORE the aggregate: the landed layout is
+        // Hive-partitioned on event_type, and a Hive directory cannot
+        // represent an empty-string partition value (Spark writes ''
+        // and NULL both as __HIVE_DEFAULT_PARTITION__ and reads both
+        // back as NULL). Folding after the aggregate would land TWO
+        // rows per window in the NULL partition — a duplicate-key
+        // table. Declared for any Hive-layout sink at any scale:
+        // normalize the partition column before grouping on it.
+        .withColumn("event_type",
+          when(col("event_type") === "", lit(null: String)).otherwise(col("event_type")))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_v"))
         .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"),
@@ -419,15 +453,24 @@ object StreamQueries {
     "q_stream_tumbling" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS wstart,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_v
-        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
 
     // identical aggregate, landed through the foreachBatch parquet
     // round-trip — a dropped batch, a partition-column mangle, or a
     // lossy type round-trip in the landed files breaks the hash
+    // NULLIF(event_type, ''): the landed layout is Hive-partitioned
+    // on event_type, and a Hive directory layout CANNOT represent an
+    // empty-string partition value — Spark writes '' (and NULL) as
+    // __HIVE_DEFAULT_PARTITION__ and reads both back as NULL. That
+    // folding is a property of every Hive-layout table at any scale
+    // (choose partition columns accordingly); the oracle mirrors it.
     "stream_foreach_batch" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS wstart,
-        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_v
-        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+        |  NULLIF(event_type, '') AS event_type,
+        |  COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_v
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
 
     // 1h windows sliding 15min: each event falls in the 4 grid windows
     // starting at floor15(ts) − {0,15,30,45} min (epoch-aligned grid,
@@ -439,7 +482,8 @@ object StreamQueries {
     "q_stream_sliding" ->
       """WITH g AS (SELECT event_type,
         |  CAST(floor(CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT) / 900.0) AS BIGINT) * 900 - u.j * 900 AS wstart
-        |  FROM events, UNNEST(generate_series(0, 3)) AS u(j))
+        |  FROM events, UNNEST(generate_series(0, 3)) AS u(j)
+        |  WHERE ts IS NOT NULL)
         |SELECT wstart, event_type, COUNT(*) AS cnt
         |FROM g GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
 
@@ -448,7 +492,8 @@ object StreamQueries {
     // event at last + gap still extends the session; verified
     // empirically at sf0.1 where one 30:00.000 gap exists)
     "q_stream_session" ->
-      """WITH e AS (SELECT user_id, value, date_trunc('second', ts) AS tss FROM events),
+      """WITH e AS (SELECT user_id, value, date_trunc('second', ts) AS tss
+        |  FROM events WHERE ts IS NOT NULL),
         |flagged AS (SELECT user_id, value, tss,
         |  CASE WHEN tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss)
         |    > INTERVAL 30 MINUTE THEN 1
@@ -474,17 +519,21 @@ object StreamQueries {
     // the per-type DISTINCT below covers the defined input domain.
     "stream_watermark" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events
+        |WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // #44 batch equivalents: final per-user state after the single
     // micro-batch = plain per-user count/sum
     "stream_stateful" ->
       """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_transform_with_state" ->
       """SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // streaming content dedup ≡ per-lang distinct-text counts when the
     // whole input is one micro-batch (dedup state never evicts mid-batch)
@@ -496,9 +545,11 @@ object StreamQueries {
     // whole input is one micro-batch (state never evicts mid-batch)
     "stream_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS tss
-        |  FROM events WHERE event_type = 'error'),
+        |  FROM events WHERE event_type = 'error'
+        |    AND ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'),
         |c AS (SELECT user_id, date_trunc('second', ts) AS tss
-        |  FROM events WHERE event_type = 'click')
+        |  FROM events WHERE event_type = 'click'
+        |    AND ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00')
         |SELECT e.event_id, COUNT(*) AS n_clicks
         |FROM e JOIN c ON e.user_id = c.user_id
         |  AND c.tss >= e.tss - INTERVAL 10 MINUTE AND c.tss < e.tss

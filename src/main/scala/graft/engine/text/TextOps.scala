@@ -1571,7 +1571,11 @@ object TextOps {
     // the doc body is split once into a projected array column.
     "rag_chunk" -> ((s, d) => {
       graft.engine.expr.GraftFunctions.register(s)
-      docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+      // null-text boundary made EXPLICIT: posexplode drops the NULL
+      // chunk array anyway, but the oracle must gate the same way or
+      // it emits a phantom (doc, chunk 0, NULL md5) row for the doc
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
           posexplode(expr("chunk_fps(w, 32, 24)")).as(Seq("chunk_id", "c")))
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -2111,8 +2115,14 @@ object TextOps {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_ws_tokens"),
           sum("bpe").as("n_bpe_tokens"),
-          round(sum("bpe") / sum("ws").cast("double"), 6).as("fertility"),
-          round(sum("chars") / sum("bpe").cast("double"), 6).as("chars_per_token"))
+          // zero-token strata (whitespace-only / symbol-only docs):
+          // NULL ratio, never a DIVIDE_BY_ZERO abort (Spark 4 ANSI
+          // throws on zero divisors of ANY numeric type) — the oracle
+          // carries the same CASE gate
+          round(when(sum("ws") > 0, sum("bpe") / sum("ws").cast("double")), 6)
+            .as("fertility"),
+          round(when(sum("bpe") > 0, sum("chars") / sum("bpe").cast("double")), 6)
+            .as("chars_per_token"))
         .orderBy("lang", "source")),
 
     // PACKING-BUDGET sweep — the knob table for `sequence_pack`
@@ -2804,7 +2814,8 @@ object TextOps {
         |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin,
 
     "rag_chunk" ->
-      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        |  WHERE text IS NOT NULL),
         |ch AS (SELECT doc_id, u.j AS chunk_id,
         |    array_to_string(list_slice(a, u.j*24 + 1, u.j*24 + 32), ' ') AS chunk
         |  FROM arr, UNNEST(generate_series(0,
@@ -3099,8 +3110,10 @@ object TextOps {
         |SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
         |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
-        |  ROUND(SUM(bpe) / CAST(SUM(ws) AS DOUBLE), 6) AS fertility,
-        |  ROUND(SUM(chars) / CAST(SUM(bpe) AS DOUBLE), 6) AS chars_per_token
+        |  ROUND(CASE WHEN SUM(ws) > 0
+        |    THEN SUM(bpe) / CAST(SUM(ws) AS DOUBLE) END, 6) AS fertility,
+        |  ROUND(CASE WHEN SUM(bpe) > 0
+        |    THEN SUM(chars) / CAST(SUM(bpe) AS DOUBLE) END, 6) AS chars_per_token
         |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "pack_efficiency_sweep" ->

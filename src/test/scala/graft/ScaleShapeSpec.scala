@@ -63,8 +63,11 @@ class ScaleShapeSpec extends SparkSpec {
     // killer this spec guards against. Join-based scoring leaves two
     // unmistakable marks the broadcast-map plan had neither of:
     // (a) the scoring equi-joins push IsNotNull(vec_id) into their
-    //     embeddings scans (join keys get null-filtered);
-    assert("PushedFilters: \\[IsNotNull\\(vec_id\\)\\]".r.findAllIn(plan).size >= 2,
+    //     embeddings scans (join keys get null-filtered); the
+    //     vector-universe boundary (Tables.cleanVectors) co-pushes
+    //     IsNotNull(embedding)/IsNotNull(label) into the same scans,
+    //     so the pin matches vec_id anywhere in the pushed list
+    assert("PushedFilters: \\[[^\\]]*IsNotNull\\(vec_id\\)".r.findAllIn(plan).size >= 2,
       s"expected candidate-to-vector scoring equi-joins:\n$plan")
     // (b) every object kernel (MapPartitions) sits directly on a
     //     deserialized scan — none consumes the candidate join output

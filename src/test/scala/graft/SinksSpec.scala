@@ -139,21 +139,38 @@ class SinksSpec extends SparkSpec {
       s"lossy dim roundtrip: ${back.toSeq}")
   }
 
-  test("text line format REJECTS a NULL field at write time (no phantom empty line)") {
-    // Spark's text sink writes a bare newline for a NULL value (the
-    // payload is skipped, the separator is not), which would decode to
-    // a phantom all-NULL row and silently shift per-lang aggregates —
-    // so the encoder raises instead of letting the sink "succeed".
+  test("text line format round-trips NULL fields via the \\N sentinel (lossless, no phantom rows)") {
+    // NULL used to be a loud write-time failure (a line format cannot
+    // represent it natively, and Spark's text sink writes a bare
+    // newline for a NULL value — a phantom all-NULL row on decode).
+    // The \\N sentinel (Hive TextFile's convention, outside the hex
+    // alphabet) makes the format total: every NULL combination — and
+    // the all-NULL row — must come back EXACTLY, and the empty string
+    // must stay distinct from NULL.
     import spark.implicits._
     val tmp = Files.createTempDirectory("sink_null").toString + "/t"
-    val df = Seq((0L, "ok", "en", "s0"), (1L, null, "en", "s0"))
-      .toDF("doc_id", "text", "lang", "source")
-    val e = intercept[Exception] {
-      Sinks.textLineEncode(df).write.mode("overwrite").text(tmp)
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("unrepresentable")),
-      s"expected the encoder's raise_error, got: $e")
+    val rows = Seq(
+      (java.lang.Long.valueOf(0L), "ok", "en", "s0"),
+      (java.lang.Long.valueOf(1L), null, "en", "s0"),
+      (java.lang.Long.valueOf(2L), "", null, "s1"),      // empty text, NULL lang
+      (java.lang.Long.valueOf(3L), "t", "de", null),
+      (null.asInstanceOf[java.lang.Long], null, null, null)) // all-NULL row
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+    Sinks.textLineEncode(df).write.mode("overwrite").text(tmp)
+    val back = Sinks.textLineDecode(spark.read.text(tmp))
+      .collect().map(r => (
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+        r.getString(3), r.getString(1), r.getString(2)))
+      .sortBy(t => Option(t._1).map(_.toLong).getOrElse(Long.MinValue))
+    assert(back.toSeq == rows.sortBy(t => Option(t._1).map(_.toLong).getOrElse(Long.MinValue)),
+      s"lossy NULL roundtrip: ${back.toSeq}")
+    // the sentinel itself is inert as CONTENT: a literal "\\N" text is
+    // hex-armored, so it must decode back as the two-char string, not
+    // as NULL
+    val tricky = Seq((9L, "\\N", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val tmp2 = Files.createTempDirectory("sink_null2").toString + "/t"
+    Sinks.textLineEncode(tricky).write.mode("overwrite").text(tmp2)
+    val tb = Sinks.textLineDecode(spark.read.text(tmp2)).collect()(0)
+    assert(tb.getString(3) == "\\N", s"sentinel collided with content: $tb")
   }
 }

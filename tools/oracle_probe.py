@@ -50,7 +50,13 @@ def frames_equal(w, g):
             if not np.array_equal(wf[~wn], gf[~gn]):
                 return False
         else:
-            if not (ws.astype(str).to_numpy() == gs.astype(str).to_numpy()).all():
+            # normalize null markers before the string compare: a DATE
+            # column arrives as datetime64 (NaT) from duckdb but as
+            # object (None) from Spark parquet — same NULL, different
+            # string form ('NaT' vs 'None')
+            wsn = ws.astype(str).where(ws.notna(), "<NULL>").to_numpy()
+            gsn = gs.astype(str).where(gs.notna(), "<NULL>").to_numpy()
+            if not (wsn == gsn).all():
                 return False
     return True
 

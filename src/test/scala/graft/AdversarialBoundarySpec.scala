@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Crash-freedom gate on the HOSTILE fixture (round 13): every query
+  * that crashed on tools/AdversarialFixture's first run — NULL join
+  * keys, NULL embeddings, NULL array elements, NULL/pre-1970
+  * timestamps, NULL text, whitespace-only docs, zero-token strata —
+  * must now execute to completion on it. Value parity vs DuckDB lives
+  * in the out-of-band probe (verify skill step 4); THIS spec pins the
+  * in-band half (one bad row must never kill the job) so a regression
+  * of any boundary contract fails `sbt test`, not just the next
+  * manual probe run.
+  *
+  * The fixture is tiny (hundreds of rows) and written once per suite
+  * run into a temp dir in the driver's single-file-per-table layout.
+  */
+class AdversarialBoundarySpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_advfix_spec").toString
+    graft.tools.AdversarialFixture.write(spark, d)
+    d
+  }
+
+  /** The round-13 crash list, verbatim (19 keys; see SURVEY §7.14). */
+  private val formerCrashers = Seq(
+    "ann_lsh_topk", "ann_recall", "lsh_tables_sweep", "knn_per_vector",
+    "k_sweep", "k_sweep_determinism_contract", "kmeans_train",
+    "optimal_k_select", "silhouette_mllib",
+    "multimodal_decode_stats", "multimodal_resize_stats",
+    "multimodal_frame_sample", "mime_sniff_audit",
+    "q_cogroup_reconcile", "tokenizer_fertility",
+    "stream_stateful", "stream_transform_with_state",
+    "source_text_roundtrip", "incremental_ann_upsert")
+
+  formerCrashers.foreach { key =>
+    test(s"$key executes on the hostile fixture (crashed pre-round-13)") {
+      val rows = SparkEntry.queries(key)(spark, dir).collect()
+      assert(rows != null) // completion is the contract; values are the probe's job
+    }
+  }
+
+  test("cleanVectors excludes exactly the NULL-embedding, NULL-element and NULL-label rows") {
+    // fixture embeddings: 120 rows; vec 2 NULL embedding, vec 3 NULL
+    // element, vec 9 NULL label — the declared vector universe is the
+    // remaining 117 (tools/AdversarialFixture embBase)
+    val pts = graft.engine.Tables.points(spark, dir)
+    assert(pts.count() == 117)
+    val ids = pts.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && !ids.contains(3L) && !ids.contains(9L))
+    assert(ids.contains(1L) && ids.contains(10L)) // zero vector and label -1 STAY
+  }
+
+  test("foreachBatch sink never lands duplicate (window, NULL) groups from the '' fold") {
+    // '' folds into NULL BEFORE the aggregate — folding after would
+    // land two rows per window in the __HIVE_DEFAULT_PARTITION__ dir
+    val out = SparkEntry.queries("stream_foreach_batch")(spark, dir)
+    val dupKeys = out.groupBy("wstart", "event_type").count()
+      .filter(col("count") > 1).collect()
+    assert(dupKeys.isEmpty, s"duplicate landed groups: ${dupKeys.mkString(",")}")
+  }
+}

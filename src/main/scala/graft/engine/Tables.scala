@@ -138,6 +138,17 @@ object Tables {
     else s"WITH $cte\n$sql"
   }
 
+  /** The documents twin of [[gateEmbeddingsSql]]: shadow `documents`
+    * with the null-text boundary (Multimodal.payloads' filter — a
+    * NULL text has no media payload). Applied MECHANICALLY over a
+    * whole oracle map so no individual oracle can forget the gate. */
+  def gateDocumentsSql(sql: String): String = {
+    val cte = "documents AS (SELECT * FROM main.documents WHERE text IS NOT NULL)"
+    if (sql.stripLeading.startsWith("WITH "))
+      sql.replaceFirst("WITH ", s"WITH $cte,\n")
+    else s"WITH $cte\n$sql"
+  }
+
   /** The clustering-validity point set: embeddings with float64 features
     * and the ground-truth label used as the fixed cluster assignment for
     * all oracle-checked index queries (SURVEY.md §2.1).

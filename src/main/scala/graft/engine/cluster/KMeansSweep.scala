@@ -196,8 +196,10 @@ object KMeansSweep {
     // sufficient statistics — D(x,C) = ‖x‖² − 2·x·μ_C + avg‖y‖²_C,
     // a = D(x,own)·n/(n−1) (self-excluded), b = min over other C,
     // s = mean((b−a)/max(a,b)) — reproducible in SQL exactly
-    // (verified: both engines agree at ROUND 6). Assumes no singleton
-    // cluster (n>1), which holds for every fixture.
+    // (verified: both engines agree at ROUND 6). Singleton clusters
+    // (n = 1) score s(i) = 0 and STAY in the mean — MLlib's
+    // convention, pinned in the oracle's own_n CASE branch and
+    // exercised by the adversarial fixture's label -1 point.
     "silhouette_mllib" -> ((s, d) => {
       import s.implicits._
       val p = Tables.points(s, d).withColumn("fv", array_to_vector(col("features")))

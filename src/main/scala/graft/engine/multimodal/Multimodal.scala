@@ -475,14 +475,13 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mime_sniff_audit" ->
       """WITH m AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
-        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind FROM documents
-        |  WHERE text IS NOT NULL)
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind FROM documents)
         |SELECT kind, COUNT(*) AS n, COUNT(*) AS n_match, TRUE AS all_match
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
     "phash_dup_contract" ->
       """WITH img AS (SELECT doc_id AS media_id, text
-        |  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+        |  FROM documents WHERE doc_id % 3 = 0),
         |all_rows AS (SELECT media_id, text FROM img
         |  UNION ALL SELECT media_id + 1000000, text FROM img
         |  WHERE media_id % 30 = 0),
@@ -497,7 +496,7 @@ object Multimodal {
       """WITH m AS (SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS nb
-        |  FROM documents WHERE text IS NOT NULL)
+        |  FROM documents)
         |SELECT kind, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN kind = 'image' THEN GREATEST((nb + 15) // 16, 1)
         |    ELSE (nb + 15) // 16 END) AS BIGINT) AS sum_h,
@@ -509,7 +508,7 @@ object Multimodal {
 
     "multimodal_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
-        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL)
+        |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT media_id, CAST(((nb + 127) // 128 + 1) // 2 AS INTEGER) AS n_frames
         |FROM m ORDER BY media_id""".stripMargin,
 
@@ -518,7 +517,7 @@ object Multimodal {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS kind,
         |  (octet_length(encode(text)) + 3) // 4 AS ln
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents),
         |v AS (SELECT kind, ln,
         |  CASE WHEN kind = 'image' THEN GREATEST((ln + 15) // 16, 1)
         |       WHEN kind = 'audio' THEN (ln + 15) // 16
@@ -532,5 +531,9 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN kind = 'audio' THEN ln ELSE 16 * sum_h END)
         |    AS BIGINT) AS sum_bytes
         |FROM v GROUP BY kind ORDER BY kind""".stripMargin,
-  )
+  // every multimodal query reads payloads() = text-IS-NOT-NULL
+  // documents — gate every oracle mechanically on the same boundary
+  // (hand-splicing the WHERE into each string invites the
+  // over-fitted-oracle gap a forgotten gate reopens)
+  ).view.mapValues(Tables.gateDocumentsSql).toMap
 }

@@ -78,11 +78,18 @@ object StreamQueries {
     * preserved — a local relation scans in list order. */
   private def drainSink(s: SparkSession, name: String)
                        (transform: DataFrame => DataFrame): DataFrame = {
-    val out = transform(s.table(name))
-    val schema = out.schema
-    val rows = out.collect()
-    try s.catalog.dropTempView(name) catch { case _: Exception => () }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // drop in finally: a transform/collect failure must not leak the
+    // sink view (nothing else ever drops it — the old next-invocation
+    // bookkeeping is gone), or each failed retry pins a full result
+    // copy in the driver catalog for the session's lifetime
+    try {
+      val out = transform(s.table(name))
+      val schema = out.schema
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      try s.catalog.dropTempView(name) catch { case _: Exception => () }
+    }
   }
 
   /** Tumbling 1 h window × event_type (#41, batch form). */

@@ -68,7 +68,16 @@ object AdversarialFixture {
     "0", "-1", "3.14", "1e10" // strings that LOOK like numbers
   )
 
-  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  /** Parse as UTC wall-clock, NOT Timestamp.valueOf (which parses in
+    * the JVM default timezone — only spark.sql.session.timeZone is
+    * pinned to UTC, so on a non-UTC host the pre-1970 rows and the
+    * exactly-on-the-grid events would silently shift and the
+    * boundary contracts they exist to exercise would be tested
+    * against nothing). */
+  private def ts(s: String): Timestamp = {
+    val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+  }
 
   def write(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
@@ -255,7 +264,7 @@ object AdversarialFixture {
         case 11 => null
         case 15 => ts("2024-01-01 01:00:00") // exactly on the hour grid
         case 17 => ts("2024-01-01 01:15:00") // exactly on the 15-min grid
-        case 21 => Timestamp.valueOf("2024-01-01 02:30:00.123456") // sub-second
+        case 21 => ts("2024-01-01 02:30:00.123456") // sub-second
         case 25 => ts("2024-01-01 03:00:00") // session-gap boundary feeder
         case 27 => ts("2024-01-01 03:30:00") // exactly gap-width later
         case _ =>

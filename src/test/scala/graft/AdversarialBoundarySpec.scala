@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
 class AdversarialBoundarySpec extends SparkSpec {
 
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_advfix_spec").toString
+    // TempDirs.scratch: shutdown-hook-deleted, never a bare temp dir
+    // (the graft-skewdim leak class, round-9 verdict #3)
+    val d = graft.engine.TempDirs.scratch("graft_advfix_spec")
     graft.tools.AdversarialFixture.write(spark, d)
     d
   }

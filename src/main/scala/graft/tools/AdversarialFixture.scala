@@ -79,9 +79,20 @@ object AdversarialFixture {
     Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
   }
 
-  def write(spark: SparkSession, dir: String): Unit = {
+  def write(spark: SparkSession, dir: String): Unit = write(spark, dir, 0L)
+
+  /** `seed` varies the FILLER content and the null/edge PHASES while
+    * the hand-curated boundary rows stay fixed — re-running the probe
+    * over a few seeds exercises different group shapes, different
+    * null placements and different rounding neighborhoods without
+    * giving up determinism (each seed is itself reproducible). Seed 0
+    * is the committed regression gate. */
+  def write(spark: SparkSession, dir: String, seed: Long): Unit = {
     import spark.implicits._
-    val rnd = new scala.util.Random(20260815L)
+    val rnd = new scala.util.Random(20260815L + seed)
+    // phase shifts for the modular null/edge placements (0 at seed 0
+    // keeps the documented row ids stable for the committed gate)
+    val ph = if (seed == 0L) 0 else 1 + (rnd.nextInt(11))
 
     // The driver's tables are single parquet FILES (events.parquet),
     // not directories — the streaming queries' pathGlobFilter matches
@@ -119,10 +130,10 @@ object AdversarialFixture {
     // boundary .xxxxx5 values.
     val custRows = (1L to 60L).map { k =>
       val name =
-        if (k % 13 == 0) null
+        if ((k + ph) % 13 == 0) null
         else nastyStrings((k % nastyStrings.size).toInt)
       val nk: java.lang.Integer =
-        if (k % 17 == 0) null else Integer.valueOf((k % 25).toInt)
+        if ((k + ph) % 17 == 0) null else Integer.valueOf((k % 25).toInt)
       val bal: java.lang.Double = k match {
         case 7 => -0.0
         case 11 => 0.0
@@ -133,7 +144,7 @@ object AdversarialFixture {
         case 37 => 1e-9
         case _ => math.round(rnd.nextDouble() * 1e6) / 100.0
       }
-      val seg = if (k % 11 == 0) null
+      val seg = if ((k + ph) % 11 == 0) null
         else Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "", " ",
           "café")((k % 6).toInt)
       (k, name, nk, bal, seg)
@@ -152,7 +163,7 @@ object AdversarialFixture {
     // part: hostile names feed q_scalar_string's regex/LIKE/substr
     // surface; p_size 0 and negative; duplicate (brand, type) pairs.
     save("part")((1L to 40L).map { k =>
-      val nm = if (k % 19 == 0) null
+      val nm = if ((k + ph) % 19 == 0) null
         else nastyStrings(((k * 7) % nastyStrings.size).toInt)
       val brand = Seq("Brand#1", "Brand#2", "", null)((k % 4).toInt)
       val ptype = Seq("STANDARD", "anodized nickel", " ", null)((k % 4).toInt)
@@ -172,8 +183,8 @@ object AdversarialFixture {
     // genuinely ambiguous, not adversarial).
     val orderRows = (1L to 120L).map { k =>
       val ck: java.lang.Long =
-        if (k % 23 == 0) null else java.lang.Long.valueOf((k % 60) + 1)
-      val st = if (k % 29 == 0) null else Seq("O", "F", "P", "")((k % 4).toInt)
+        if ((k + ph) % 23 == 0) null else java.lang.Long.valueOf((k % 60) + 1)
+      val st = if ((k + ph) % 29 == 0) null else Seq("O", "F", "P", "")((k % 4).toInt)
       val tp: java.lang.Double = k match {
         case 7 => 0.0050005 // ROUND boundary under sum
         case 11 => -500.25 // negative order total
@@ -187,7 +198,7 @@ object AdversarialFixture {
         case 19 => null
         case _ => ts(f"${1995 + (k % 6)}%d-${(k % 12) + 1}%02d-${(k % 28) + 1}%02d 00:00:00")
       }
-      val pr = if (k % 31 == 0) null
+      val pr = if ((k + ph) % 31 == 0) null
         else Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")((k % 5).toInt)
       (k, ck, st, tp, dt, pr)
     }
@@ -219,8 +230,8 @@ object AdversarialFixture {
         case _ => (i % 11).toDouble / 100.0
       }
       val tax: java.lang.Double = if (i == 28) null else (i % 9).toDouble / 100.0
-      val rf = if (i % 37 == 0) null else Seq("A", "N", "R", "")((i % 4).toInt)
-      val ls = if (i % 41 == 0) null else Seq("O", "F")((i % 2).toInt)
+      val rf = if ((i + ph) % 37 == 0) null else Seq("A", "N", "R", "")((i % 4).toInt)
+      val ls = if ((i + ph) % 41 == 0) null else Seq("O", "F")((i % 2).toInt)
       val sd: Timestamp = i match {
         case 32 => null
         case 36 => ts("1969-01-01 12:00:00")
@@ -249,8 +260,8 @@ object AdversarialFixture {
     )
     val eventRows = (1L to 200L).map { i =>
       val uid: java.lang.Long =
-        if (i % 19 == 0) null else java.lang.Long.valueOf((i % 30) + 1)
-      val et = if (i % 23 == 0) null
+        if ((i + ph) % 19 == 0) null else java.lang.Long.valueOf((i % 30) + 1)
+      val et = if ((i + ph) % 23 == 0) null
         else Seq("click", "error", "purchase", "signup", "view", "weird", "")((i % 7).toInt)
       val v: java.lang.Double = i match {
         case 5 => null
@@ -271,7 +282,7 @@ object AdversarialFixture {
           val m = (i * 7) % (29 * 24 * 60)
           new Timestamp(ts("2024-01-01 00:00:00").getTime + m * 60000L)
       }
-      (i, t, uid, et, v, propsPool(((i * 3) % propsPool.size).toInt))
+      (i, t, uid, et, v, propsPool(((i * 3 + ph) % propsPool.size).toInt))
     }
     save("events")(eventRows
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
@@ -359,6 +370,7 @@ object AdversarialFixture {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_advfix")
+    val seed = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -366,8 +378,8 @@ object AdversarialFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    write(spark, dir)
-    println(s"[advfix] wrote adversarial fixture to $dir")
+    write(spark, dir, seed)
+    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed)")
     spark.stop()
   }
 }

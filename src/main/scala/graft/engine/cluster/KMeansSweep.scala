@@ -33,6 +33,17 @@ object KMeansSweep {
     * prediction column (id, features, cluster). */
   def assign(points: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
     val withVec = points.withColumn("fv", array_to_vector(col("features")))
+    // empty in, empty out: MLlib's fit aborts on a zero-row input
+    // ("Nothing has been added to this summarizer") — an empty slice
+    // (a day with no data) must yield an empty assignment, not kill
+    // the pipeline. isEmpty is a limit-1 probe, cheap at any scale.
+    if (withVec.isEmpty)
+      return points.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          points.schema.fields.filter(f => f.name == "vec_id" || f.name == "features")
+            :+ org.apache.spark.sql.types.StructField("cluster",
+              org.apache.spark.sql.types.IntegerType, nullable = false)))
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("prediction")
       .fit(withVec)
@@ -62,7 +73,14 @@ object KMeansSweep {
     // would yank the cache out from under the sibling sweep mid-fit
     val preCached = points.storageLevel != StorageLevel.NONE
     val cached = if (preCached) points else points.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count() // materialize once before the sweep
+    val n = cached.count() // materialize once before the sweep
+    // empty in, empty out (see assign): no k is fittable on zero
+    // points — the sweep table is simply empty
+    if (n == 0) {
+      if (!preCached) cached.unpersist()
+      return Seq.empty[(Int, Double, Double, Double, Double, Long)]
+        .toDF("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin", "t_ms")
+    }
     val ks = (kMin to kMax).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
     try {
@@ -117,7 +135,11 @@ object KMeansSweep {
     import spark.implicits._
     val rows = sweepDf.select("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin")
       .orderBy("k").collect() // k_max − k_min + 1 rows: driver-side is O(k)
-    require(rows.nonEmpty, "optimalK needs a non-empty sweep table")
+    // empty sweep (empty corpus upstream): no best k is defined —
+    // return the empty criterion table rather than aborting
+    if (rows.isEmpty)
+      return Seq.empty[(String, Int, Double)]
+        .toDF("criterion", "best_k", "value").orderBy("criterion")
     def best(idx: Int, maximize: Boolean): (Int, Double) = {
       val vals = rows.map(r => (r.getInt(0), r.getDouble(idx)))
       val pick = if (maximize) vals.maxBy(v => (v._2, -v._1)) else vals.minBy(v => (v._2, v._1.toDouble))
@@ -203,11 +225,17 @@ object KMeansSweep {
     "silhouette_mllib" -> ((s, d) => {
       import s.implicits._
       val p = Tables.points(s, d).withColumn("fv", array_to_vector(col("features")))
-      val sil = new ClusteringEvaluator().setFeaturesCol("fv")
-        .setPredictionCol("cluster").setMetricName("silhouette").evaluate(p)
-      val r6 = BigDecimal.valueOf(sil)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq(r6).toDF("silhouette_mllib")
+      // empty corpus: the metric is undefined — ONE NULL row, matching
+      // the SQL form (AVG over zero rows is a single NULL), so the
+      // oracle stays row-count-parity without a special case
+      if (p.isEmpty) Seq[java.lang.Double](null).toDF("silhouette_mllib")
+      else {
+        val sil = new ClusteringEvaluator().setFeaturesCol("fv")
+          .setPredictionCol("cluster").setMetricName("silhouette").evaluate(p)
+        val r6 = BigDecimal.valueOf(sil)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq[java.lang.Double](r6).toDF("silhouette_mllib")
+      }
     }),
 
     // #12 single-k train (k = true cluster count, fixed seed)
@@ -371,9 +399,13 @@ object KMeansSweep {
     // booleans from two independent seeded sweeps, DuckDB states what
     // they must be — any nondeterminism in the MLlib fit chain lands
     // as a hash mismatch on this row.
+    // n_rows derives from the (gated) corpus: 5 sweep rows on any
+    // non-empty point set, 0 on an empty one (empty-in-empty-out —
+    // the sweep emits no k rows when nothing is fittable)
     "k_sweep_determinism_contract" ->
       """SELECT CAST(2 AS INT) AS k_lo, CAST(6 AS INT) AS k_hi,
-        |  CAST(5 AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN (SELECT COUNT(*) FROM embeddings) = 0
+        |    THEN 0 ELSE 5 END AS BIGINT) AS n_rows,
         |  TRUE AS sweep_identical, TRUE AS argbest_identical""".stripMargin,
   // the sweep/report queries read Tables.points = cleanVectors —
   // gate the oracles on the same vector universe

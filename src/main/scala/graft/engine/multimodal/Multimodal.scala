@@ -468,7 +468,9 @@ object Multimodal {
           sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_rows"),
           max(col("n_hashes")).as("max_h"))
         .select(col("n_groups"), col("n_dup_groups"), col("dup_rows"),
-          (col("max_h") === 1).as("hash_consistent"))
+          // vacuously consistent on an empty corpus (MAX over zero
+          // groups is NULL) — the oracle's verdict is constant TRUE
+          coalesce(col("max_h") === 1, lit(true)).as("hash_consistent"))
     }),
   )
 

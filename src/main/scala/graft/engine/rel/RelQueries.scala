@@ -222,7 +222,11 @@ object RelQueries {
       // look — the same class the deferred contracts fixed. ownMemo
       // keeps the bench billing this build cold every attempt.
       val bloom = urgentBloomCache.get(s, d) {
-        urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+        // empty-slice guard (see Sketches.tokenBloom): zero urgent
+        // orders must yield an all-false filter, not a null-buffer NPE
+        if (urgent.isEmpty)
+          org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+        else urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
       }
       val bc = s.sparkContext.broadcast(bloom)
       val might = graft.engine.sketch.Sketches.udfMightContainLong(bc)
@@ -880,8 +884,11 @@ object RelQueries {
         .agg(count(lit(1)).as("n"),
           sum(when(col("x") <= col("ap"), 1L).otherwise(0L)).as("rank_at_ap"))
         .select(col("n"),
-          (abs(col("rank_at_ap") - col("n") / 2)
-            <= col("n") / lit(1000) + lit(1)).as("within_bound"))
+          // vacuously TRUE on an empty table (rank_at_ap is a NULL
+          // sum there, and the rank error of nothing is zero) —
+          // matching the oracle's constant-verdict form
+          coalesce(abs(col("rank_at_ap") - col("n") / 2)
+            <= col("n") / lit(1000) + lit(1), lit(true)).as("within_bound"))
     }),
 
     // approx_count_distinct(rsd=0.05): relative error within 3·rsd of
@@ -988,7 +995,10 @@ object RelQueries {
         .select(col("c_custkey").as("k"))
       val custStats = customer(s, d).agg(
         count(lit(1)).as("n_cust_total"),
-        sum(when(col("c_custkey") % 20 === 0, 1L).otherwise(0L)).as("n_cust_deleted"))
+        // coalesce: SUM over an empty table is NULL, but "rows deleted
+        // from an empty table" is 0 (the oracle counts, which gives 0)
+        coalesce(sum(when(col("c_custkey") % 20 === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_cust_deleted"))
       // the delete key set is ~5% of CUSTOMERS — corpus-scaled, the
       // exact growing-dim shape whose forced broadcast was removed
       // from dsir/ann_filtered in round 7: no hint, AQE broadcasts it
@@ -1112,6 +1122,7 @@ object RelQueries {
       |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS qty
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |HAVING COUNT(*) > 0
       |ORDER BY rf, ls""".stripMargin
 
   private val LATERAL_SQL =
@@ -1233,6 +1244,12 @@ object RelQueries {
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // HAVING COUNT(*) > 0 pins the EMPTY-INPUT convention: the SQL
+    // standard's () grouping set emits a grand-total row even over
+    // zero input rows (DuckDB does), while Spark's rollup/cube emit
+    // nothing — the HAVING is a no-op on any non-empty input (every
+    // real group aggregates >= 1 row) and aligns the empty case.
+    // Same pin inside GROUPING_SETS_SQL (shared Spark/oracle text).
     "q_agg_rollup" ->
       """SELECT CASE WHEN GROUPING(n_name) = 1 THEN '__ALL__'
         |       ELSE COALESCE(n_name, '__NULL__') END AS nation,
@@ -1243,6 +1260,7 @@ object RelQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, EXTRACT(year FROM o_orderdate))
+        |HAVING COUNT(*) > 0
         |ORDER BY nation, yr""".stripMargin,
 
     "q_timeseries_fill" ->
@@ -1286,6 +1304,7 @@ object RelQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, EXTRACT(year FROM o_orderdate))
+        |HAVING COUNT(*) > 0
         |ORDER BY nation, yr""".stripMargin,
 
     "q_window_rank" ->

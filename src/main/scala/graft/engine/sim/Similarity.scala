@@ -1291,8 +1291,8 @@ object Similarity {
          |    SELECT nprobe, id1, id2,
          |      ROW_NUMBER() OVER (PARTITION BY nprobe, id1 ORDER BY cos DESC, id2) AS rn,
          |      COUNT(*) OVER (PARTITION BY nprobe, id1) AS cands
-         |    FROM cosn) WHERE rn = 1)
-         |SELECT np.nprobe, COUNT(*) AS n_queries, COUNT(a.nn_id) AS n_answered,
+         |    FROM cosn) WHERE rn = 1),
+         |meas AS (SELECT np.nprobe, COUNT(*) AS n_queries, COUNT(a.nn_id) AS n_answered,
          |  CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_correct,
          |  ROUND(CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
@@ -1300,7 +1300,13 @@ object Similarity {
          |  CAST(COALESCE(SUM(a.cands), 0) AS BIGINT) AS n_candidates
          |FROM np CROSS JOIN truth t
          |LEFT JOIN ans a ON a.nprobe = np.nprobe AND a.id1 = t.id1
-         |GROUP BY np.nprobe ORDER BY np.nprobe""".stripMargin,
+         |GROUP BY np.nprobe)
+         |SELECT np.nprobe, CAST(COALESCE(m.n_queries, 0) AS BIGINT) AS n_queries,
+         |  CAST(COALESCE(m.n_answered, 0) AS BIGINT) AS n_answered,
+         |  m.n_correct, m.recall_at_1,
+         |  CAST(COALESCE(m.n_candidates, 0) AS BIGINT) AS n_candidates
+         |FROM np LEFT JOIN meas m ON m.nprobe = np.nprobe
+         |ORDER BY np.nprobe""".stripMargin,
 
     "lsh_tables_sweep" ->
       s"""WITH $PT,
@@ -1328,8 +1334,8 @@ object Similarity {
          |    SELECT n_tables, id1, id2,
          |      ROW_NUMBER() OVER (PARTITION BY n_tables, id1 ORDER BY cos DESC, id2) AS rn,
          |      COUNT(*) OVER (PARTITION BY n_tables, id1) AS cands
-         |    FROM tcos) WHERE rn = 1)
-         |SELECT tb.n_tables, COUNT(*) AS n_queries, COUNT(a.nn_id) AS n_answered,
+         |    FROM tcos) WHERE rn = 1),
+         |meas AS (SELECT tb.n_tables, COUNT(*) AS n_queries, COUNT(a.nn_id) AS n_answered,
          |  CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_correct,
          |  ROUND(CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
@@ -1337,7 +1343,13 @@ object Similarity {
          |  CAST(COALESCE(SUM(a.cands), 0) AS BIGINT) AS n_candidates
          |FROM tb CROSS JOIN truth t
          |LEFT JOIN tans a ON a.n_tables = tb.n_tables AND a.id1 = t.id1
-         |GROUP BY tb.n_tables ORDER BY tb.n_tables""".stripMargin,
+         |GROUP BY tb.n_tables)
+         |SELECT tb.n_tables, CAST(COALESCE(m.n_queries, 0) AS BIGINT) AS n_queries,
+         |  CAST(COALESCE(m.n_answered, 0) AS BIGINT) AS n_answered,
+         |  m.n_correct, m.recall_at_1,
+         |  CAST(COALESCE(m.n_candidates, 0) AS BIGINT) AS n_candidates
+         |FROM tb LEFT JOIN meas m ON m.n_tables = tb.n_tables
+         |ORDER BY tb.n_tables""".stripMargin,
 
     "ann_filtered_topk" ->
       s"""WITH $PT,
@@ -1414,15 +1426,19 @@ object Similarity {
          |      ROW_NUMBER() OVER (PARTITION BY ks.rescore_k, r.id1
          |        ORDER BY r.cos DESC, r.id2) AS rn
          |    FROM ks CROSS JOIN rcos r WHERE r.qr <= ks.rescore_k)
-         |  WHERE rn = 1)
-         |SELECT ks.rescore_k, COUNT(*) AS n_queries,
+         |  WHERE rn = 1),
+         |meas AS (SELECT ks.rescore_k, COUNT(*) AS n_queries,
          |  CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_correct,
          |  ROUND(CAST(SUM(CASE WHEN a.nn_id = t.true_nn THEN 1 ELSE 0 END) AS BIGINT)
          |    / COUNT(*), 6) AS recall_at_1
          |FROM ks CROSS JOIN truth t
          |LEFT JOIN ans a ON a.rescore_k = ks.rescore_k AND a.id1 = t.id1
-         |GROUP BY ks.rescore_k ORDER BY ks.rescore_k""".stripMargin,
+         |GROUP BY ks.rescore_k)
+         |SELECT ks.rescore_k, CAST(COALESCE(m.n_queries, 0) AS BIGINT) AS n_queries,
+         |  m.n_correct, m.recall_at_1
+         |FROM ks LEFT JOIN meas m ON m.rescore_k = ks.rescore_k
+         |ORDER BY ks.rescore_k""".stripMargin,
   // every Similarity query flows through vecs() = cleanVectors, so
   // every oracle sees the identically-gated embeddings CTE
   ).view.mapValues(graft.engine.Tables.gateEmbeddingsSql).toMap

@@ -58,10 +58,15 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** Read back a partitioned/sorted layout (plain parquet read — the
-    * pruning comes from the layout, not special read code). */
-  def readLayout(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+  /** Read back a partitioned/sorted layout. `schema` should be the
+    * written table's schema whenever the caller has it: schema
+    * INFERENCE aborts on an empty landed layout (zero part files →
+    * UNABLE_TO_INFER_SCHEMA — a real case: a filtered-to-nothing
+    * slice), and an explicit schema also saves the inference listing
+    * on a large table. The pruning still comes from the layout. */
+  def readLayout(s: SparkSession, path: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(s.read)(s.read.schema(_)).parquet(path)
 
   /** The write surface as a DRIVER-EXERCISED query (round-2 verdict,
     * "What's missing" #4): write `documents` hive-partitioned on
@@ -127,7 +132,7 @@ object Sinks {
       import org.apache.spark.sql.functions._
       val path = cachedPath(s, s"$d|parquet")(p =>
         writePartitioned(graft.engine.Tables.documents(s, d), p, "lang"))
-      readLayout(s, path)
+      readLayout(s, path, Some(graft.engine.Tables.documents(s, d).schema))
         .filter(col("lang") === "en")
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))

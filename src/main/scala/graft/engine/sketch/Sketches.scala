@@ -53,9 +53,14 @@ object Sketches {
   def tokenBloom(s: SparkSession, d: String, expectedItems: Long = 100000L,
                  fpp: Double = 0.01): BloomFilter =
     bloomCache.get(s, s"$d|$expectedItems|$fpp") {
-      Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
-        .stat.bloomFilter("token", expectedItems, fpp)
+      // empty-corpus guard: Spark's bloomFilter aggregate on ZERO rows
+      // hands back a filter with a null bit buffer that NPEs on first
+      // use — an explicitly-created empty filter (mightContain always
+      // false) is the defined empty-in value. isEmpty = limit-1 probe.
+      if (toks.isEmpty) BloomFilter.create(math.max(expectedItems, 1L), fpp)
+      else toks.stat.bloomFilter("token", expectedItems, fpp)
     }
 
   /** Exact top-10 (token, count), memoized per (session, sfDir) —
@@ -252,7 +257,7 @@ object Sketches {
     // would bill each doc's length once PER TOKEN (Σ len², not Σ len).
     "cms_error_contract" ->
       """SELECT
-        |  (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |  (SELECT CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
         |     FROM documents) AS total_tokens,
         |  LEAST(CAST(10 AS BIGINT),
         |    (SELECT COUNT(DISTINCT token)

@@ -347,7 +347,10 @@ object StreamQueries {
       foreachBatchRun(s, d, p)
       p
     }
-    s.read.parquet(out)
+    // explicit schema: inference aborts on an empty landed layout
+    // (zero micro-batch output files), and the landed schema is known
+    s.read.schema("wstart BIGINT, event_type STRING, cnt BIGINT, sum_v DOUBLE")
+      .parquet(out)
       .select("wstart", "event_type", "cnt", "sum_v")
       .orderBy("wstart", "event_type")
   }

@@ -3131,13 +3131,18 @@ object TextOps {
         |  CAST(FLOOR((c.cum - c.n_tok) / CAST(b.budget AS DOUBLE)) AS BIGINT) AS pack_id,
         |  c.n_tok FROM c CROSS JOIN b),
         |g AS (SELECT budget, shard, pack_id, CAST(SUM(n_tok) AS BIGINT) AS tokens
-        |  FROM p GROUP BY 1, 2, 3)
-        |SELECT budget, COUNT(*) AS n_packs,
+        |  FROM p GROUP BY 1, 2, 3),
+        |meas AS (SELECT budget, COUNT(*) AS n_packs,
         |  CAST(SUM(CASE WHEN tokens > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
         |  CAST(SUM(tokens) AS BIGINT) AS tokens_total,
         |  CAST(COUNT(*) * budget AS BIGINT) AS capacity,
         |  (CAST(SUM(tokens) AS BIGINT) * 1000000) // (COUNT(*) * budget) AS fill_ppm
-        |FROM g GROUP BY budget ORDER BY budget""".stripMargin,
+        |  FROM g GROUP BY budget)
+        |SELECT b.budget, CAST(COALESCE(m.n_packs, 0) AS BIGINT) AS n_packs,
+        |  m.n_overflow, m.tokens_total,
+        |  CAST(COALESCE(m.capacity, 0) AS BIGINT) AS capacity, m.fill_ppm
+        |FROM b LEFT JOIN meas m ON m.budget = b.budget
+        |ORDER BY b.budget""".stripMargin,
 
     "eval_contamination_report" ->
       """WITH arr AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),

@@ -87,7 +87,15 @@ object AdversarialFixture {
     * null placements and different rounding neighborhoods without
     * giving up determinism (each seed is itself reproducible). Seed 0
     * is the committed regression gate. */
-  def write(spark: SparkSession, dir: String, seed: Long): Unit = {
+  def write(spark: SparkSession, dir: String, seed: Long): Unit =
+    write(spark, dir, seed, empty = false)
+
+  /** `empty = true` writes every table SCHEMA-CORRECT with ZERO rows —
+    * the "partition with no data" case every 100 TB pipeline hits
+    * (an empty day, a filtered-to-nothing slice). Queries must come
+    * back empty or with their defined empty-aggregate row, never
+    * crash. */
+  def write(spark: SparkSession, dir: String, seed: Long, empty: Boolean): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L + seed)
     // phase shifts for the modular null/edge placements (0 at seed 0
@@ -98,7 +106,8 @@ object AdversarialFixture {
     // not directories — the streaming queries' pathGlobFilter matches
     // the file NAME, so a directory layout silently yields an empty
     // stream. Write to a temp dir, then move the single part file.
-    def save(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    def save(name: String)(df0: org.apache.spark.sql.DataFrame): Unit = {
+      val df = if (empty) df0.limit(0) else df0
       val tmp = s"$dir/.tmp_$name"
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val tmpDir = new java.io.File(tmp)
@@ -370,7 +379,8 @@ object AdversarialFixture {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_advfix")
-    val seed = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
+    val seed = args.drop(1).headOption.filter(_ != "empty").map(_.toLong).getOrElse(0L)
+    val empty = args.contains("empty")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -378,8 +388,8 @@ object AdversarialFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    write(spark, dir, seed)
-    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed)")
+    write(spark, dir, seed, empty)
+    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, empty=$empty)")
     spark.stop()
   }
 }

@@ -43,6 +43,29 @@ class AdversarialBoundarySpec extends SparkSpec {
     }
   }
 
+  private lazy val emptyDir: String = {
+    val d = graft.engine.TempDirs.scratch("graft_empty_spec")
+    graft.tools.AdversarialFixture.write(spark, d, 0L, empty = true)
+    d
+  }
+
+  /** Empty-corpus crash list (the "day with no data" case): MLlib
+    * fits/evaluators abort on zero rows, Spark's bloomFilter aggregate
+    * hands back a null-buffer filter, and landed-layout read-backs
+    * can't infer a schema from zero files — all guarded in round 13. */
+  private val emptyCrashers = Seq(
+    "k_sweep", "k_sweep_determinism_contract", "kmeans_train",
+    "optimal_k_select", "silhouette_mllib", "bloom_fpp_contract",
+    "q_join_bloom_prefilter", "sink_partitioned_roundtrip",
+    "stream_foreach_batch")
+
+  emptyCrashers.foreach { key =>
+    test(s"$key executes on an EMPTY corpus (crashed pre-round-13)") {
+      val rows = SparkEntry.queries(key)(spark, emptyDir).collect()
+      assert(rows != null)
+    }
+  }
+
   test("cleanVectors excludes exactly the NULL-embedding, NULL-element and NULL-label rows") {
     // fixture embeddings: 120 rows; vec 2 NULL embedding, vec 3 NULL
     // element, vec 9 NULL label — the declared vector universe is the

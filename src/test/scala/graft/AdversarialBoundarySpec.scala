@@ -43,6 +43,43 @@ class AdversarialBoundarySpec extends SparkSpec {
     }
   }
 
+  // completion alone can be vacuous — pin a BINDING boundary outcome
+  // for one representative of each crash class (values beyond these
+  // are the DuckDB probe's job):
+
+  test("tokenizer_fertility emits the zero-token stratum with NULL ratios (not an abort, not a drop)") {
+    import org.apache.spark.sql.Row
+    val rows = SparkEntry.queries("tokenizer_fertility")(spark, dir).collect()
+    // fixture doc 7 is whitespace-only ("   ", lang es): its stratum
+    // must be PRESENT with fertility non-null (ws>0) but
+    // chars_per_token NULL (bpe = 0 — the division the ANSI guard
+    // covers)
+    val es = rows.filter(r => r.getAs[String]("lang") == "es")
+    assert(es.nonEmpty, "es strata missing entirely")
+    val zeroBpe = rows.filter(r => !r.isNullAt(r.fieldIndex("n_bpe_tokens"))
+      && r.getAs[Long]("n_bpe_tokens") == 0L)
+    assert(zeroBpe.nonEmpty, "the zero-BPE stratum vanished instead of carrying NULL ratios")
+    zeroBpe.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("chars_per_token")),
+        s"zero-token stratum must have NULL chars_per_token: $r")
+    }
+  }
+
+  test("q_cogroup_reconcile excludes NULL ids (the typed-encoder boundary)") {
+    val ids = SparkEntry.queries("q_cogroup_reconcile")(spark, dir)
+      .select("id").collect()
+    assert(ids.nonEmpty && ids.forall(!_.isNullAt(0)))
+  }
+
+  test("stream_stateful drops NULL-keyed/NULL-valued events but keeps every other user") {
+    val out = SparkEntry.queries("stream_stateful")(spark, dir).collect()
+    assert(out.nonEmpty && out.forall(!_.isNullAt(0)))
+    // fixture: user ids are (i % 30) + 1 with every 19th event NULL —
+    // all 30 users still have at least one non-null event, so the
+    // boundary must not swallow whole users
+    assert(out.length == 30, s"expected 30 users, got ${out.length}")
+  }
+
   private lazy val emptyDir: String = {
     val d = graft.engine.TempDirs.scratch("graft_empty_spec")
     graft.tools.AdversarialFixture.write(spark, d, 0L, empty = true)

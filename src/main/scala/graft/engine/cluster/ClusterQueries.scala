@@ -187,7 +187,8 @@ object ClusterQueries {
          |    ON cnt.cluster = ctr.cluster),
          |w AS (SELECT SUM(d2) AS w FROM own),
          |nk AS (SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings)
-         |SELECT ROUND((b.b / (nk.k - 1)) / (w.w / (nk.n - nk.k)), 6) AS calinski_harabasz
+         |SELECT ROUND(CASE WHEN nk.k > 1 AND nk.n > nk.k AND w.w > 0
+         |  THEN (b.b / (nk.k - 1)) / (w.w / (nk.n - nk.k)) END, 6) AS calinski_harabasz
          |FROM b, w, nk""".stripMargin,
 
     "xie_beni" ->

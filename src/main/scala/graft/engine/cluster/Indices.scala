@@ -113,7 +113,12 @@ object Indices {
       .agg(sum("term").as("b"))
     val w = wssse(points)
     b.crossJoin(w).crossJoin(n).crossJoin(k)
-      .select(((col("b") / (col("k") - 1)) / (col("wssse") / (col("n") - col("k"))))
+      // undefined-index guard: CH needs k > 1 (between-variance has
+      // k-1 df), n > k (within has n-k df) and W > 0 (ANSI division
+      // throws on every zero denominator; a degenerate corpus must
+      // yield NULL, not a crash) — the oracle carries the same CASE
+      .select(when(col("k") > 1 && col("n") > col("k") && col("wssse") > 0,
+          (col("b") / (col("k") - 1)) / (col("wssse") / (col("n") - col("k"))))
         .as("calinski_harabasz"))
   }
 

@@ -33,18 +33,28 @@ object KMeansSweep {
     * prediction column (id, features, cluster). */
   def assign(points: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
     val withVec = points.withColumn("fv", array_to_vector(col("features")))
-    // empty in, empty out: MLlib's fit aborts on a zero-row input
-    // ("Nothing has been added to this summarizer") — an empty slice
-    // (a day with no data) must yield an empty assignment, not kill
-    // the pipeline. isEmpty is a limit-1 probe, cheap at any scale.
-    if (withVec.isEmpty)
+    // degenerate-input guards: MLlib's fit aborts on a zero-row input
+    // ("Nothing has been added to this summarizer") and its init
+    // sampling throws a raw ArrayIndexOutOfBounds when k exceeds the
+    // point count — an empty slice yields an empty assignment, and k
+    // is CLAMPED to n (a cluster count above n is unsatisfiable; the
+    // clamp is the nearest defined problem). limit(k).count() bounds
+    // the probe at k rows — never a full count.
+    val nUpToK = withVec.limit(k).count()
+    if (nUpToK == 0)
       return points.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(
           points.schema.fields.filter(f => f.name == "vec_id" || f.name == "features")
             :+ org.apache.spark.sql.types.StructField("cluster",
               org.apache.spark.sql.types.IntegerType, nullable = false)))
-    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+    val kEff = math.min(k.toLong, nUpToK).toInt
+    // MLlib rejects k < 2 outright — and the k=1 solution needs no
+    // solver: every point lands in the single cluster 0
+    if (kEff < 2)
+      return points.select(col("vec_id"), col("features"),
+        lit(0).as("cluster"))
+    val model = new KMeans().setK(kEff).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("prediction")
       .fit(withVec)
     model.transform(withVec)
@@ -74,14 +84,17 @@ object KMeansSweep {
     val preCached = points.storageLevel != StorageLevel.NONE
     val cached = if (preCached) points else points.persist(StorageLevel.MEMORY_AND_DISK)
     val n = cached.count() // materialize once before the sweep
-    // empty in, empty out (see assign): no k is fittable on zero
-    // points — the sweep table is simply empty
-    if (n == 0) {
+    // degenerate in, defined out (see assign): only k <= n is
+    // fittable, so the swept range CLAMPS to [kMin, min(kMax, n)] —
+    // empty when even kMin is unsatisfiable (n < kMin; covers the
+    // empty corpus)
+    val kMaxEff = math.min(kMax.toLong, n).toInt
+    if (kMaxEff < kMin) {
       if (!preCached) cached.unpersist()
       return Seq.empty[(Int, Double, Double, Double, Double, Long)]
         .toDF("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin", "t_ms")
     }
-    val ks = (kMin to kMax).toSeq
+    val ks = (kMin to kMaxEff).toSeq
     val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
     try {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -225,10 +238,14 @@ object KMeansSweep {
     "silhouette_mllib" -> ((s, d) => {
       import s.implicits._
       val p = Tables.points(s, d).withColumn("fv", array_to_vector(col("features")))
-      // empty corpus: the metric is undefined — ONE NULL row, matching
-      // the SQL form (AVG over zero rows is a single NULL), so the
-      // oracle stays row-count-parity without a special case
-      if (p.isEmpty) Seq[java.lang.Double](null).toDF("silhouette_mllib")
+      // degenerate corpus: the metric is undefined on zero rows AND on
+      // fewer than two clusters (MLlib asserts "Number of clusters
+      // must be greater than one") — ONE NULL row, matching the SQL
+      // form (AVG over an empty ab set is a single NULL), so the
+      // oracle stays row-count-parity without a special case. The
+      // distinct probe stops at 2 groups.
+      if (p.select("cluster").distinct().limit(2).count() < 2)
+        Seq[java.lang.Double](null).toDF("silhouette_mllib")
       else {
         val sil = new ClusteringEvaluator().setFeaturesCol("fv")
           .setPredictionCol("cluster").setMetricName("silhouette").evaluate(p)
@@ -369,8 +386,10 @@ object KMeansSweep {
          |  UNION ALL SELECT 'davies_bouldin', ROUND(AVG(rmax), 6) FROM db_r
          |) ORDER BY index_name""".stripMargin,
 
-    // singleton-cluster convention (probed on the adversarial
-    // fixture): MLlib scores a point whose own cluster has ONE member
+    // degenerate conventions (probed on the adversarial/single-row
+    // fixtures): fewer than two clusters -> NULL (MLlib asserts
+    // "Number of clusters must be greater than one"); and
+    // singleton-cluster points: MLlib scores a point whose own cluster has ONE member
     // as s(i) = 0 and KEEPS it in the corpus mean (evaluator source:
     // pointClusterNumOfPoints == 1 => 0.0); the naive n/(n-1) form
     // NULLs that point out of the AVG and shifts the mean by n/(n-1)
@@ -390,8 +409,10 @@ object KMeansSweep {
         |  MAX(CASE WHEN label = cl THEN n END) AS own_n,
         |  MIN(CASE WHEN label <> cl THEN dist END) AS b
         |  FROM dmat GROUP BY 1)
-        |SELECT ROUND(AVG(CASE WHEN own_n = 1 THEN 0.0
-        |  ELSE (b - a) / GREATEST(a, b) END), 6) AS silhouette_mllib
+        |SELECT CASE WHEN (SELECT COUNT(DISTINCT label) FROM embeddings) < 2
+        |  THEN NULL
+        |  ELSE ROUND(AVG(CASE WHEN own_n = 1 THEN 0.0
+        |    ELSE (b - a) / GREATEST(a, b) END), 6) END AS silhouette_mllib
         |FROM ab""".stripMargin,
 
     // the determinism contract's oracle is the constant verdict row
@@ -399,13 +420,14 @@ object KMeansSweep {
     // booleans from two independent seeded sweeps, DuckDB states what
     // they must be — any nondeterminism in the MLlib fit chain lands
     // as a hash mismatch on this row.
-    // n_rows derives from the (gated) corpus: 5 sweep rows on any
-    // non-empty point set, 0 on an empty one (empty-in-empty-out —
-    // the sweep emits no k rows when nothing is fittable)
+    // n_rows derives from the (gated) corpus: the sweep clamps its
+    // range to [2, min(6, n)] (only k <= n is fittable), so rows =
+    // min(6, n) - 1 when n >= 2, else 0 — 5 on every real fixture
     "k_sweep_determinism_contract" ->
       """SELECT CAST(2 AS INT) AS k_lo, CAST(6 AS INT) AS k_hi,
-        |  CAST(CASE WHEN (SELECT COUNT(*) FROM embeddings) = 0
-        |    THEN 0 ELSE 5 END AS BIGINT) AS n_rows,
+        |  CAST((SELECT CASE WHEN COUNT(*) >= 2
+        |    THEN LEAST(6, COUNT(*)) - 1 ELSE 0 END
+        |    FROM embeddings) AS BIGINT) AS n_rows,
         |  TRUE AS sweep_identical, TRUE AS argbest_identical""".stripMargin,
   // the sweep/report queries read Tables.points = cleanVectors —
   // gate the oracles on the same vector universe

@@ -95,7 +95,14 @@ object AdversarialFixture {
     * (an empty day, a filtered-to-nothing slice). Queries must come
     * back empty or with their defined empty-aggregate row, never
     * crash. */
-  def write(spark: SparkSession, dir: String, seed: Long, empty: Boolean): Unit = {
+  def write(spark: SparkSession, dir: String, seed: Long, empty: Boolean): Unit =
+    write(spark, dir, seed, if (empty) 0 else -1)
+
+  /** `cap >= 0` truncates every table to its first `cap` rows (0 =
+    * the empty profile; 1 = the single-row profile, which drives the
+    * degenerate-statistics paths: stddev/corr of one sample, windows
+    * over one row, k-means with k > n). `-1` = full fixture. */
+  def write(spark: SparkSession, dir: String, seed: Long, cap: Int): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L + seed)
     // phase shifts for the modular null/edge placements (0 at seed 0
@@ -107,7 +114,7 @@ object AdversarialFixture {
     // the file NAME, so a directory layout silently yields an empty
     // stream. Write to a temp dir, then move the single part file.
     def save(name: String)(df0: org.apache.spark.sql.DataFrame): Unit = {
-      val df = if (empty) df0.limit(0) else df0
+      val df = if (cap >= 0) df0.limit(cap) else df0
       val tmp = s"$dir/.tmp_$name"
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val tmpDir = new java.io.File(tmp)
@@ -379,8 +386,10 @@ object AdversarialFixture {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_advfix")
-    val seed = args.drop(1).headOption.filter(_ != "empty").map(_.toLong).getOrElse(0L)
-    val empty = args.contains("empty")
+    val seed = args.drop(1).headOption.filter(a => a != "empty" && !a.startsWith("cap="))
+      .map(_.toLong).getOrElse(0L)
+    val cap = if (args.contains("empty")) 0
+      else args.find(_.startsWith("cap=")).map(_.drop(4).toInt).getOrElse(-1)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -388,8 +397,8 @@ object AdversarialFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    write(spark, dir, seed, empty)
-    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, empty=$empty)")
+    write(spark, dir, seed, cap)
+    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, cap=$cap)")
     spark.stop()
   }
 }

@@ -103,6 +103,39 @@ class AdversarialBoundarySpec extends SparkSpec {
     }
   }
 
+  private lazy val singleDir: String = {
+    val d = graft.engine.TempDirs.scratch("graft_single_spec")
+    graft.tools.AdversarialFixture.write(spark, d, 0L, cap = 1)
+    d
+  }
+
+  /** Single-row crash list (degenerate statistics): k-means with
+    * k > n (raw MLlib ArrayIndexOutOfBounds; k now clamps to n, and
+    * k < 2 short-circuits to the trivial single-cluster assignment),
+    * silhouette with one cluster (NULL by convention), and
+    * Calinski-Harabasz's k-1 / n-k / W zero denominators (NULL). */
+  private val singleRowCrashers = Seq(
+    "kmeans_train", "k_sweep", "k_sweep_determinism_contract",
+    "optimal_k_select", "silhouette_mllib", "calinski_harabasz")
+
+  singleRowCrashers.foreach { key =>
+    test(s"$key executes on a SINGLE-ROW corpus (crashed pre-round-13)") {
+      val rows = SparkEntry.queries(key)(spark, singleDir).collect()
+      assert(rows != null)
+    }
+  }
+
+  test("single-row conventions bind: trivial assignment, NULL metrics, empty sweep") {
+    // kmeans_train (k clamped 10 -> 1): the one point lands in cluster 0
+    val kt = SparkEntry.queries("kmeans_train")(spark, singleDir).collect()
+    assert(kt.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 1L)))
+    // silhouette of one cluster is NULL, not a number
+    val sil = SparkEntry.queries("silhouette_mllib")(spark, singleDir).collect()
+    assert(sil.length == 1 && sil(0).isNullAt(0))
+    // the sweep clamps to an empty k range (no k in [2, 6] fits n = 1)
+    assert(SparkEntry.queries("k_sweep")(spark, singleDir).collect().isEmpty)
+  }
+
   test("cleanVectors excludes exactly the NULL-embedding, NULL-element and NULL-label rows") {
     // fixture embeddings: 120 rows; vec 2 NULL embedding, vec 3 NULL
     // element, vec 9 NULL label — the declared vector universe is the

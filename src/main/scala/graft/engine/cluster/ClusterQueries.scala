@@ -147,6 +147,10 @@ object ClusterQueries {
          |$CDIST
          |SELECT ci, cj, ROUND(dist, 6) AS dist FROM cdist ORDER BY ci, cj""".stripMargin,
 
+    // degenerate-corpus guards (mirroring Indices): a zero
+    // denominator makes the index term UNDEFINED — it leaves the
+    // aggregate (CASE -> NULL skips; dist > 0 filters), and an
+    // all-undefined index is a NULL row, never a crash
     "bd_silhouette" ->
       s"""WITH $PT,
          |d AS (SELECT p.vec_id, p.label, ctr.cluster,
@@ -156,14 +160,16 @@ object ClusterQueries {
          |  MIN(CASE WHEN label = cluster THEN dd END) AS a,
          |  MIN(CASE WHEN label <> cluster THEN dd END) AS b
          |  FROM d GROUP BY 1)
-         |SELECT ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS bd_silhouette FROM ab""".stripMargin,
+         |SELECT ROUND(AVG(CASE WHEN GREATEST(a, b) > 0
+         |  THEN (b - a) / GREATEST(a, b) END), 6) AS bd_silhouette FROM ab""".stripMargin,
 
     "bd_dunn" ->
       s"""WITH $PT,
          |$OWN,
          |$CDIST
-         |SELECT ROUND((SELECT MIN(dist) FROM cdist)
-         |  / (SELECT MAX(SQRT(d2)) FROM own), 6) AS bd_dunn""".stripMargin,
+         |SELECT ROUND(CASE WHEN (SELECT MAX(SQRT(d2)) FROM own) > 0
+         |  THEN (SELECT MIN(dist) FROM cdist)
+         |    / (SELECT MAX(SQRT(d2)) FROM own) END, 6) AS bd_dunn""".stripMargin,
 
     "davies_bouldin" ->
       s"""WITH $PT,
@@ -174,6 +180,7 @@ object ClusterQueries {
          |  UNION ALL SELECT cj AS ci, ci AS cj, dist FROM cdist),
          |r AS (SELECT dij.ci, MAX((si.mean_dist + sj.mean_dist) / dij.dist) AS rmax
          |  FROM dij JOIN s si ON si.cluster = dij.ci JOIN s sj ON sj.cluster = dij.cj
+         |  WHERE dij.dist > 0
          |  GROUP BY 1)
          |SELECT ROUND(AVG(rmax), 6) AS davies_bouldin FROM r""".stripMargin,
 
@@ -195,9 +202,11 @@ object ClusterQueries {
       s"""WITH $PT,
          |$OWN,
          |$CDIST
-         |SELECT ROUND((SELECT SUM(d2) FROM own)
-         |  / ((SELECT COUNT(*) FROM embeddings)
-         |     * (SELECT MIN(dist * dist) FROM cdist)), 6) AS xie_beni""".stripMargin,
+         |SELECT ROUND(CASE WHEN (SELECT COUNT(*) FROM embeddings)
+         |      * (SELECT MIN(dist * dist) FROM cdist) > 0
+         |  THEN (SELECT SUM(d2) FROM own)
+         |    / ((SELECT COUNT(*) FROM embeddings)
+         |       * (SELECT MIN(dist * dist) FROM cdist)) END, 6) AS xie_beni""".stripMargin,
 
     "external_validity_chi2" ->
       """WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o

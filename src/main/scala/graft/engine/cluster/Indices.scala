@@ -67,7 +67,13 @@ object Indices {
       min(when(col("cluster") === col("c_cluster"), col("dd"))).as("a"),
       min(when(col("cluster") =!= col("c_cluster"), col("dd"))).as("b"))
     perPoint
-      .select(((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+      // zero-denominator guard (constant corpus: a point exactly on
+      // coincident centroids has a = b = 0): its s is UNDEFINED and
+      // leaves the mean — AVG skips NULL — rather than crashing (ANSI
+      // throws on any zero divisor). All-undefined => NULL index.
+      // The oracle carries the same CASE.
+      .select(when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
       .agg(avg("s").as("bd_silhouette"))
   }
 
@@ -77,7 +83,10 @@ object Indices {
     val minInter = interCentroidDist(points).agg(min("dist").as("min_inter"))
     val maxIntra = ownCentroidDistances(points).agg(max("d").as("max_intra"))
     minInter.crossJoin(maxIntra)
-      .select((col("min_inter") / col("max_intra")).as("bd_dunn"))
+      // max_intra = 0 (every point ON its centroid): Dunn's
+      // separation/compactness ratio is undefined — NULL, not a crash
+      .select(when(col("max_intra") > 0,
+        col("min_inter") / col("max_intra")).as("bd_dunn"))
   }
 
   /** Davies-Bouldin (#10): (1/k) Σᵢ maxⱼ≠ᵢ (Sᵢ+Sⱼ)/d(cᵢ,cⱼ),
@@ -89,6 +98,10 @@ object Indices {
     val dij = pairs.select(col("ci"), col("cj"), col("dist"))
       .union(pairs.select(col("cj").as("ci"), col("ci").as("cj"), col("dist")))
     dij
+      // coincident centroids (dist = 0) make the pair's R term
+      // undefined — it leaves the max (and a cluster with NO defined
+      // pair leaves the mean), mirroring the oracle's dist > 0 gate
+      .filter(col("dist") > 0)
       .join(s.withColumnRenamed("cluster", "ci").withColumnRenamed("mean_dist", "si"), "ci")
       .join(s.withColumnRenamed("cluster", "cj").withColumnRenamed("mean_dist", "sj"), "cj")
       .select(col("ci"), ((col("si") + col("sj")) / col("dist")).as("r"))
@@ -129,7 +142,10 @@ object Indices {
       .agg(min(col("dist") * col("dist")).as("minsep2"))
     val n = points.agg(count(lit(1)).as("n"))
     wssse(points).crossJoin(minSep).crossJoin(n)
-      .select((col("wssse") / (col("n") * col("minsep2"))).as("xie_beni"))
+      // coincident centroids (minsep2 = 0) or a single cluster
+      // (minsep2 NULL): XB undefined — NULL, not a crash
+      .select(when(col("n") * col("minsep2") > 0,
+        col("wssse") / (col("n") * col("minsep2"))).as("xie_beni"))
   }
 
   /** All four indices in ONE pass over the point set (plus the tiny
@@ -138,27 +154,35 @@ object Indices {
     * The k² centroid-pair math runs on the driver — exactly the
     * reference's topology (SURVEY.md §4.1).
     */
-  def allIndices(points: DataFrame): (Double, Double, Double, Double) = {
+  /** WSSSE is total (always defined on non-empty input); the three
+    * validity indices are None when UNDEFINED — a single non-empty
+    * cluster (a k-means fit on a constant corpus collapses to one),
+    * or zero denominators (coincident centroids / zero scatter). The
+    * per-index conventions match the DataFrame forms above exactly:
+    * silhouette means only the DEFINED per-point terms; DB maxes only
+    * the DEFINED pair terms. */
+  def allIndices(points: DataFrame): (Double, Option[Double], Option[Double], Option[Double]) = {
     val cent = Centroids.centroids(points)
     val centArr = cent.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    require(centArr.length >= 2,
-      s"validity indices need >= 2 non-empty clusters, got ${centArr.length} " +
-        "(BD-Silhouette/Dunn/DB are undefined for a single cluster)")
     // per-point: a = dist to own centroid, b = min dist to others
     val perPoint = Centroids.pointCentroidDistances(points, cent)
       .withColumn("dd", sqrt(col("d2")))
       .groupBy("vec_id", "cluster").agg(
         min(when(col("cluster") === col("c_cluster"), col("dd"))).as("a"),
         min(when(col("cluster") =!= col("c_cluster"), col("dd"))).as("b"))
+    val sTerm = when(greatest(col("a"), col("b")) > 0,
+      (col("b") - col("a")) / greatest(col("a"), col("b")))
     val agg = perPoint.groupBy("cluster").agg(
       sum(col("a") * col("a")).as("w"), max("a").as("mx"), avg("a").as("s"),
-      sum((col("b") - col("a")) / greatest(col("a"), col("b"))).as("silsum"),
+      sum(sTerm).as("silsum"),
+      count(sTerm).as("silcnt"),
       count(lit(1)).as("n")).collect()
     val wssse = agg.map(_.getDouble(1)).sum
     val maxIntra = agg.map(_.getDouble(2)).max
-    val n = agg.map(_.getLong(5)).sum
-    val sil = agg.map(_.getDouble(4)).sum / n
+    val silCnt = agg.map(_.getLong(5)).sum
+    val sil = if (silCnt == 0) None
+      else Some(agg.flatMap(r => Option(r.get(4)).map(_.asInstanceOf[Double])).sum / silCnt)
     val sByCluster = agg.map(r => r.getInt(0) -> r.getDouble(3)).toMap
     def dist(x: Array[Double], y: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
@@ -168,13 +192,16 @@ object Indices {
     val pairs = for {
       (ci, fi) <- centArr; (cj, fj) <- centArr if ci < cj
     } yield (ci, cj, dist(fi, fj))
-    val dunn = pairs.map(_._3).min / maxIntra
-    val db = centArr.map { case (ci, _) =>
-      pairs.collect {
-        case (a, b, dd) if a == ci => (sByCluster(ci) + sByCluster(b)) / dd
-        case (a, b, dd) if b == ci => (sByCluster(ci) + sByCluster(a)) / dd
-      }.max
-    }.sum / centArr.length
+    val dunn = if (pairs.isEmpty || maxIntra <= 0) None
+      else Some(pairs.map(_._3).min / maxIntra)
+    val dbTerms = centArr.flatMap { case (ci, _) =>
+      val rs = pairs.collect {
+        case (a, b, dd) if dd > 0 && a == ci => (sByCluster(ci) + sByCluster(b)) / dd
+        case (a, b, dd) if dd > 0 && b == ci => (sByCluster(ci) + sByCluster(a)) / dd
+      }
+      if (rs.isEmpty) None else Some(rs.max)
+    }
+    val db = if (dbTerms.isEmpty) None else Some(dbTerms.sum / dbTerms.length)
     (wssse, sil, dunn, db)
   }
 

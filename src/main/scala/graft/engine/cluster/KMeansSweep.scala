@@ -106,6 +106,8 @@ object KMeansSweep {
           val assigned = assign(cached, k, maxIter, seed)
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
+            // sil/dunn/db are Option: NULL when the fit degenerates
+            // (constant corpus -> one non-empty cluster)
             val (w, sil, dunn, db) = Indices.allIndices(assigned)
             (k, w, sil, dunn, db, System.currentTimeMillis() - t0)
           } finally assigned.unpersist()
@@ -128,15 +130,17 @@ object KMeansSweep {
     * plain-CHM form accumulated one orphaned row set per cold attempt
     * forever, and a reused epoch tag would have warm-read it). */
   private val sweepCache =
-    new graft.engine.SessionCache[Seq[(Int, Double, Double, Double, Double, Long)]]
+    new graft.engine.SessionCache[Seq[(Int, Double, Option[Double], Option[Double], Option[Double], Long)]]
   def sweepCached(points: DataFrame, key: String, kMin: Int, kMax: Int,
                   maxIter: Int): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     sweepCache.get(spark, s"$key|$kMin|$kMax|$maxIter")(
         sweep(points, kMin, kMax, maxIter).collect().toSeq
-          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
-            r.getDouble(3), r.getDouble(4), r.getLong(5))))
+          .map(r => (r.getInt(0), r.getDouble(1), opt(r, 2),
+            opt(r, 3), opt(r, 4), r.getLong(5))))
       .toDF("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin", "t_ms")
   }
 
@@ -151,23 +155,36 @@ object KMeansSweep {
     // empty sweep (empty corpus upstream): no best k is defined —
     // return the empty criterion table rather than aborting
     if (rows.isEmpty)
-      return Seq.empty[(String, Int, Double)]
+      return Seq.empty[(String, Option[Int], Option[Double])]
         .toDF("criterion", "best_k", "value").orderBy("criterion")
-    def best(idx: Int, maximize: Boolean): (Int, Double) = {
-      val vals = rows.map(r => (r.getInt(0), r.getDouble(idx)))
-      val pick = if (maximize) vals.maxBy(v => (v._2, -v._1)) else vals.minBy(v => (v._2, v._1.toDouble))
-      (pick._1, pick._2)
+    // an index may be NULL for some k (undefined on a degenerate
+    // fit, e.g. a constant corpus collapsing to one cluster): the
+    // argbest ranges over the DEFINED entries; all-undefined => a
+    // (criterion, NULL, NULL) row, keeping the criterion set stable
+    def best(idx: Int, maximize: Boolean): (Option[Int], Option[Double]) = {
+      val vals = rows.collect {
+        case r if !r.isNullAt(idx) => (r.getInt(0), r.getDouble(idx))
+      }
+      if (vals.isEmpty) (None, None)
+      else {
+        val pick = if (maximize) vals.maxBy(v => (v._2, -v._1))
+          else vals.minBy(v => (v._2, v._1.toDouble))
+        (Some(pick._1), Some(pick._2))
+      }
     }
     val wssse = rows.map(r => (r.getInt(0), r.getDouble(1)))
     val elbow =
       if (wssse.length < 3) (wssse.head._1, 0.0)
       else wssse.sliding(3).map { case Array((_, a), (k, b), (_, c)) => (k, (a - b) - (b - c)) }
         .maxBy(v => (v._2, -v._1))
+    val bSil = best(2, maximize = true)
+    val bDunn = best(3, maximize = true)
+    val bDb = best(4, maximize = false)
     Seq(
-      ("bd_silhouette_max", best(2, maximize = true)._1, best(2, maximize = true)._2),
-      ("bd_dunn_max", best(3, maximize = true)._1, best(3, maximize = true)._2),
-      ("davies_bouldin_min", best(4, maximize = false)._1, best(4, maximize = false)._2),
-      ("wssse_elbow", elbow._1, elbow._2),
+      ("bd_silhouette_max", bSil._1, bSil._2),
+      ("bd_dunn_max", bDunn._1, bDunn._2),
+      ("davies_bouldin_min", bDb._1, bDb._2),
+      ("wssse_elbow", Some(elbow._1): Option[Int], Some(elbow._2): Option[Double]),
     ).toDF("criterion", "best_k", "value").orderBy("criterion")
   }
 
@@ -308,11 +325,11 @@ object KMeansSweep {
       def table(df: DataFrame) =
         df.select("k", "wssse", "bd_silhouette", "bd_dunn", "davies_bouldin")
           .orderBy("k").collect()
-          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
-            r.getDouble(3), r.getDouble(4))).toSeq
+          .map(r => (r.getInt(0), r.getDouble(1), Option(r.get(2)),
+            Option(r.get(3)), Option(r.get(4)))).toSeq
       def best(df: DataFrame) =
         optimalK(df).select("criterion", "best_k").collect()
-          .map(r => (r.getString(0), r.getInt(1))).toSeq
+          .map(r => (r.getString(0), Option(r.get(1)))).toSeq
       // The two sweeps run CONCURRENTLY over one shared cached point
       // set (persisted here, so `sweep` leaves its lifetime alone):
       // each is 5 small independent MLlib fits that never saturate the
@@ -376,13 +393,17 @@ object KMeansSweep {
          |  UNION ALL SELECT cj AS ci, ci AS cj, dist FROM cdist),
          |db_r AS (SELECT db_dij.ci, MAX((si.mean_dist + sj.mean_dist) / db_dij.dist) AS rmax
          |  FROM db_dij JOIN db_s si ON si.cluster = db_dij.ci
-         |  JOIN db_s sj ON sj.cluster = db_dij.cj GROUP BY 1)
+         |  JOIN db_s sj ON sj.cluster = db_dij.cj
+         |  WHERE db_dij.dist > 0 GROUP BY 1)
          |SELECT index_name, value FROM (
          |  SELECT 'wssse' AS index_name, ROUND(SUM(d2), 6) AS value FROM own
-         |  UNION ALL SELECT 'bd_silhouette',
-         |    ROUND(AVG((b - a) / GREATEST(a, b)), 6) FROM sil_ab
-         |  UNION ALL SELECT 'bd_dunn', ROUND((SELECT MIN(dist) FROM cdist)
-         |    / (SELECT MAX(SQRT(d2)) FROM own), 6)
+  UNION ALL SELECT 'bd_silhouette',
+         |    ROUND(AVG(CASE WHEN GREATEST(a, b) > 0
+         |      THEN (b - a) / GREATEST(a, b) END), 6) FROM sil_ab
+         |  UNION ALL SELECT 'bd_dunn',
+         |    ROUND(CASE WHEN (SELECT MAX(SQRT(d2)) FROM own) > 0
+         |      THEN (SELECT MIN(dist) FROM cdist)
+         |        / (SELECT MAX(SQRT(d2)) FROM own) END, 6)
          |  UNION ALL SELECT 'davies_bouldin', ROUND(AVG(rmax), 6) FROM db_r
          |) ORDER BY index_name""".stripMargin,
 

@@ -102,7 +102,17 @@ object AdversarialFixture {
     * the empty profile; 1 = the single-row profile, which drives the
     * degenerate-statistics paths: stddev/corr of one sample, windows
     * over one row, k-means with k > n). `-1` = full fixture. */
-  def write(spark: SparkSession, dir: String, seed: Long, cap: Int): Unit = {
+  def write(spark: SparkSession, dir: String, seed: Long, cap: Int): Unit =
+    write(spark, dir, seed, cap, constant = false)
+
+  /** `constant = true` writes the CONSTANT corpus — every embedding
+    * the all-zero vector (labels still cycle 0..9) and every document
+    * the same text: the "broken upstream encoder" shape. It drives
+    * the zero-variance denominators (inter-centroid distance 0,
+    * intra-cluster scatter 0, stddev 0, all-dup dedup) that ANSI
+    * division turns into crashes when unguarded. */
+  def write(spark: SparkSession, dir: String, seed: Long, cap: Int,
+            constant: Boolean): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L + seed)
     // phase shifts for the modular null/edge placements (0 at seed 0
@@ -113,7 +123,16 @@ object AdversarialFixture {
     // not directories — the streaming queries' pathGlobFilter matches
     // the file NAME, so a directory layout silently yields an empty
     // stream. Write to a temp dir, then move the single part file.
-    def save(name: String)(df0: org.apache.spark.sql.DataFrame): Unit = {
+    def save(name: String)(df00: org.apache.spark.sql.DataFrame): Unit = {
+      val df0 =
+        if (!constant) df00
+        else if (name == "embeddings")
+          df00.withColumn("embedding",
+            expr("CAST(array_repeat(0.0F, 64) AS ARRAY<FLOAT>)"))
+        else if (name == "documents")
+          df00.withColumn("text", lit("same text every row"))
+            .withColumn("n_chars", lit(19L))
+        else df00
       val df = if (cap >= 0) df0.limit(cap) else df0
       val tmp = s"$dir/.tmp_$name"
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -386,10 +405,12 @@ object AdversarialFixture {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_advfix")
-    val seed = args.drop(1).headOption.filter(a => a != "empty" && !a.startsWith("cap="))
+    val seed = args.drop(1).headOption
+      .filter(a => a != "empty" && a != "constant" && !a.startsWith("cap="))
       .map(_.toLong).getOrElse(0L)
     val cap = if (args.contains("empty")) 0
       else args.find(_.startsWith("cap=")).map(_.drop(4).toInt).getOrElse(-1)
+    val constant = args.contains("constant")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -397,8 +418,8 @@ object AdversarialFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    write(spark, dir, seed, cap)
-    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, cap=$cap)")
+    write(spark, dir, seed, cap, constant)
+    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, cap=$cap, constant=$constant)")
     spark.stop()
   }
 }

@@ -136,6 +136,40 @@ class AdversarialBoundarySpec extends SparkSpec {
     assert(SparkEntry.queries("k_sweep")(spark, singleDir).collect().isEmpty)
   }
 
+  private lazy val constDir: String = {
+    val d = graft.engine.TempDirs.scratch("graft_const_spec")
+    graft.tools.AdversarialFixture.write(spark, d, 0L, cap = -1, constant = true)
+    d
+  }
+
+  /** Constant-corpus crash list (zero-variance denominators): the
+    * validity indices divide by inter-centroid distances and
+    * intra-cluster scatter that are ZERO when every point is
+    * identical (the broken-encoder shape) — all NULL-guarded in
+    * round 13, with the k-means fit collapsing to one non-empty
+    * cluster handled as NULL index values in the sweep. */
+  private val constCrashers = Seq(
+    "bd_dunn", "bd_silhouette", "davies_bouldin", "xie_beni",
+    "index_report_roundtrip", "k_sweep", "k_sweep_determinism_contract",
+    "optimal_k_select")
+
+  constCrashers.foreach { key =>
+    test(s"$key executes on a CONSTANT corpus (crashed pre-round-13)") {
+      val rows = SparkEntry.queries(key)(spark, constDir).collect()
+      assert(rows != null)
+    }
+  }
+
+  test("constant-corpus conventions bind: undefined indices are NULL, never zero") {
+    val dunn = SparkEntry.queries("bd_dunn")(spark, constDir).collect()
+    assert(dunn.length == 1 && dunn(0).isNullAt(0), s"dunn should be NULL: ${dunn.toSeq}")
+    val xb = SparkEntry.queries("xie_beni")(spark, constDir).collect()
+    assert(xb.length == 1 && xb(0).isNullAt(0), s"xie_beni should be NULL: ${xb.toSeq}")
+    // wssse IS defined (0.0 — all points on their centroid)
+    val w = SparkEntry.queries("wssse")(spark, constDir).collect()
+    assert(w.length == 1 && w(0).getDouble(0) == 0.0)
+  }
+
   test("cleanVectors excludes exactly the NULL-embedding, NULL-element and NULL-label rows") {
     // fixture embeddings: 120 rows; vec 2 NULL embedding, vec 3 NULL
     // element, vec 9 NULL label — the declared vector universe is the

@@ -127,13 +127,24 @@ object Tables {
     * clean vector universe — the one boundary definition, applied once
     * per engine side. Handles SQL that already opens with WITH by
     * splicing the gate in as the first CTE. */
-  def gateEmbeddingsSql(sql: String): String = {
+  def gateEmbeddingsSql(sql: String): String =
     // main.embeddings: DuckDB rejects a CTE that references its own
     // name as a circular reference — the schema-qualified form reaches
     // the base table (the driver registers tables as main-schema views)
-    val cte = "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL" +
-      " AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL)"
-    if (sql.stripLeading.startsWith("WITH "))
+    spliceCte(sql, "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL" +
+      " AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL)")
+
+  /** Splice `cte` in as the FIRST CTE of `sql` (one shared
+    * implementation for both table gates). Handled forms: a query
+    * opening with `WITH ` (splice after it) or anything else (prepend
+    * a fresh WITH). `WITH RECURSIVE` is rejected loudly — splicing a
+    * non-recursive CTE in front of it would emit invalid SQL — and no
+    * gated oracle uses it (recursion lives in ungated RelQueries). */
+  private def spliceCte(sql: String, cte: String): String = {
+    val lead = sql.stripLeading
+    require(!lead.toUpperCase.startsWith("WITH RECURSIVE"),
+      "spliceCte cannot gate a WITH RECURSIVE oracle")
+    if (lead.startsWith("WITH "))
       sql.replaceFirst("WITH ", s"WITH $cte,\n")
     else s"WITH $cte\n$sql"
   }
@@ -142,12 +153,8 @@ object Tables {
     * with the null-text boundary (Multimodal.payloads' filter — a
     * NULL text has no media payload). Applied MECHANICALLY over a
     * whole oracle map so no individual oracle can forget the gate. */
-  def gateDocumentsSql(sql: String): String = {
-    val cte = "documents AS (SELECT * FROM main.documents WHERE text IS NOT NULL)"
-    if (sql.stripLeading.startsWith("WITH "))
-      sql.replaceFirst("WITH ", s"WITH $cte,\n")
-    else s"WITH $cte\n$sql"
-  }
+  def gateDocumentsSql(sql: String): String =
+    spliceCte(sql, "documents AS (SELECT * FROM main.documents WHERE text IS NOT NULL)")
 
   /** The clustering-validity point set: embeddings with float64 features
     * and the ground-truth label used as the fixed cluster assignment for

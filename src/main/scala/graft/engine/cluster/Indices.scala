@@ -153,8 +153,8 @@ object Indices {
     * point-centroid distance scan instead of four independent DAGs.
     * The k² centroid-pair math runs on the driver — exactly the
     * reference's topology (SURVEY.md §4.1).
-    */
-  /** WSSSE is total (always defined on non-empty input); the three
+    *
+    * WSSSE is total (always defined on non-empty input); the three
     * validity indices are None when UNDEFINED — a single non-empty
     * cluster (a k-means fit on a constant corpus collapses to one),
     * or zero denominators (coincident centroids / zero scatter). The

@@ -33,6 +33,8 @@ object KMeansSweep {
     * prediction column (id, features, cluster). */
   def assign(points: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
     val withVec = points.withColumn("fv", array_to_vector(col("features")))
+    require(k >= 1, s"assign needs k >= 1, got $k") // empty OUTPUT is the
+    // empty-INPUT convention only — an unsatisfiable request stays loud
     // degenerate-input guards: MLlib's fit aborts on a zero-row input
     // ("Nothing has been added to this summarizer") and its init
     // sampling throws a raw ArrayIndexOutOfBounds when k exceeds the
@@ -397,7 +399,7 @@ object KMeansSweep {
          |  WHERE db_dij.dist > 0 GROUP BY 1)
          |SELECT index_name, value FROM (
          |  SELECT 'wssse' AS index_name, ROUND(SUM(d2), 6) AS value FROM own
-  UNION ALL SELECT 'bd_silhouette',
+         |  UNION ALL SELECT 'bd_silhouette',
          |    ROUND(AVG(CASE WHEN GREATEST(a, b) > 0
          |      THEN (b - a) / GREATEST(a, b) END), 6) FROM sil_ab
          |  UNION ALL SELECT 'bd_dunn',
@@ -409,7 +411,11 @@ object KMeansSweep {
 
     // degenerate conventions (probed on the adversarial/single-row
     // fixtures): fewer than two clusters -> NULL (MLlib asserts
-    // "Number of clusters must be greater than one"); and
+    // "Number of clusters must be greater than one"); a = b scores
+    // EXACTLY 0.0 including the 0/0 case (MLlib's evaluator uses the
+    // branch form `if (a < b) ... else if (a > b) ... else 0.0`, so a
+    // point coincident with both centroids contributes 0, never a
+    // NULL/NaN division — the oracle's GREATEST(a,b) = 0 arm);
     // singleton-cluster points: MLlib scores a point whose own cluster has ONE member
     // as s(i) = 0 and KEEPS it in the corpus mean (evaluator source:
     // pointClusterNumOfPoints == 1 => 0.0); the naive n/(n-1) form
@@ -432,7 +438,7 @@ object KMeansSweep {
         |  FROM dmat GROUP BY 1)
         |SELECT CASE WHEN (SELECT COUNT(DISTINCT label) FROM embeddings) < 2
         |  THEN NULL
-        |  ELSE ROUND(AVG(CASE WHEN own_n = 1 THEN 0.0
+        |  ELSE ROUND(AVG(CASE WHEN own_n = 1 OR GREATEST(a, b) = 0 THEN 0.0
         |    ELSE (b - a) / GREATEST(a, b) END), 6) END AS silhouette_mllib
         |FROM ab""".stripMargin,
 

@@ -170,6 +170,33 @@ class AdversarialBoundarySpec extends SparkSpec {
     assert(w.length == 1 && w(0).getDouble(0) == 0.0)
   }
 
+  test("MLlib silhouette scores a = b = 0 points as 0.0 AND keeps them in the mean") {
+    // the oracle's `GREATEST(a, b) = 0 THEN 0.0` arm mirrors MLlib's
+    // branch form (`if (a < b) ... else if (a > b) ... else 0.0`):
+    // two clusters COINCIDENT at the origin (their points have a = b
+    // = 0) plus one real cluster — if MLlib skipped the degenerate
+    // points the mean would be 0.966, not the hand-computed 0.322037
+    // that includes four zeros. Guards the oracle arm against
+    // "simplification" and against a DuckDB NaN-vs-NULL flip.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.ml.functions.array_to_vector
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0), 0), (2L, Seq(0.0, 0.0), 0), // cluster A at origin
+      (3L, Seq(0.0, 0.0), 1), (4L, Seq(0.0, 0.0), 1), // cluster B at origin too
+      (5L, Seq(10.0, 0.0), 2), (6L, Seq(12.0, 0.0), 2) // real cluster C
+    ).toDF("vec_id", "features", "cluster")
+      .withColumn("fv", array_to_vector(col("features")))
+    val sil = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .setMetricName("silhouette").evaluate(pts)
+    // hand-computed: A/B points s = 0 (a = b = 0); C: 1 - 4/100 and
+    // 1 - 4/144; mean over all SIX = 0.3220370...
+    val expected = (0.0 * 4 + (1 - 4.0 / 100) + (1 - 4.0 / 144)) / 6
+    assert(math.abs(sil - expected) < 1e-9,
+      s"MLlib silhouette $sil != hand-computed $expected — the degenerate-point convention moved")
+  }
+
   test("cleanVectors excludes exactly the NULL-embedding, NULL-element and NULL-label rows") {
     // fixture embeddings: 120 rows; vec 2 NULL embedding, vec 3 NULL
     // element, vec 9 NULL label — the declared vector universe is the

@@ -139,6 +139,26 @@ class SinksSpec extends SparkSpec {
       s"lossy dim roundtrip: ${back.toSeq}")
   }
 
+  test("TempDirs sweeps SIGKILL-orphaned scratch dirs (age-gated), never fresh ones") {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val stale = new java.io.File(root, "graft_orphan_test_stale")
+    val fresh = new java.io.File(root, "graft_orphan_test_fresh")
+    val foreign = new java.io.File(root, "unrelated_orphan_test") // not our prefix
+    stale.mkdir(); fresh.mkdir(); foreign.mkdir()
+    new java.io.File(stale, "payload").createNewFile()
+    stale.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000)
+    foreign.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000)
+    try {
+      graft.engine.TempDirs.sweepOrphans()
+      assert(!stale.exists(), "a 25h-old graft scratch dir must be swept")
+      assert(fresh.exists(), "the sweep must never touch a fresh dir")
+      assert(foreign.exists(), "the sweep must never touch foreign prefixes")
+    } finally {
+      fresh.delete(); foreign.delete()
+      if (stale.exists()) { new java.io.File(stale, "payload").delete(); stale.delete() }
+    }
+  }
+
   test("text line format round-trips NULL fields via the \\N sentinel (lossless, no phantom rows)") {
     // NULL used to be a loud write-time failure (a line format cannot
     // represent it natively, and Spark's text sink writes a bare

@@ -136,17 +136,22 @@ object Tables {
 
   /** Splice `cte` in as the FIRST CTE of `sql` (one shared
     * implementation for both table gates). Handled forms: a query
-    * opening with `WITH ` (splice after it) or anything else (prepend
-    * a fresh WITH). `WITH RECURSIVE` is rejected loudly — splicing a
-    * non-recursive CTE in front of it would emit invalid SQL — and no
-    * gated oracle uses it (recursion lives in ungated RelQueries). */
-  private def spliceCte(sql: String, cte: String): String = {
+    * opening with `WITH ` in any case (splice after it) or anything
+    * else (prepend a fresh WITH). `WITH RECURSIVE` is rejected
+    * loudly — splicing a non-recursive CTE in front of it would emit
+    * invalid SQL — and no gated oracle uses it (recursion lives in
+    * ungated RelQueries). Built by substring concatenation, NOT
+    * String.replaceFirst (round-13 ADVICE): the CTE text is data, and
+    * a future gate containing `$` (a JSON path) or `\` (a regex)
+    * would be corrupted by regex-replacement metacharacter handling. */
+  private[graft] def spliceCte(sql: String, cte: String): String = {
     val lead = sql.stripLeading
     require(!lead.toUpperCase.startsWith("WITH RECURSIVE"),
       "spliceCte cannot gate a WITH RECURSIVE oracle")
-    if (lead.startsWith("WITH "))
-      sql.replaceFirst("WITH ", s"WITH $cte,\n")
-    else s"WITH $cte\n$sql"
+    if (lead.length >= 5 && lead.substring(0, 5).equalsIgnoreCase("WITH ")) {
+      val at = sql.length - lead.length // first char of WITH in the original
+      sql.substring(0, at) + "WITH " + cte + ",\n" + lead.substring(5)
+    } else s"WITH $cte\n$sql"
   }
 
   /** The documents twin of [[gateEmbeddingsSql]]: shadow `documents`

@@ -24,20 +24,33 @@ object TempDirs {
     * hook cannot run when a JVM is SIGKILLed (driver timeouts leave
     * one orphan set per killed run — observed: a dozen graft_febs* /
     * graft-capspec* dirs from killed sessions on this host), so each
-    * NEW session deletes stale graft scratch dirs. Age-gated at 24 h
-    * (the gbin-manifest TTL discipline): a dir that old cannot belong
-    * to a live bench/verify session, so a concurrent process is never
-    * raced. Only OUR prefixes are touched. */
+    * NEW session deletes stale graft scratch dirs. Ownership-gated
+    * (round-13 ADVICE): every scratch dir carries a `.graft-owner`
+    * marker holding the creating JVM's pid, and the sweep deletes ONLY
+    * dirs whose marker names a pid that is no longer alive. A dir
+    * without the marker is never touched — a live long-soak session
+    * (whose mtime stops updating once it only reads) and any
+    * third-party dir that happens to share the name prefix are both
+    * safe. Pid reuse can only make a dead owner look alive, which
+    * leaks the dir until the reused pid exits — the safe direction. */
   private val sweepPrefixes =
     Seq("graft_", "graft-") // every scratch() caller uses one of these
-  private[graft] def sweepOrphans(now: Long = System.currentTimeMillis(),
-                                   ttlMs: Long = 24L * 3600 * 1000): Unit = {
+  private[graft] val ownerMarker = ".graft-owner"
+  private[graft] def sweepOrphans(): Unit = {
     val root = new java.io.File(System.getProperty("java.io.tmpdir"))
     val kids = root.listFiles()
     if (kids != null) kids.foreach { f =>
-      if (f.isDirectory && sweepPrefixes.exists(f.getName.startsWith)
-          && now - f.lastModified() > ttlMs)
-        deleteRecursively(f)
+      if (f.isDirectory && sweepPrefixes.exists(f.getName.startsWith)) {
+        val marker = new java.io.File(f, ownerMarker)
+        val ownerDead = marker.isFile && {
+          val pid = try {
+            new String(java.nio.file.Files.readAllBytes(marker.toPath),
+                       java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          } catch { case _: Exception => -1L }
+          pid > 0 && !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        }
+        if (ownerDead) deleteRecursively(f)
+      }
     }
   }
   private lazy val orphansSwept: Unit = sweepOrphans()
@@ -46,6 +59,10 @@ object TempDirs {
     hookInstalled
     orphansSwept
     val p = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.write(
+      p.resolve(ownerMarker),
+      ProcessHandle.current().pid().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     dirs.add(p)
     p.toString
   }

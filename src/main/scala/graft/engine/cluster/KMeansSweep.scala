@@ -43,13 +43,13 @@ object KMeansSweep {
     // clamp is the nearest defined problem). limit(k).count() bounds
     // the probe at k rows — never a full count.
     val nUpToK = withVec.limit(k).count()
+    // built by the same select as the non-empty branches (round-13
+    // ADVICE): a caller passing misnamed columns fails with the same
+    // loud AnalysisException on EVERY path, instead of this one path
+    // silently emitting a filtered-down schema
     if (nUpToK == 0)
-      return points.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(
-          points.schema.fields.filter(f => f.name == "vec_id" || f.name == "features")
-            :+ org.apache.spark.sql.types.StructField("cluster",
-              org.apache.spark.sql.types.IntegerType, nullable = false)))
+      return points.select(col("vec_id"), col("features"),
+        lit(0).as("cluster")).limit(0)
     val kEff = math.min(k.toLong, nUpToK).toInt
     // MLlib rejects k < 2 outright — and the k=1 solution needs no
     // solver: every point lands in the single cluster 0

@@ -159,6 +159,24 @@ class InvariantsSpec extends SparkSpec {
     assert(pick(a) == pick(b))
   }
 
+  test("assign fails loudly on misnamed columns on EVERY path, including zero rows") {
+    // Round-13 ADVICE: the zero-row branch used to build its schema by
+    // filtering for literally-named fields, so a misnamed input frame
+    // silently produced a filtered-down schema there while every other
+    // branch threw. All paths now run the same select.
+    import graft.engine.cluster.KMeansSweep
+    import spark.implicits._
+    val misnamed = Seq.empty[(Long, Seq[Double])].toDF("id", "feats")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      KMeansSweep.assign(misnamed, k = 3).collect()
+    }
+    // and the well-named empty frame keeps the exact 3-column contract
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "features")
+    val out = KMeansSweep.assign(empty, k = 3)
+    assert(out.columns.toSeq == Seq("vec_id", "features", "cluster"))
+    assert(out.count() == 0)
+  }
+
   test("no query name is declared by two packs (Map ++ is last-wins shadowing)") {
     val total = SparkEntry.queryPacks.map(_.size).sum
     assert(total == SparkEntry.queries.size, {

@@ -139,23 +139,41 @@ class SinksSpec extends SparkSpec {
       s"lossy dim roundtrip: ${back.toSeq}")
   }
 
-  test("TempDirs sweeps SIGKILL-orphaned scratch dirs (age-gated), never fresh ones") {
+  test("TempDirs sweeps SIGKILL-orphaned scratch dirs (dead-owner marker), never live or unmarked ones") {
+    // Round-13 ADVICE: the sweep used to key on name prefix + 24h
+    // mtime, which could delete a >24h live soak session's dir (mtime
+    // only updates on direct-child writes) or a third-party dir that
+    // shares the prefix. It now deletes ONLY dirs whose .graft-owner
+    // marker names a dead pid.
+    def write(f: java.io.File, s: String): Unit =
+      java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8"))
     val root = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val stale = new java.io.File(root, "graft_orphan_test_stale")
-    val fresh = new java.io.File(root, "graft_orphan_test_fresh")
-    val foreign = new java.io.File(root, "unrelated_orphan_test") // not our prefix
-    stale.mkdir(); fresh.mkdir(); foreign.mkdir()
-    new java.io.File(stale, "payload").createNewFile()
-    stale.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000)
-    foreign.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000)
+    val orphan = new java.io.File(root, "graft_orphan_test_dead")
+    val live = new java.io.File(root, "graft_orphan_test_live")
+    val unmarked = new java.io.File(root, "graft_orphan_test_unmarked")
+    val garbled = new java.io.File(root, "graft_orphan_test_garbled")
+    val all = Seq(orphan, live, unmarked, garbled)
+    all.foreach(_.mkdir())
+    // A pid guaranteed dead: spawn a trivial process and wait for it.
+    val dead = new ProcessBuilder("true").start()
+    val deadPid = dead.pid(); dead.waitFor()
+    write(new java.io.File(orphan, ".graft-owner"), deadPid.toString)
+    new java.io.File(orphan, "payload").createNewFile()
+    write(new java.io.File(live, ".graft-owner"),
+          ProcessHandle.current().pid().toString)
+    write(new java.io.File(garbled, ".graft-owner"), "not-a-pid")
+    // Age the survivors so the old mtime heuristic, were it still in
+    // force, would have deleted them — proving ownership is the gate.
+    val old = System.currentTimeMillis() - 25L * 3600 * 1000
+    all.foreach(_.setLastModified(old))
     try {
       graft.engine.TempDirs.sweepOrphans()
-      assert(!stale.exists(), "a 25h-old graft scratch dir must be swept")
-      assert(fresh.exists(), "the sweep must never touch a fresh dir")
-      assert(foreign.exists(), "the sweep must never touch foreign prefixes")
-    } finally {
-      fresh.delete(); foreign.delete()
-      if (stale.exists()) { new java.io.File(stale, "payload").delete(); stale.delete() }
+      assert(!orphan.exists(), "a dead-owner graft scratch dir must be swept")
+      assert(live.exists(), "a live-owner dir must never be touched, however old")
+      assert(unmarked.exists(), "a dir without the ownership marker must never be touched")
+      assert(garbled.exists(), "an unreadable marker must fail safe (keep the dir)")
+    } finally all.foreach { d =>
+      val kids = d.listFiles(); if (kids != null) kids.foreach(_.delete()); d.delete()
     }
   }
 

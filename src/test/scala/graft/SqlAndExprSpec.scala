@@ -237,6 +237,28 @@ class SqlAndExprSpec extends SparkSpec {
     assert(r.isNullAt(4), "null element must null-poison quant_sse")
   }
 
+  test("spliceCte: case-insensitive WITH, metachar-safe CTE text, loud WITH RECURSIVE") {
+    // Round-13 ADVICE: replaceFirst-based splicing corrupted CTEs
+    // containing '$' (JSON paths) or '\' (regexes) and double-WITHed a
+    // lowercase `with` oracle. Pinned here on the shared splice.
+    import graft.engine.Tables.spliceCte
+    val metachar = """d AS (SELECT '$.k' AS p, '\d+' AS re)"""
+    assert(spliceCte("SELECT 1", metachar) == s"WITH $metachar\nSELECT 1",
+      "CTE text must pass through byte-identical (no regex replacement semantics)")
+    assert(spliceCte("with x AS (SELECT 2) SELECT * FROM x", metachar) ==
+      s"WITH $metachar,\nx AS (SELECT 2) SELECT * FROM x",
+      "a lowercase `with` oracle must splice, not gain a second WITH")
+    assert(spliceCte("  WITH x AS (SELECT 2) SELECT 3", "g AS (SELECT 1)") ==
+      "  WITH g AS (SELECT 1),\nx AS (SELECT 2) SELECT 3",
+      "leading whitespace must be preserved")
+    intercept[IllegalArgumentException] {
+      spliceCte("WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r", "g AS (SELECT 1)")
+    }
+    intercept[IllegalArgumentException] { // case-insensitive rejection too
+      spliceCte("with recursive r AS (SELECT 1) SELECT * FROM r", "g AS (SELECT 1)")
+    }
+  }
+
   test("q_recursive_hierarchy: depth = decimal digits − 1, root = leading digit") {
     val rows = graft.engine.rel.RelQueries.queries("q_recursive_hierarchy")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

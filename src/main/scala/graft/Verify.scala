@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF overrides (probe gate only — the driver never
+    // sets it): applied to the session here, and read by the oracle
+    // builders below via the same ConfEnv, so engine and oracle move
+    // together (tools/probe_all.sh's hotbucket profile).
+    graft.engine.ConfEnv(spark)
     // the TOK/MINHASH/minhash_recall oracle SQL hardcodes the default
     // 8-hex-digit md5 fold; a session running a different width would
     // silently desynchronize token ids / sample predicates from the

@@ -2293,11 +2293,18 @@ object TextOps {
   /** MinHash signature/band/pair CTEs (assumes $TOK precedes). The
     * `pairs` CTE mirrors the engine's hot-bucket cap ([[minhashPairs]],
     * default `graft.neardedup.bucketCap` = 4096): a pair qualifies iff
-    * its rank distance in the bucket's sorted doc order is ≤ 4096 —
+    * its rank distance in the bucket's sorted doc order is ≤ cap —
     * inert at fixture bucket sizes (max ~2.5k docs), but the contract
-    * is stated identically in both engines. */
+    * is stated identically in both engines. The cap literal is
+    * interpolated from [[graft.engine.ConfEnv]] (env SPARK_GRAFT_CONF)
+    * so the probe gate's hot-bucket profile can shrink engine cap and
+    * oracle window TOGETHER; with the env unset this is the committed
+    * 4096 byte-identically. (A cap set via spark.conf alone does NOT
+    * reach this string — oracled runs must use the env.) */
+  private[graft] val oracleBucketCap: String =
+    graft.engine.ConfEnv.get("graft.neardedup.bucketCap", "4096")
   private val MINHASH =
-    """dt AS (SELECT DISTINCT doc_id, tid FROM tok JOIN vocab USING (token)),
+    s"""dt AS (SELECT DISTINCT doc_id, tid FROM tok JOIN vocab USING (token)),
       |h AS (SELECT doc_id, u.seed AS seed,
       |  (tid * (u.seed * 2 + 3) + (u.seed * 7 + 1)) % 1000003 AS h
       |  FROM dt, UNNEST(generate_series(0, 7)) AS u(seed)),
@@ -2313,7 +2320,7 @@ object TextOps {
       |  FROM bands),
       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM rb a JOIN rb b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND b.rn - a.rn BETWEEN 1 AND 4096)""".stripMargin
+      |    AND b.rn - a.rn BETWEEN 1 AND $oracleBucketCap)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "exact_dedup" ->
@@ -2710,7 +2717,7 @@ object TextOps {
          |  FROM bands1),
          |pairs1 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM rb1 a JOIN rb1 b ON a.bsig = b.bsig
-         |    AND b.rn - a.rn BETWEEN 1 AND 4096),
+         |    AND b.rn - a.rn BETWEEN 1 AND $oracleBucketCap),
          |tokd AS (SELECT DISTINCT doc_id, token FROM tok),
          |samp AS (SELECT doc_id FROM (
          |  SELECT doc_id, CAST(SUM((strpos('0123456789abcdef',

@@ -112,7 +112,22 @@ object AdversarialFixture {
     * intra-cluster scatter 0, stddev 0, all-dup dedup) that ANSI
     * division turns into crashes when unguarded. */
   def write(spark: SparkSession, dir: String, seed: Long, cap: Int,
-            constant: Boolean): Unit = {
+            constant: Boolean): Unit =
+    write(spark, dir, seed, cap, constant, 0)
+
+  /** `hot > 0` appends the HOT-BUCKET corpus to `documents`: `hot`
+    * extra docs (ids 1001..1000+hot) all carrying ONE identical
+    * boilerplate string — the scraped-nav-menu shape that dominates a
+    * MinHash band bucket at 100 TB. Identical token sets collapse to
+    * one band signature, so the bucket size IS `hot` — run Verify
+    * under SPARK_GRAFT_CONF="graft.neardedup.bucketCap=8,
+    * graft.neardedup.shardSize=8" and the oversize-bucket shard
+    * (TextOps minhashPairs, HOT-BUCKET SHARD note) engages on DATA:
+    * ⌈hot/8⌉ rank segments with cap-deep overlap replicas, full
+    * dedup-family oracle parity still required (tools/probe_all.sh
+    * `hotbucket` profile; engagement audited by tools/ShardEngage). */
+  def write(spark: SparkSession, dir: String, seed: Long, cap: Int,
+            constant: Boolean, hot: Int): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L + seed)
     // phase shifts for the modular null/edge placements (0 at seed 0
@@ -353,7 +368,16 @@ object AdversarialFixture {
         Seq("de", "en", "es", "fr", "zh")((i % 5).toInt),
         s"src${i % 20}")
     }
-    save("documents")((docBase ++ docFill).map { case (id, text, lang, src) =>
+    // the hot-bucket boilerplate: ONE string, `hot` copies — tokens
+    // chosen disjoint from the w<i> filler vocabulary so no filler doc
+    // drifts into the hot bucket by token-set coincidence
+    val docHot = (1001L until 1001L + math.max(hot, 0)).map { i =>
+      (java.lang.Long.valueOf(i),
+        "nav home about contact privacy terms copyright footer menu search login help",
+        Seq("de", "en", "es", "fr", "zh")((i % 5).toInt),
+        s"src${i % 20}")
+    }
+    save("documents")((docBase ++ docFill ++ docHot).map { case (id, text, lang, src) =>
       val n: java.lang.Long =
         if (id == 9L) java.lang.Long.valueOf(9999) // lying n_chars
         else if (text == null) null
@@ -406,11 +430,14 @@ object AdversarialFixture {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_advfix")
     val seed = args.drop(1).headOption
-      .filter(a => a != "empty" && a != "constant" && !a.startsWith("cap="))
+      .filter(a => a != "empty" && a != "constant" && a != "hotbucket"
+        && !a.startsWith("cap=") && !a.startsWith("hot="))
       .map(_.toLong).getOrElse(0L)
     val cap = if (args.contains("empty")) 0
       else args.find(_.startsWith("cap=")).map(_.drop(4).toInt).getOrElse(-1)
     val constant = args.contains("constant")
+    val hot = if (args.contains("hotbucket")) 500
+      else args.find(_.startsWith("hot=")).map(_.drop(4).toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -418,8 +445,8 @@ object AdversarialFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    write(spark, dir, seed, cap, constant)
-    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, cap=$cap, constant=$constant)")
+    write(spark, dir, seed, cap, constant, hot)
+    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, cap=$cap, constant=$constant, hot=$hot)")
     spark.stop()
   }
 }

@@ -161,6 +161,19 @@ object Tables {
   def gateDocumentsSql(sql: String): String =
     spliceCte(sql, "documents AS (SELECT * FROM main.documents WHERE text IS NOT NULL)")
 
+  /** The declared vector magnitude domain, |component| < 1e7, enforced
+    * LOUDLY by the two queries with documented precision ceilings
+    * (round-13 verdict item 2): `incremental_ann_upsert` (int64
+    * micro-quantization headroom — floor(x·1e6) times realistic cell
+    * counts must stay inside 2^63) and `silhouette_mllib` (the MLlib
+    * closed form ‖x‖² − 2x·μ + avg‖y‖² cancels catastrophically once
+    * ‖x‖²-scale terms dwarf the distances, drifting from the exact SQL
+    * oracle below ROUND 6). Components past the bound raise a designed
+    * error instead of a silent wrap / engine-dependent abort; both
+    * gates are pinned in AdversarialBoundarySpec. Every fixture
+    * stressor stays well inside (≤1e3 — tools/AdversarialFixture). */
+  val maxAbsComponent: Double = 1e7
+
   /** The clustering-validity point set: embeddings with float64 features
     * and the ground-truth label used as the fixed cluster assignment for
     * all oracle-checked index queries (SURVEY.md §2.1).

@@ -256,7 +256,19 @@ object KMeansSweep {
     // exercised by the adversarial fixture's label -1 point.
     "silhouette_mllib" -> ((s, d) => {
       import s.implicits._
-      val p = Tables.points(s, d).withColumn("fv", array_to_vector(col("features")))
+      // DECLARED DOMAIN (round-13 verdict item 2): |component| < 1e7 —
+      // MLlib's closed-form silhouette cancels ‖x‖²-scale terms, and
+      // past the bound it silently drifts from the exact SQL oracle
+      // below ROUND 6 (a WRONG value, not a crash — the worst failure
+      // mode). The gate rides the features column itself, so the
+      // abs_max kernel evaluates inside the evaluator's own scan (no
+      // extra action) and in-domain corpora never reach the error.
+      val p = Tables.points(s, d)
+        .withColumn("features",
+          when(expr(s"abs_max(features) < ${Tables.maxAbsComponent}"), col("features"))
+            .otherwise(raise_error(lit("silhouette_mllib: |embedding component| >= 1e7 " +
+              "is outside the declared domain (float-cancellation ceiling of the closed-form silhouette)"))))
+        .withColumn("fv", array_to_vector(col("features")))
       // degenerate corpus: the metric is undefined on zero rows AND on
       // fewer than two clusters (MLlib asserts "Number of clusters
       // must be greater than one") — ONE NULL row, matching the SQL

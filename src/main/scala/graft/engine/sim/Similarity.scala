@@ -424,10 +424,24 @@ object Similarity {
     // ANY parallelism. Output d² mass is integer ppm for the same
     // reason (the token_budget_sample rate_ppm discipline).
     "incremental_ann_upsert" -> ((s, d) => {
+      // DECLARED DOMAIN (round-13 verdict item 2): |component| < 1e7.
+      // Past it the micro-quantization loses the int64 headroom this
+      // op's exact-integer core is built on, and unguarded the two
+      // engines abort DIFFERENTLY (Spark ARITHMETIC_OVERFLOW vs DuckDB
+      // int64 conversion) deep in the plan. The gate turns that into
+      // ONE designed, spec-pinned error (AdversarialBoundarySpec);
+      // in-domain corpora never evaluate the otherwise branch, so
+      // oracle parity is untouched. Per-element when() rides the same
+      // codegen'd projection as the quantization itself — no extra
+      // pass.
       val e = vecs(s, d).select(col("vec_id"), col("label"),
           posexplode(col("f")).as(Seq("p", "x")))
         .select(col("vec_id"), col("label"), (col("p") + 1).cast("long").as("i"),
-          floor(col("x") * lit(1e6)).cast("long").as("xi"))
+          when(abs(col("x")) < lit(Tables.maxAbsComponent),
+            floor(col("x") * lit(1e6)).cast("long"))
+            .otherwise(raise_error(lit("incremental_ann_upsert: |embedding component| >= 1e7 " +
+              "is outside the declared quantization domain (int64 micro-quantization headroom, SURVEY §7.6)")))
+            .as("xi"))
       val cent = e.filter(col("vec_id") % 10 =!= 7)
         .groupBy("label", "i")
         .agg(sum("xi").as("sm"), count(lit(1)).as("n"))

@@ -208,6 +208,57 @@ class AdversarialBoundarySpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(10L)) // zero vector and label -1 STAY
   }
 
+  // ---- the declared magnitude ceilings (round-13 verdict item 2) ----
+  // Tables.maxAbsComponent = 1e7: past it, incremental_ann_upsert's
+  // exact-integer core loses its int64 headroom and MLlib's closed-form
+  // silhouette drifts from the oracle below ROUND 6 — both now raise
+  // ONE designed error instead of an engine-dependent abort or (worse)
+  // a silently wrong value. These pins feed a corpus with a single
+  // out-of-domain component and intercept exactly that error.
+
+  /** Minimal embeddings-only fixture dir: 40 8-dim vectors, labels
+    * cycling 0..2, component 0 of vec 3 set to `mag`. */
+  private def magDir(mag: Double): String = {
+    import spark.implicits._
+    val d = graft.engine.TempDirs.scratch("graft_magspec")
+    (1L to 40L).map { i =>
+      val base = (0 until 8).map(j => ((i * 7 + j) % 5).toFloat / 10f)
+      (i, if (i == 3L) base.updated(0, mag.toFloat) else base, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def rootMessages(t: Throwable): String = {
+    var cur = t; val sb = new StringBuilder
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  test("incremental_ann_upsert raises the DESIGNED domain error at |component| >= 1e7") {
+    val e = intercept[Exception] {
+      SparkEntry.queries("incremental_ann_upsert")(spark, magDir(1e7)).collect()
+    }
+    assert(rootMessages(e).contains("declared quantization domain"),
+      s"expected the designed domain error, got: ${rootMessages(e).take(500)}")
+  }
+
+  test("silhouette_mllib raises the DESIGNED domain error at |component| >= 1e7") {
+    val e = intercept[Exception] {
+      SparkEntry.queries("silhouette_mllib")(spark, magDir(1e7)).collect()
+    }
+    assert(rootMessages(e).contains("float-cancellation ceiling"),
+      s"expected the designed domain error, got: ${rootMessages(e).take(500)}")
+  }
+
+  test("the magnitude gates are not over-broad: 1e6 components stay in-domain") {
+    val d = magDir(1e6)
+    assert(SparkEntry.queries("incremental_ann_upsert")(spark, d).collect() != null)
+    assert(SparkEntry.queries("silhouette_mllib")(spark, d).collect().length == 1)
+  }
+
   test("foreachBatch sink never lands duplicate (window, NULL) groups from the '' fold") {
     // '' folds into NULL BEFORE the aggregate — folding after would
     // land two rows per window in the __HIVE_DEFAULT_PARTITION__ dir

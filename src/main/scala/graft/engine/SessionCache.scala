@@ -24,11 +24,12 @@ import org.apache.spark.sql.SparkSession
   * affects timing, but for memos whose value gates ANOTHER query's
   * rows (the token bloom filters in Sketches/RelQueries: a stale
   * filter silently changes which rows a bloom-gated join emits) it is
-  * a correctness assumption. It holds by construction here — the
-  * driver's fixtures are written once per scale factor and never
-  * touched — and a pipeline with mutable inputs should fold a data
-  * fingerprint (file count + max mtime) into the key at the call
-  * site.
+  * a correctness assumption. The two bloom memos therefore fold a
+  * [[SessionCache.dataFingerprint]] (file count + max mtime + bytes)
+  * into their keys, so an in-place rewrite invalidates instead of
+  * serving stale bits (pinned in SketchSpec); the remaining memos
+  * keep the plain (sfDir, config) key under the driver's
+  * written-once-per-scale-factor fixture discipline.
   */
 final class SessionCache[V] {
   SessionCache.register(this)
@@ -87,6 +88,26 @@ object SessionCache {
       registry.synchronized {
         registry.keySet.forEach(_.evictEpoch(e))
       }
+    }
+  }
+
+  /** Cheap data fingerprint of a parquet table path (a single file in
+    * the driver layout, or a part-file directory): file count + max
+    * mtime + total bytes, one directory level deep. Fold it into a
+    * memo key when the memo's VALUE gates another query's rows (the
+    * token/urgent bloom filters) — it turns the documented
+    * immutable-fixture ASSUMPTION into an invalidation: rewriting a
+    * fixture in place within one session rotates the key and the memo
+    * rebuilds, instead of silently serving the stale filter. Costs
+    * one stat per call — nothing against the builds it guards. */
+  def dataFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.exists()) "absent"
+    else if (f.isFile) s"1:${f.lastModified}:${f.length}"
+    else {
+      val kids = f.listFiles()
+      if (kids == null || kids.isEmpty) "0:0:0"
+      else s"${kids.length}:${kids.map(_.lastModified).max}:${kids.map(_.length).sum}"
     }
   }
 }

@@ -221,7 +221,11 @@ object RelQueries {
       // tools (Explain/PlanDump/ScanAudit) pay an orders scan per
       // look — the same class the deferred contracts fixed. ownMemo
       // keeps the bench billing this build cold every attempt.
-      val bloom = urgentBloomCache.get(s, d) {
+      // data fingerprint in the key (see Sketches.tokenBloom): a stale
+      // urgent-key filter would silently change which lineitem rows
+      // reach the exact join after an in-place orders rewrite
+      val bloom = urgentBloomCache.get(s,
+        s"$d|${graft.engine.SessionCache.dataFingerprint(s"$d/orders.parquet")}") {
         // empty-slice guard (see Sketches.tokenBloom): zero urgent
         // orders must yield an all-false filter, not a null-buffer NPE
         if (urgent.isEmpty)

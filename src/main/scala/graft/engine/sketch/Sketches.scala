@@ -52,7 +52,10 @@ object Sketches {
     new graft.engine.SessionCache[BloomFilter]
   def tokenBloom(s: SparkSession, d: String, expectedItems: Long = 100000L,
                  fpp: Double = 0.01): BloomFilter =
-    bloomCache.get(s, s"$d|$expectedItems|$fpp") {
+    // data fingerprint in the key (round-13 verdict item 6): this
+    // memo's value gates OTHER queries' rows, so an in-place rewrite
+    // of documents.parquet must rotate the key, not serve stale bits
+    bloomCache.get(s, s"$d|${graft.engine.SessionCache.dataFingerprint(s"$d/documents.parquet")}|$expectedItems|$fpp") {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
       // empty-corpus guard: Spark's bloomFilter aggregate on ZERO rows

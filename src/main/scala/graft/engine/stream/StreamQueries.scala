@@ -75,7 +75,21 @@ object StreamQueries {
     * (stream_watermark's sink is the whole deduped events table —
     * +2.5 s at sf0.1), while the aggregated outputs are a few hundred
     * rows. Row order of the transform (its declared ORDER BY) is
-    * preserved — a local relation scans in list order. */
+    * preserved — a local relation scans in list order.
+    *
+    * CONCURRENCY CONTRACT (stated, not just implied): the only serial
+    * assumption is WITHIN one invocation — start → awaitTermination →
+    * drain must run on one thread, which the query builders guarantee
+    * by construction. ACROSS invocations there is no ordering
+    * assumption at all: sink view names are invocation-unique
+    * ([[freshSinkName]] suffixes a nanoTime), every returned frame is
+    * a drained driver-local snapshot with no reference to the view,
+    * and the view is dropped in the builder's own finally — so two
+    * overlapping invocations of the SAME key in one session (or a
+    * re-invocation while an earlier frame is still live) can neither
+    * collide on a name nor invalidate each other's results. Pinned by
+    * StreamSpec "a stream query's frame survives a later re-invocation
+    * of its key". */
   private def drainSink(s: SparkSession, name: String)
                        (transform: DataFrame => DataFrame): DataFrame = {
     // drop in finally: a transform/collect failure must not leak the

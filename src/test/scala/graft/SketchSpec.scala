@@ -62,4 +62,25 @@ class SketchSpec extends SparkSpec {
     assert(r.getBoolean(1), "per-lang sketch union estimate outside 5% of exact")
     assert(r.getBoolean(2), "global sketch estimate outside 5% of exact")
   }
+
+  test("tokenBloom invalidates when the fixture is rewritten IN PLACE (data fingerprint in the memo key)") {
+    // Round-13 verdict item 6: the bloom memo's value gates other
+    // queries' ROWS, so serving a stale filter after an in-place
+    // rewrite was a documented correctness hole. The memo key now
+    // carries SessionCache.dataFingerprint(documents.parquet); this
+    // pin rewrites the table within ONE session and requires the
+    // second build to see the new corpus.
+    import spark.implicits._
+    val d = graft.engine.TempDirs.scratch("graft_bloomfp")
+    def writeDocs(text: String): Unit =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    writeDocs("alpha beta gamma")
+    val b1 = Sketches.tokenBloom(spark, d)
+    assert(b1.mightContain("alpha"), "bloom must contain a written token (no false negatives)")
+    writeDocs("zulu_token_after_rewrite yankee xray whiskey victor uniform")
+    val b2 = Sketches.tokenBloom(spark, d)
+    assert(b2.mightContain("zulu_token_after_rewrite"),
+      "STALE filter served after an in-place fixture rewrite — fingerprint key regressed")
+  }
 }

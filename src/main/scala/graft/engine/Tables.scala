@@ -89,7 +89,7 @@ object Tables {
       else (monotonically_increasing_id(), cols)
     raw.select(
       idExpr.as("vec_id"),
-      array(featCols.map(c => col(c).cast("double")): _*).as("features"))
+      array(featCols.toIndexedSeq.map(c => col(c).cast("double")): _*).as("features"))
   }
 
   /** Vector-universe boundary (mirrors the null-text dedup contract):

@@ -783,7 +783,7 @@ object TextOps {
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
     def sig(df: DataFrame): Long = {
-      val r = df.agg(sum("lbl")).head
+      val r = df.agg(sum("lbl")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     var prevSig = sig(lbl)

@@ -61,8 +61,10 @@ object ShardEngage {
         s"[shard-engage] PAIR AUDIT DIVERGED: bucket n=$n cap=$cap emitted $got pairs, bound says $expect")
       spark.stop(); sys.exit(1)
     }
+    // ASCII-only: this line lands in the gate's captured logs, where a
+    // non-UTF8 console locale garbles multibyte glyphs
     println(s"[shard-engage] ENGAGED at $dir: max bucket $maxBucket > shard $shard " +
-      s"($segments rank segments, cap=$cap); pair audit exact: $got = Σ min(cap, n−rank)")
+      s"($segments rank segments, cap=$cap); pair audit exact: $got = sum(min(cap, n-rank))")
     spark.stop()
   }
 }

@@ -52,11 +52,15 @@ JVM_OPTS="--add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}"
 
-# profile name -> AdversarialFixture args (after the output dir)
+# profile name -> AdversarialFixture args (after the output dir).
+# Any seedN is accepted (seed2, seed3, ... vary the filler content and
+# null/edge placements deterministically) — the committed default set
+# runs seed0+seed1; deeper seed sweeps are an on-demand robustness
+# probe, same green bar.
 profile_args() {
   case "$1" in
     seed0)     echo "" ;;
-    seed1)     echo "1" ;;
+    seed[0-9]|seed[0-9][0-9]) echo "${1#seed}" ;;
     empty)     echo "empty" ;;
     cap1)      echo "cap=1" ;;
     constant)  echo "constant" ;;

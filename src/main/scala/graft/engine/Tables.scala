@@ -110,14 +110,32 @@ object Tables {
     * engines see the identical universe. The driver fixtures contain
     * no such rows — this boundary is live only on adversarial corpora
     * (tools/AdversarialFixture). */
+  /** The declared embedding dimensionality (conf `graft.vector.dim`,
+    * default 64 — the driver tables' width). Part of the vector
+    * UNIVERSE definition below: a row whose array length differs
+    * exits the universe on BOTH engines, exactly like a NULL row. A
+    * deployment with a different width sets the conf (oracled runs
+    * via SPARK_GRAFT_CONF so the oracle gate moves with it). */
+  def vectorDim(s: SparkSession): Int =
+    s.conf.get("graft.vector.dim", "64").toInt
+
   def cleanVectors(df: DataFrame, embCol: String = "embedding",
                    labelCol: String = "label"): DataFrame = {
     // native kernel, not forall(x -> x IS NOT NULL): HOF lambdas are
     // interpreted per row and this predicate sits under EVERY vector
     // scan (and would break the no-lambda plan pins)
     graft.engine.expr.GraftFunctions.register(df.sparkSession)
+    // size(emb) = declared dim (round-14): RAGGED dimensionality was
+    // the one corrupt-row class the round-13 universe missed — probed
+    // with 10% of vectors truncated to 32-d it produced 7 crashes
+    // (MLlib "Dimensions mismatch", kernel AIOOBE) and 12 silently
+    // oracle-divergent values (Spark kernels and DuckDB list ops
+    // disagree on length-mismatched folds). One more codegen'd
+    // predicate on the same scan; the oracle shadow CTE gates len()
+    // identically.
     df.filter(col(embCol).isNotNull
       && !expr(s"vec_has_null_elem($embCol)")
+      && size(col(embCol)) === lit(vectorDim(df.sparkSession))
       && col(labelCol).isNotNull)
   }
 
@@ -130,9 +148,14 @@ object Tables {
   def gateEmbeddingsSql(sql: String): String =
     // main.embeddings: DuckDB rejects a CTE that references its own
     // name as a circular reference — the schema-qualified form reaches
-    // the base table (the driver registers tables as main-schema views)
+    // the base table (the driver registers tables as main-schema views).
+    // len(embedding) mirrors cleanVectors' dimension gate; the literal
+    // interpolates from ConfEnv like the pair-window cap, so the probe
+    // gate can move both engines together (driver default: 64).
     spliceCte(sql, "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL" +
-      " AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL)")
+      " AND len(list_filter(embedding, x -> x IS NULL)) = 0" +
+      s" AND len(embedding) = ${ConfEnv.get("graft.vector.dim", "64")}" +
+      " AND label IS NOT NULL)")
 
   /** Splice `cte` in as the FIRST CTE of `sql` (one shared
     * implementation for both table gates). Handled forms: a query

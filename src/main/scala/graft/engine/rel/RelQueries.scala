@@ -582,7 +582,12 @@ object RelQueries {
         round(aggregate(s8, lit(0.0), (a, x) => a + x), 6).as("sum8"),
         round(array_max(s8), 6).as("max8"),
         size(array_distinct(transform(s8, x => round(x, 1)))).as("nd"),
-        round(element_at(sort_array(s8), 3), 6).as("third"),
+        // try_element_at, not element_at: a vector shorter than 3
+        // elements (this query reads embeddings RAW, outside the
+        // dimension-gated universe, by declaration) yields NULL —
+        // DuckDB's out-of-bounds list index — where ANSI element_at
+        // aborted the job on the ragged fixture row
+        round(try_element_at(sort_array(s8), lit(3)), 6).as("third"),
         size(filter(s8, x => x > 0)).as("npos"))
         .orderBy("vec_id")
     }),

@@ -421,7 +421,16 @@ object AdversarialFixture {
     )
     val embFill = (11L to 120L).map(i =>
       (i, vec(i), Integer.valueOf((i % 10).toInt)))
-    save("embeddings")((embBase ++ embFill)
+    // ragged dimensionality (round 14): a truncated and a single-
+    // element vector — the "encoder changed width mid-run" corruption.
+    // Both exit the declared vector universe (cleanVectors' size gate
+    // = graft.vector.dim, mirrored len() in the oracle shadow CTE);
+    // before the gate they produced 7 crashes and 12 silent
+    // cross-engine divergences on this very fixture.
+    val embRagged = Seq[(Long, Seq[java.lang.Float], java.lang.Integer)](
+      (121L, vec(121).take(32), Integer.valueOf(1)),
+      (122L, Seq(java.lang.Float.valueOf(1.5f)), Integer.valueOf(2)))
+    save("embeddings")((embBase ++ embFill ++ embRagged)
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
         col("label")))

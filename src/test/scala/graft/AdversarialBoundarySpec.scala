@@ -197,15 +197,27 @@ class AdversarialBoundarySpec extends SparkSpec {
       s"MLlib silhouette $sil != hand-computed $expected — the degenerate-point convention moved")
   }
 
-  test("cleanVectors excludes exactly the NULL-embedding, NULL-element and NULL-label rows") {
-    // fixture embeddings: 120 rows; vec 2 NULL embedding, vec 3 NULL
-    // element, vec 9 NULL label — the declared vector universe is the
-    // remaining 117 (tools/AdversarialFixture embBase)
+  test("cleanVectors excludes exactly the NULL-embedding, NULL-element, NULL-label and RAGGED rows") {
+    // fixture embeddings: 122 rows; vec 2 NULL embedding, vec 3 NULL
+    // element, vec 9 NULL label, vecs 121/122 ragged (32-d / 1-d vs
+    // the declared graft.vector.dim = 64) — the declared vector
+    // universe is the remaining 117 (tools/AdversarialFixture embBase)
     val pts = graft.engine.Tables.points(spark, dir)
     assert(pts.count() == 117)
     val ids = pts.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(2L) && !ids.contains(3L) && !ids.contains(9L))
+    assert(!ids.contains(121L) && !ids.contains(122L),
+      "ragged-dimension rows must exit the declared vector universe")
     assert(ids.contains(1L) && ids.contains(10L)) // zero vector and label -1 STAY
+  }
+
+  test("a RAGGED corpus neither crashes the MLlib fits nor the pairwise kernels") {
+    // before the dimension gate, kmeans_train died with MLlib's
+    // "Dimensions mismatch when adding new sample" and knn_per_vector
+    // with an AIOOBE on the truncated array — the corrupt rows now
+    // exit the universe at the scan, so the fits see a uniform width
+    assert(SparkEntry.queries("kmeans_train")(spark, dir).collect().nonEmpty)
+    assert(SparkEntry.queries("knn_per_vector")(spark, dir).collect() != null)
   }
 
   // ---- the declared magnitude ceilings (round-13 verdict item 2) ----

@@ -228,13 +228,15 @@ class AdversarialBoundarySpec extends SparkSpec {
   // a silently wrong value. These pins feed a corpus with a single
   // out-of-domain component and intercept exactly that error.
 
-  /** Minimal embeddings-only fixture dir: 40 8-dim vectors, labels
-    * cycling 0..2, component 0 of vec 3 set to `mag`. */
+  /** Minimal embeddings-only fixture dir: 40 64-dim vectors (the
+    * declared `graft.vector.dim` — the hostile row must pass THROUGH
+    * the universe to reach the magnitude gates), labels cycling 0..2,
+    * component 0 of vec 3 set to `mag`. */
   private def magDir(mag: Double): String = {
     import spark.implicits._
     val d = graft.engine.TempDirs.scratch("graft_magspec")
     (1L to 40L).map { i =>
-      val base = (0 until 8).map(j => ((i * 7 + j) % 5).toFloat / 10f)
+      val base = (0 until 64).map(j => ((i * 7 + j) % 5).toFloat / 10f)
       (i, if (i == 3L) base.updated(0, mag.toFloat) else base, (i % 3).toInt)
     }.toDF("vec_id", "embedding", "label")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",

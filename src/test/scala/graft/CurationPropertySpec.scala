@@ -82,8 +82,13 @@ class CurationPropertySpec extends SparkSpec {
       vecs.zipWithIndex.map { case (v, j) => (j.toLong, v, j % 2) }
         .toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-      val out = Similarity.queries("embedding_quantize")(spark, d)
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      // 8-d property fixture: set the declared dim or the universe
+      // gate empties the corpus and the property checks go VACUOUS
+      val out = withConf("graft.vector.dim", "8") {
+        Similarity.queries("embedding_quantize")(spark, d)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      }
+      assert(out.length == vecs.length, "quantize output must cover every in-universe vector")
       out.foreach { case (id, scale, mse) =>
         val v = vecs(id.toInt).map(_.toDouble)
         val s0 = v.map(math.abs).max

@@ -35,8 +35,12 @@ class SimilaritySpec extends SparkSpec {
     (base ++ dups).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    val kernel = Similarity.queries("knn_per_vector")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // this unit fixture is 8-d; the universe gate keys on the declared
+    // graft.vector.dim, exactly how a non-64-d library corpus opts in
+    val kernel = withConf("graft.vector.dim", "8") {
+      Similarity.queries("knn_per_vector")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }
 
     val v = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("f"))
@@ -267,8 +271,10 @@ class SimilaritySpec extends SparkSpec {
       (7L, Array(1.0f, 2.0f), 0), (17L, Array(9.0f, 9.0f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = Similarity.queries("incremental_ann_upsert")(spark, dir)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val out = withConf("graft.vector.dim", "2") { // 2-d unit fixture
+      Similarity.queries("incremental_ann_upsert")(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
     assert(out.map(_._2).sum == 2, s"batch size 2, got ${out.toSeq}")
     val byCell = out.map(t => t._1 -> (t._2, t._3)).toMap
     assert(byCell(0) == (1L, 0L), s"vec 7 must self-match cell 0 at d²=0: ${out.toSeq}")
@@ -285,7 +291,9 @@ class SimilaritySpec extends SparkSpec {
       (4L, Array(-1.0f, 0.5f), 1), (5L, Array(-1.0f, 0.5f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val rows = Similarity.queries("embedding_centroid_shift")(spark, dir).collect()
+    val rows = withConf("graft.vector.dim", "2") { // 2-d unit fixture
+      Similarity.queries("embedding_centroid_shift")(spark, dir).collect()
+    }
     assert(rows.length == 4) // 2 labels × 2 dims
     rows.foreach { r =>
       assert(r.getLong(2) > 0 && r.getLong(3) > 0, s"cohort empty: $r")

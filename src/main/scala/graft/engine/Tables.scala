@@ -133,8 +133,14 @@ object Tables {
     // disagree on length-mismatched folds). One more codegen'd
     // predicate on the same scan; the oracle shadow CTE gates len()
     // identically.
+    // finiteness (round 14): one NaN component turns ranking keys NaN
+    // (engine-dependent ordering), aborts MLlib loudly, and an
+    // Infinity dies inside DECIMAL rounds as NumberFormatException —
+    // probed as 10 crashes/parity failures before the gate. Same
+    // kernel discipline as the null mask.
     df.filter(col(embCol).isNotNull
       && !expr(s"vec_has_null_elem($embCol)")
+      && !expr(s"vec_has_nonfinite_elem($embCol)")
       && size(col(embCol)) === lit(vectorDim(df.sparkSession))
       && col(labelCol).isNotNull)
   }
@@ -152,8 +158,12 @@ object Tables {
     // len(embedding) mirrors cleanVectors' dimension gate; the literal
     // interpolates from ConfEnv like the pair-window cap, so the probe
     // gate can move both engines together (driver default: 64).
+    // NOT isfinite(x) is TRUE for NaN and ±Infinity, NULL for a NULL
+    // element (filter keeps only TRUE — NULL elements stay the null
+    // clause's job), mirroring vec_has_nonfinite_elem exactly
     spliceCte(sql, "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL" +
       " AND len(list_filter(embedding, x -> x IS NULL)) = 0" +
+      " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0" +
       s" AND len(embedding) = ${ConfEnv.get("graft.vector.dim", "64")}" +
       " AND label IS NOT NULL)")
 

@@ -176,6 +176,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecHasNullElem].getCanonicalName, "vec_has_null_elem"),
     (children: Seq[Expression]) => VecHasNullElem(children.head))
 
+  val vecHasNonFiniteElemDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_has_nonfinite_elem"),
+    new ExpressionInfo(classOf[VecHasNonFiniteElem].getCanonicalName, "vec_has_nonfinite_elem"),
+    (children: Seq[Expression]) => VecHasNonFiniteElem(children.head))
+
   val minhash8Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash8"),
     new ExpressionInfo(classOf[Minhash8].getCanonicalName, "minhash8"),
@@ -197,7 +202,7 @@ object GraftFunctions {
       chunkFpsDescriptor, charFreqDescriptor,
       ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor,
       absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor,
-      vecHasNullElemDescriptor,
+      vecHasNullElemDescriptor, vecHasNonFiniteElemDescriptor,
       minhash8Descriptor, simhash16Descriptor, wordStatsDescriptor)
 
   def register(s: SparkSession): Unit = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd kernels for the int8-quantization family
   * (`embedding_quantize`, `ann_sq_rescore_sweep`) — the last
@@ -96,6 +96,21 @@ object VecKernels {
     }
     false
   }
+  /** TRUE iff the array carries a NaN or ±Infinity element (NULL
+    * elements are skipped — they are the null-mask gate's job).
+    * `isFloat` selects the element accessor at codegen time. */
+  def hasNonFiniteElem(a: ArrayData, isFloat: Boolean): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v: Double = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return true
+      }
+      i += 1
+    }
+    false
+  }
 }
 
 /** `vec_has_null_elem(a)` — the codegen'd face of the vector-universe
@@ -118,6 +133,35 @@ case class VecHasNullElem(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.engine.expr.VecKernels.hasNullElem($a);")
   override protected def withNewChildInternal(newChild: Expression): VecHasNullElem =
+    copy(child = newChild)
+}
+
+/** `vec_has_nonfinite_elem(a)` — the codegen'd face of the vector
+  * universe's FINITENESS clause (round 14): one NaN component turned
+  * whole-stage ranking keys into NaN (engine-dependent NaN ordering),
+  * fed MLlib its loud "MUST NOT be NaN or Infinity" abort, and an
+  * Infinity reached a DECIMAL round as a NumberFormatException — all
+  * from a single corrupt float. Value read is element-type-dispatched
+  * at codegen time (float32 tables and float64 projections both sit
+  * under this gate); NULL elements are skipped, the null-mask kernel
+  * owns them. */
+case class VecHasNonFiniteElem(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_has_nonfinite_elem expects array<float|double>, got ${t.simpleString(3)}")
+  }
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "vec_has_nonfinite_elem"
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.hasNonFiniteElem(a.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.engine.expr.VecKernels.hasNonFiniteElem($a, $isFloat);")
+  override protected def withNewChildInternal(newChild: Expression): VecHasNonFiniteElem =
     copy(child = newChild)
 }
 

@@ -975,7 +975,17 @@ object RelQueries {
     // family is a single-pass mergeable aggregate in both engines —
     // one hash agg over the log, no window, no join.
     "value_drift_regression" -> ((s, d) =>
-      events(s, d).select(col("event_type"), col("value"),
+      // finiteness boundary (round 14): a regression over NaN/±Inf
+      // samples is undefined — Spark's regr_* propagates NaN where
+      // DuckDB's VARPOP raises "out of range", the one cross-engine
+      // divergence a broad non-finite events probe surfaced (every
+      // other event query agrees on NaN propagation, so the boundary
+      // is declared HERE, not on the events table). NULL values stay:
+      // regr_* skips them while n counts the row, as before.
+      events(s, d)
+        .filter(col("value").isNull
+          || (!isnan(col("value")) && abs(col("value")) =!= lit(Double.PositiveInfinity)))
+        .select(col("event_type"), col("value"),
           ((unix_timestamp(date_trunc("second", col("ts"))) - lit(1704067200L))
             / lit(86400.0)).as("x"))
         .groupBy("event_type")
@@ -1616,7 +1626,8 @@ object RelQueries {
         |  ROUND(regr_r2(value,
         |    (CAST(extract(epoch FROM date_trunc('second', ts)) AS BIGINT)
         |      - 1704067200) / 86400.0), 6) AS r2
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE value IS NULL OR isfinite(value)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_delete_cascade" ->
       """WITH del AS (SELECT c_custkey AS k FROM customer

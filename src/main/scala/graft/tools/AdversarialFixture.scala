@@ -317,6 +317,12 @@ object AdversarialFixture {
         case 5 => null
         case 9 => -0.0
         case 13 => 0.00000049999 // ROUND(sum, 4) feeder
+        // non-finite values (round 14): both engines agree on NaN/Inf
+        // propagation through sums/rounds (probed broadly), EXCEPT the
+        // regr_* family where DuckDB raises — value_drift_regression
+        // declares its finite-sample boundary on both faces
+        case 33 => Double.NaN
+        case 39 => Double.PositiveInfinity
         case _ => math.round(rnd.nextDouble() * 1e6) / 1e4
       }
       val t: Timestamp = i match {
@@ -429,7 +435,14 @@ object AdversarialFixture {
     // cross-engine divergences on this very fixture.
     val embRagged = Seq[(Long, Seq[java.lang.Float], java.lang.Integer)](
       (121L, vec(121).take(32), Integer.valueOf(1)),
-      (122L, Seq(java.lang.Float.valueOf(1.5f)), Integer.valueOf(2)))
+      (122L, Seq(java.lang.Float.valueOf(1.5f)), Integer.valueOf(2)),
+      // non-finite components (round 14): NaN poisons ranking keys
+      // with engine-dependent ordering, Infinity dies in DECIMAL
+      // rounds — both exit the universe via vec_has_nonfinite_elem /
+      // the oracle's NOT isfinite clause
+      (123L, vec(123).updated(0, java.lang.Float.valueOf(Float.NaN)), Integer.valueOf(3)),
+      (124L, vec(124).updated(1, java.lang.Float.valueOf(Float.PositiveInfinity)), Integer.valueOf(4)),
+      (125L, vec(125).updated(2, java.lang.Float.valueOf(Float.NegativeInfinity)), Integer.valueOf(5)))
     save("embeddings")((embBase ++ embFill ++ embRagged)
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),

@@ -197,17 +197,20 @@ class AdversarialBoundarySpec extends SparkSpec {
       s"MLlib silhouette $sil != hand-computed $expected — the degenerate-point convention moved")
   }
 
-  test("cleanVectors excludes exactly the NULL-embedding, NULL-element, NULL-label and RAGGED rows") {
-    // fixture embeddings: 122 rows; vec 2 NULL embedding, vec 3 NULL
+  test("cleanVectors excludes exactly the NULL, RAGGED and NON-FINITE rows") {
+    // fixture embeddings: 125 rows; vec 2 NULL embedding, vec 3 NULL
     // element, vec 9 NULL label, vecs 121/122 ragged (32-d / 1-d vs
-    // the declared graft.vector.dim = 64) — the declared vector
-    // universe is the remaining 117 (tools/AdversarialFixture embBase)
+    // the declared graft.vector.dim = 64), vecs 123/124/125 carrying
+    // NaN / +Inf / −Inf components — the declared vector universe is
+    // the remaining 117 (tools/AdversarialFixture embBase)
     val pts = graft.engine.Tables.points(spark, dir)
     assert(pts.count() == 117)
     val ids = pts.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(2L) && !ids.contains(3L) && !ids.contains(9L))
     assert(!ids.contains(121L) && !ids.contains(122L),
       "ragged-dimension rows must exit the declared vector universe")
+    assert(!ids.contains(123L) && !ids.contains(124L) && !ids.contains(125L),
+      "non-finite rows must exit the declared vector universe")
     assert(ids.contains(1L) && ids.contains(10L)) // zero vector and label -1 STAY
   }
 

@@ -237,6 +237,33 @@ class SqlAndExprSpec extends SparkSpec {
     assert(r.isNullAt(4), "null element must null-poison quant_sse")
   }
 
+  test("vec_has_nonfinite_elem ≡ the HOF exists-form on float AND double arrays, NULLs skipped") {
+    import spark.implicits._
+    graft.engine.expr.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f, -3.5f)),                        // finite
+      (2L, Seq[java.lang.Float](1.0f, java.lang.Float.NaN, 2.0f)),          // NaN
+      (3L, Seq[java.lang.Float](java.lang.Float.POSITIVE_INFINITY, 0f)),    // +Inf
+      (4L, Seq[java.lang.Float](0f, java.lang.Float.NEGATIVE_INFINITY)),    // -Inf
+      (5L, Seq[java.lang.Float](1.0f, null, 2.0f)),                         // NULL elem: skipped
+      (6L, null)                                                            // NULL array → NULL
+    ).toDF("id", "f").selectExpr("id", "CAST(f AS ARRAY<FLOAT>) AS f")
+    Seq("f", "CAST(f AS ARRAY<DOUBLE>)").foreach { c =>
+      val bad = rows.selectExpr("id",
+        s"vec_has_nonfinite_elem($c) AS k",
+        // x IS NOT NULL inside the lambda: bare isnan(NULL) is NULL and
+        // exists' three-valued logic would return NULL where the kernel
+        // SKIPS null elements — the guard states the skip explicitly
+        s"exists($c, x -> x IS NOT NULL AND (isnan(x) OR abs(x) = double('inf'))) AS h")
+        .filter(!(col("k") <=> col("h"))).collect()
+      assert(bad.isEmpty, s"kernel diverged from HOF mirror on $c: ${bad.mkString(";")}")
+      val got = rows.selectExpr("id", s"vec_has_nonfinite_elem($c) AS k")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+      assert(got(1L) == false && got(2L) == true && got(3L) == true
+        && got(4L) == true && got(5L) == false && got(6L) == null, s"wrong verdicts on $c: $got")
+    }
+  }
+
   test("spliceCte: case-insensitive WITH, metachar-safe CTE text, loud WITH RECURSIVE") {
     // Round-13 ADVICE: replaceFirst-based splicing corrupted CTEs
     // containing '$' (JSON paths) or '\' (regexes) and double-WITHed a

@@ -26,8 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // UTF-8 JVM (file.encoding half): the harness host's default locale
+  // is ASCII, under which a unicode partition value becomes an
+  // unencodable filesystem path (InvalidPathException inside
+  // partitioned writes); production Spark runs UTF-8. sun.jnu.encoding
+  // is NOT settable via -D (the VM derives it natively from the
+  // locale), so the envVars below carry the locale half.
+  "-Dfile.encoding=UTF-8",
   // 24g default: the harness box has 128 GiB, and local[32] at sf0.1
   // in 8g was visibly GC-bound (bench total ~163 s at 8g vs ~159 s at
   // 32g, with far larger run-to-run variance at the small heap)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+
+// the sun.jnu.encoding half of the UTF-8 contract (see javaOptions):
+// forked run/test JVMs inherit a UTF-8 locale even on this ASCII host
+run / envVars += ("LC_ALL" -> "C.utf8")
+Test / envVars += ("LC_ALL" -> "C.utf8")

@@ -33,8 +33,31 @@ object Sinks {
   /** Hive-style partitioned parquet. `cols` become directories —
     * choose low-cardinality keys (a 100 TB table partitioned on a
     * billion-value key would create a billion directories). */
-  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+  /** Environmental contract (round 14, the requireUtcForEventTs
+    * discipline): partition VALUES become filesystem path segments,
+    * and under a non-UTF-8 JVM (this harness host's default locale is
+    * ASCII) a unicode value dies mid-write as an unexplained
+    * InvalidPathException inside TASK_WRITE_FAILED — found by the
+    * hostile-lang probe. Spark itself escapes control chars (%09,
+    * %0A) in partition dirs, but charset mapping is the JVM's, so a
+    * string partition column demands a UTF-8 launch
+    * (-Dsun.jnu.encoding=UTF-8 -Dfile.encoding=UTF-8 or
+    * LC_ALL=C.utf8 — build.sbt and tools/probe_all.sh set both). */
+  private[graft] def requireUtf8Paths(ctx: String): Unit = {
+    val enc = System.getProperty("sun.jnu.encoding", "")
+    require(enc.toUpperCase.contains("UTF"),
+      s"$ctx partitions on a string column and requires a UTF-8 JVM " +
+        s"(sun.jnu.encoding=$enc): a non-ASCII partition value becomes an " +
+        "unencodable filesystem path; launch with -Dsun.jnu.encoding=UTF-8 " +
+        "-Dfile.encoding=UTF-8 or LC_ALL=C.utf8")
+  }
+
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit = {
+    if (cols.exists(c => df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType))
+      requireUtf8Paths("writePartitioned")
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+  }
 
   /** Bucketed, sorted, metastore-registered table: `n` buckets hashed
     * on `cols`, each bucket file sorted on the same keys. Joins and

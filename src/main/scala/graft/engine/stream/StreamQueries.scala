@@ -392,6 +392,8 @@ object StreamQueries {
           col("cnt"), col("sum_v"))
         .writeStream
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          // string partition values become paths — see Sinks.requireUtf8Paths
+          graft.engine.sink.Sinks.requireUtf8Paths("stream_foreach_batch")
           batch.write.mode("overwrite").partitionBy("event_type").parquet(out)
         }
         .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()

@@ -383,7 +383,16 @@ object AdversarialFixture {
         Seq("de", "en", "es", "fr", "zh")((i % 5).toInt),
         s"src${i % 20}")
     }
-    save("documents")((docBase ++ docFill ++ docHot).map { case (id, text, lang, src) =>
+    // hostile GROUPING KEYS (round 14): lang/source are partition and
+    // group-by columns across the text family and the partitioned
+    // sink — tab/unicode/whitespace values exercise Spark's partition-
+    // dir escaping (%09) and the UTF-8 path contract
+    // (Sinks.requireUtf8Paths) on every gate profile
+    val docKeys = Seq[(java.lang.Long, String, String, String)](
+      (81L, "partition key with a tab", "ta\tb", "src0"),
+      (82L, "partition key with unicode", "café 中文", "dot.star*$[x]"),
+      (83L, "partition key whitespace only", " ", ""))
+    save("documents")((docBase ++ docFill ++ docKeys ++ docHot).map { case (id, text, lang, src) =>
       val n: java.lang.Long =
         if (id == 9L) java.lang.Long.valueOf(9999) // lying n_chars
         else if (text == null) null

@@ -139,6 +139,26 @@ class SinksSpec extends SparkSpec {
       s"lossy dim roundtrip: ${back.toSeq}")
   }
 
+  test("writePartitioned on a string column demands a UTF-8 JVM loudly, before any task writes") {
+    // Round 14: under this host's ASCII default locale a unicode
+    // partition value used to die mid-write as an InvalidPathException
+    // buried in TASK_WRITE_FAILED; the contract is now a designed
+    // require BEFORE the write starts. The property is read at call
+    // time, so the pin flips it and restores.
+    import spark.implicits._
+    val df = Seq((1L, "x", "café")).toDF("id", "text", "lang")
+    val prev = System.getProperty("sun.jnu.encoding")
+    System.setProperty("sun.jnu.encoding", "ANSI_X3.4-1968")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sinks.writePartitioned(df, Files.createTempDirectory("utf8pin").toString + "/p", "lang")
+      }
+      assert(e.getMessage.contains("UTF-8 JVM"), s"wrong error: ${e.getMessage}")
+    } finally System.setProperty("sun.jnu.encoding", prev)
+    // and under the build's UTF-8 launch the same write succeeds
+    Sinks.writePartitioned(df, Files.createTempDirectory("utf8ok").toString + "/p", "lang")
+  }
+
   test("TempDirs sweeps SIGKILL-orphaned scratch dirs (dead-owner marker), never live or unmarked ones") {
     // Round-13 ADVICE: the sweep used to key on name prefix + 24h
     // mtime, which could delete a >24h live soak session's dir (mtime

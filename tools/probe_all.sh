@@ -36,8 +36,15 @@ if [ ! -f "$CLASSES/graft/Verify.class" ]; then
   exit 2
 fi
 CP="$CLASSES:/opt/spark/jars/*"
+# UTF-8 JVM: this host's default locale is ASCII (ANSI_X3.4-1968), under
+# which a unicode PARTITION VALUE becomes an unencodable filesystem path
+# (java.nio.file.InvalidPathException deep inside a partitioned write —
+# found by the hostile-lang probe). Production Spark clusters run UTF-8;
+# the gate must match.
+export LC_ALL=C.utf8
 # The module opens spark-submit would add (JDK 17 strong encapsulation).
-JVM_OPTS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+JVM_OPTS="-Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 \
+  --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
   --add-opens=java.base/java.io=ALL-UNNAMED \

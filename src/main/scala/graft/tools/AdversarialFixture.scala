@@ -328,6 +328,14 @@ object AdversarialFixture {
       val t: Timestamp = i match {
         case 3 => ts("1969-12-31 23:45:00") // negative epoch, grid sign
         case 7 => ts("1969-12-31 22:10:30")
+        // sentinel dates (round 14): the "never expires" 9999 and the
+        // year-1 epoch bug — one such row used to hand
+        // q_timeseries_fill's per-user grid a ~70M-hour sequence()
+        // (a probed 10-min hang in BOTH engines); the declared span
+        // cap (graft.timeseries.maxGridHours) excludes these users
+        // from the fill identically on both faces
+        case 43 => ts("9999-12-31 23:59:59")
+        case 49 => ts("0001-01-01 00:00:00")
         case 11 => null
         case 15 => ts("2024-01-01 01:00:00") // exactly on the hour grid
         case 17 => ts("2024-01-01 01:15:00") // exactly on the 15-min grid

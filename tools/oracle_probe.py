@@ -17,6 +17,28 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def temporal_to_int(t):
+    """Cast date/timestamp columns of an arrow table to epoch integers
+    (days / µs). Python's datetime.date tops out at year 9999, so a
+    year-10000 DATE (date_add over a 9999 sentinel order — valid in
+    BOTH engines) is unrepresentable by ANY pandas/object path; epoch
+    integers compare instant-exactly at any year, identically on both
+    sides, with NULLs surviving as nulls."""
+    import pyarrow as pa
+    cols = []
+    for f_ in t.schema:
+        c = t.column(f_.name)
+        if pa.types.is_date32(f_.type):
+            c = c.cast(pa.int32())
+        elif pa.types.is_date64(f_.type) or pa.types.is_timestamp(f_.type):
+            c = c.cast(pa.int64())
+        cols.append(c)
+    return pa.table(cols, names=t.schema.names)
+
+def read_pq(f):
+    import pyarrow.parquet as pq
+    return temporal_to_int(pq.read_table(f)).to_pandas()
+
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
@@ -74,7 +96,10 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for key, sql in sorted(oracle.items()):
         try:
-            want = con.execute(sql).df()
+            # arrow + temporal_to_int on BOTH sides: the date/timestamp
+            # columns become epoch ints in the same units, so the dtype
+            # classes and values line up exactly (see temporal_to_int)
+            want = temporal_to_int(con.execute(sql).arrow()).to_pandas()
         except Exception as e:
             print(f"FAIL {key}: duckdb error: {e}")
             n_fail += 1
@@ -84,7 +109,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {key}: no spark output parquet")
             n_fail += 1
             continue
-        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        got = pd.concat([read_pq(f) for f in sorted(files)])
         w, g = norm(want), norm(got)
         if list(w.columns) != list(g.columns):
             print(f"FAIL {key}: columns {list(g.columns)} != oracle {list(w.columns)}")

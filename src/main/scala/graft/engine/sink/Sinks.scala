@@ -171,9 +171,24 @@ object Sinks {
     // and hash-mismatches.
     "source_csv_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // SENTINEL COLLISION GATE (round 14): the roundtrip's NULL
+      // protocol is the u0001 sentinel, and a field VALUE containing
+      // that char is indistinguishable from NULL on read — probed as
+      // silent corruption (one char and one distinct text vanished
+      // from the aggregate). The format genuinely cannot represent
+      // the distinction, so a colliding value raises a DESIGNED error
+      // inside the write scan (no extra pass) instead of corrupting
+      // quietly; the lossless alternative for control-char text is
+      // the hex-armored textLine sink. Pinned in SinksSpec.
+      def csvSafe(c: String) =
+        when(col(c).isNull || !col(c).contains(lit("\u0001")), col(c))
+          .otherwise(raise_error(lit(s"source_csv_roundtrip: column $c contains the " +
+            "\\u0001 null-sentinel character - unrepresentable through the declared " +
+            "CSV protocol; use the hex-armored text sink for control-char text")))
+          .as(c)
       val path = cachedPath(s, s"$d|csv")(p =>
         graft.engine.Tables.documents(s, d)
-          .select("doc_id", "text", "lang", "source")
+          .select(col("doc_id"), csvSafe("text"), csvSafe("lang"), csvSafe("source"))
           .write.mode(SaveMode.Overwrite).option("header", "true")
           .option("nullValue", "\u0001")
           // the WRITER trims unquoted values by default

@@ -139,6 +139,30 @@ class SinksSpec extends SparkSpec {
       s"lossy dim roundtrip: ${back.toSeq}")
   }
 
+  test("CSV roundtrip raises the DESIGNED error on a \\u0001-bearing value instead of corrupting") {
+    // Round 14: the CSV null protocol is the u0001 sentinel, and a
+    // VALUE containing it is indistinguishable from NULL on read —
+    // probed as one char and one distinct text silently vanishing.
+    // The format cannot represent the distinction, so the write scan
+    // raises the designed error.
+    import spark.implicits._
+    val d = graft.engine.TempDirs.scratch("graft_csvpin")
+    Seq((1L, "clean text", "en", "s0"),
+        (2L, "evil\u0001inside", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val e = intercept[Exception] {
+      Sinks.queries("source_csv_roundtrip")(spark, d).collect()
+    }
+    def msgs(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(e).contains("null-sentinel character"),
+      s"expected the designed sentinel-collision error, got: ${msgs(e).take(400)}")
+  }
+
   test("writePartitioned on a string column demands a UTF-8 JVM loudly, before any task writes") {
     // Round 14: under this host's ASCII default locale a unicode
     // partition value used to die mid-write as an InvalidPathException

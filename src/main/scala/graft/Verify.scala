@@ -28,6 +28,10 @@ object Verify {
     val fw = spark.conf.get("graft.text.foldHexDigits", "8")
     require(fw == "8",
       s"oracled runs require graft.text.foldHexDigits=8 (got $fw): the oracle SQL hardcodes the 8-digit fold")
+    // same discipline for every ConfEnv-mirrored knob: a session-conf
+    // value that disagrees with the env face would desynchronize the
+    // oracle literals from the engine — fail before the dump loop
+    graft.engine.ConfEnv.requireSynced(spark)
     new java.io.File(outDir).mkdirs()
     // iteration aid: SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps just those
     // queries (the driver never sets it — full surface by default)

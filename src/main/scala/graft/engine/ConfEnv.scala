@@ -34,4 +34,34 @@ object ConfEnv {
   /** One knob for an oracle-SQL builder (the DuckDB face). */
   def get(key: String, default: String): String =
     overrides.getOrElse(key, default)
+
+  /** Every knob whose value is ALSO baked into oracle-SQL text by a
+    * builder (via [[get]]), with its engine-side default — the keys
+    * where a session-conf-only override would move the ENGINE while
+    * the ORACLE text kept the env-derived value, i.e. silent
+    * dual-face desynchronization (round-14 ADVICE). Defaults mirror
+    * the use sites: Tables.vectorDim / TextOps.bucketCap /
+    * RelQueries' gap-fill grid bound. (`graft.text.foldHexDigits`
+    * has its own dedicated Verify guard — the oracle hardcodes 8.) */
+  val mirrored: Map[String, String] = Map(
+    "graft.vector.dim"             -> "64",
+    "graft.neardedup.bucketCap"    -> "4096",
+    "graft.timeseries.maxGridHours" -> "2000000")
+
+  /** Fail fast when a mirrored knob was set on the session WITHOUT
+    * going through SPARK_GRAFT_CONF: the engine face would read the
+    * conf value while every oracle literal kept the env value, and
+    * the divergence would surface only as mass parity failures
+    * downstream. Called by oracled entry points (Verify) before any
+    * work. */
+  def requireSynced(spark: SparkSession): Unit =
+    mirrored.foreach { case (k, d) =>
+      spark.conf.getOption(k).foreach { v =>
+        val envFace = get(k, d)
+        require(v == envFace,
+          s"$k=$v was set via spark.conf, but the oracle SQL bakes $k=$envFace " +
+            "from SPARK_GRAFT_CONF — in an oracled run this knob must be set via " +
+            "SPARK_GRAFT_CONF so both engine faces move together")
+      }
+    }
 }

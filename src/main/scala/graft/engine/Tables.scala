@@ -138,12 +138,43 @@ object Tables {
     // Infinity dies inside DECIMAL rounds as NumberFormatException —
     // probed as 10 crashes/parity failures before the gate. Same
     // kernel discipline as the null mask.
-    df.filter(col(embCol).isNotNull
+    val dim = vectorDim(df.sparkSession)
+    val gated = df.filter(col(embCol).isNotNull
       && !expr(s"vec_has_null_elem($embCol)")
       && !expr(s"vec_has_nonfinite_elem($embCol)")
-      && size(col(embCol)) === lit(vectorDim(df.sparkSession))
+      && size(col(embCol)) === lit(dim)
       && col(labelCol).isNotNull)
+    // WRONG-DECLARED-DIM diagnostic (round-14 ADVICE, medium): a
+    // uniform corpus of any width ≠ the declared dim would otherwise
+    // be emptied by the size clause ALONE — every vector query
+    // returning zero rows with no hint that the single conf knob is
+    // the cause. Probe once per (session, source plan, dim): if the
+    // gated universe is empty but rows survive every OTHER clause,
+    // the size gate is the sole cause — raise the designed error
+    // naming the knob and the observed widths. Happy-path cost is one
+    // memoized limit-1 probe (first survivor short-circuits); the
+    // attribution scan runs only on an already-empty universe.
+    dimGateProbe.get(df.sparkSession,
+        s"${df.queryExecution.analyzed.semanticHash()}|$embCol|$labelCol|$dim") {
+      if (gated.isEmpty) {
+        val surv = df.filter(col(embCol).isNotNull
+          && !expr(s"vec_has_null_elem($embCol)")
+          && !expr(s"vec_has_nonfinite_elem($embCol)")
+          && col(labelCol).isNotNull)
+        val r = surv.agg(count(lit(1)),
+          min(size(col(embCol))), max(size(col(embCol)))).collect()(0)
+        if (r.getLong(0) > 0) throw new IllegalArgumentException(
+          s"vector universe emptied by the DIMENSION gate alone: " +
+            s"graft.vector.dim=$dim, but all ${r.getLong(0)} rows passing the " +
+            s"null/finiteness/label clauses have width in [${r.get(1)}, ${r.get(2)}]. " +
+            "Set graft.vector.dim to the corpus width (via SPARK_GRAFT_CONF for " +
+            "oracled runs, so the oracle's len() gate moves with it).")
+      }
+    }
+    gated
   }
+
+  private val dimGateProbe = new SessionCache[Unit]
 
   /** The DuckDB face of [[cleanVectors]]: wrap an oracle's SQL in a
     * table-shadowing CTE (CTE names resolve before base tables in

@@ -32,13 +32,25 @@ object TempDirs {
     * (whose mtime stops updating once it only reads) and any
     * third-party dir that happens to share the name prefix are both
     * safe. Pid reuse can only make a dead owner look alive, which
-    * leaks the dir until the reused pid exits — the safe direction. */
+    * leaks the dir until the reused pid exits — the safe direction.
+    *
+    * MARKERLESS fallback (round-14 ADVICE): a dir with NO marker can
+    * still be an orphan — pre-marker sessions left a dozen on this
+    * host, and a SIGKILL landing between createTempDirectory and the
+    * marker write strands one forever — so markerless graft-prefixed
+    * dirs older than [[markerlessTtlMs]] (7 days by mtime, orders of
+    * magnitude past any live session on this host) are reclaimed by
+    * the old conservative-TTL rule. A LIVE session's dirs all carry
+    * markers within microseconds of creation, so the TTL arm can
+    * only ever see crash leftovers. */
   private val sweepPrefixes =
     Seq("graft_", "graft-") // every scratch() caller uses one of these
   private[graft] val ownerMarker = ".graft-owner"
+  private[graft] val markerlessTtlMs = 7L * 24 * 3600 * 1000
   private[graft] def sweepOrphans(): Unit = {
     val root = new java.io.File(System.getProperty("java.io.tmpdir"))
     val kids = root.listFiles()
+    val now = System.currentTimeMillis()
     if (kids != null) kids.foreach { f =>
       if (f.isDirectory && sweepPrefixes.exists(f.getName.startsWith)) {
         val marker = new java.io.File(f, ownerMarker)
@@ -49,7 +61,9 @@ object TempDirs {
           } catch { case _: Exception => -1L }
           pid > 0 && !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
         }
-        if (ownerDead) deleteRecursively(f)
+        val markerlessStale =
+          !marker.exists() && now - f.lastModified() > markerlessTtlMs
+        if (ownerDead || markerlessStale) deleteRecursively(f)
       }
     }
   }

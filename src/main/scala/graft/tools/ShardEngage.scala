@@ -47,12 +47,24 @@ object ShardEngage {
     }
     val segments = (maxBucket + shard - 1) / shard
     // pair-count audit: members of the hot bucket, engine pair surface
-    // restricted to both-ends-in-bucket, vs the exact windowed bound
+    // restricted to BAND 0's emission — a member pair at rank distance
+    // ≤ cap in the band-0 bucket is emitted by band 0 (the first band
+    // is never suppressed), and a member pair past cap may STILL be
+    // legitimately emitted by a LATER band when a filler doc sharing
+    // that band's signature interleaves the members' ranks there
+    // (round-14 ADVICE: counting those against band 0's exact bound
+    // was a spurious-divergence hazard). Band-0 ranks recompute
+    // driver-side: the bucket is exactly `members`, ordered by doc_id
+    // — the same ROW_NUMBER the engine windows on.
     val members = sig.filter(bs0 === top(0).get(0))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val m = spark.sparkContext.broadcast(members)
+    val rank0 = members.toArray.sorted.zipWithIndex.toMap
+    val m = spark.sparkContext.broadcast(rank0)
     val got = TextOps.minhashPairs(spark, dir)
-      .filter(r => m.value.contains(r.getLong(0)) && m.value.contains(r.getLong(1)))
+      .filter { r =>
+        val a = m.value.get(r.getLong(0)); val b = m.value.get(r.getLong(1))
+        a.isDefined && b.isDefined && math.abs(a.get - b.get) <= cap
+      }
       .count()
     val n = members.size
     val expect = (1 to n).map(i => math.min(cap.toLong, (n - i).toLong)).sum

@@ -214,6 +214,34 @@ class AdversarialBoundarySpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(10L)) // zero vector and label -1 STAY
   }
 
+  test("a uniform non-declared-width corpus raises the DESIGNED dimension-gate error") {
+    // round-14 ADVICE (medium): before the probe, a 32-d corpus under
+    // the default graft.vector.dim=64 was silently EMPTIED by the size
+    // clause — every vector query returned zero rows with no hint that
+    // one conf knob was the cause. Now the emptied-by-dimension case
+    // raises a designed error naming the knob; declaring the width
+    // makes the same dir work unchanged.
+    import spark.implicits._
+    val d = graft.engine.TempDirs.scratch("graft_dimgate")
+    (1L to 20L).map { i =>
+      (i, (0 until 32).map(j => ((i + j) % 5).toFloat / 10f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Tables.points(spark, d).collect()
+    }
+    assert(e.getMessage.contains("graft.vector.dim"),
+      s"error must name the knob: ${e.getMessage}")
+    withConf("graft.vector.dim", "32") {
+      assert(graft.engine.Tables.points(spark, d).count() == 20)
+    }
+    // a MIXED corpus (some rows at the declared width) stays a silent
+    // boundary, not an error — ragged rows legitimately exit the universe
+    assert(graft.engine.Tables.points(spark, dir).count() == 117)
+  }
+
   test("a RAGGED corpus neither crashes the MLlib fits nor the pairwise kernels") {
     // before the dimension gate, kmeans_train died with MLlib's
     // "Dimensions mismatch when adding new sample" and knn_per_vector

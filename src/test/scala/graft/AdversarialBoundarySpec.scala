@@ -74,10 +74,13 @@ class AdversarialBoundarySpec extends SparkSpec {
   test("stream_stateful drops NULL-keyed/NULL-valued events but keeps every other user") {
     val out = SparkEntry.queries("stream_stateful")(spark, dir).collect()
     assert(out.nonEmpty && out.forall(!_.isNullAt(0)))
-    // fixture: user ids are (i % 30) + 1 with every 19th event NULL —
-    // all 30 users still have at least one non-null event, so the
-    // boundary must not swallow whole users
-    assert(out.length == 30, s"expected 30 users, got ${out.length}")
+    // fixture: user ids are (i % 30) + 1 with every 19th event NULL,
+    // plus the round-15 referential-orphan user 999 (present in events,
+    // absent from customer — stateful streaming doesn't join customer,
+    // so the orphan is a full citizen here) — all 31 users still have
+    // at least one non-null event, so the boundary must not swallow
+    // whole users
+    assert(out.length == 31, s"expected 31 users, got ${out.length}")
   }
 
   private lazy val emptyDir: String = {
@@ -240,6 +243,49 @@ class AdversarialBoundarySpec extends SparkSpec {
     // a MIXED corpus (some rows at the declared width) stays a silent
     // boundary, not an error — ragged rows legitimately exit the universe
     assert(graft.engine.Tables.points(spark, dir).count() == 117)
+  }
+
+  test("duplicate primary keys raise the DESIGNED contract error; skip-conf opens the escape") {
+    // round 15: two rows sharing doc_id/vec_id make every keeper
+    // window, id-equi-join and per-id aggregation UNDEFINED (probing
+    // them through the parity gate produced 31 silent cross-engine
+    // divergences) — the table loaders reject the corpus loudly at
+    // first read instead (Tables.requirePk; memoized once per
+    // session+fingerprint, so the scan is amortized, and
+    // epoch-independent so bench cold epochs don't re-bill it).
+    import spark.implicits._
+    val d = graft.engine.TempDirs.scratch("graft_pkspec")
+    Seq((1L, "one body", "en", "s0", 8L), (1L, "other body", "fr", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    Seq((7L, (0 until 64).map(_.toFloat), 0), (7L, (0 until 64).map(j => (j + 1).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val ed = intercept[IllegalArgumentException] {
+      graft.engine.Tables.documents(spark, d).collect()
+    }
+    assert(ed.getMessage.contains("primary-key contract") && ed.getMessage.contains("doc_id"),
+      s"documents must name the contract and key: ${ed.getMessage}")
+    val ev = intercept[IllegalArgumentException] {
+      graft.engine.Tables.embeddings(spark, d).collect()
+    }
+    assert(ev.getMessage.contains("vec_id"), ev.getMessage)
+    withConf("graft.pk.check", "skip") {
+      assert(graft.engine.Tables.documents(spark, d).count() == 2)
+      assert(graft.engine.Tables.embeddings(spark, d).count() == 2)
+    }
+    // a NULL id is the same contract (nondeterministic keeper, no join
+    // identity): pin the NULL arm of the error message
+    val d2 = graft.engine.TempDirs.scratch("graft_pkspec_null")
+    Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val en = intercept[IllegalArgumentException] {
+      graft.engine.Tables.documents(spark, d2).collect()
+    }
+    assert(en.getMessage.contains("NULL ids"), en.getMessage)
   }
 
   test("a RAGGED corpus neither crashes the MLlib fits nor the pairwise kernels") {

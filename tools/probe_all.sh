@@ -6,7 +6,9 @@
 # tools/oracle_probe.py) and exits NONZERO on any query crash or any
 # oracle-parity failure. This is the mechanism that found 34 real
 # boundary bugs in round 13 — one command, so no future session can
-# skip it.
+# skip it. The `dupids` profile (round 15) is CONTRACT-gated instead:
+# a duplicate-primary-key corpus must trip Tables.requirePk's designed
+# error (tools/PkGuard), not produce query output.
 #
 # Usage:
 #   tools/probe_all.sh                 # all profiles (run `sbt compile` first)
@@ -72,6 +74,7 @@ profile_args() {
     cap1)      echo "cap=1" ;;
     constant)  echo "constant" ;;
     hotbucket) echo "hotbucket" ;;
+    dupids)    echo "dupids" ;;
     *) return 1 ;;
   esac
 }
@@ -90,7 +93,7 @@ profile_conf() {
 
 PROFILES=("$@")
 if [ ${#PROFILES[@]} -eq 0 ]; then
-  PROFILES=(seed0 seed1 empty cap1 constant hotbucket)
+  PROFILES=(seed0 seed1 empty cap1 constant hotbucket dupids)
 fi
 
 WORK=$(mktemp -d /tmp/graft_probe_gate.XXXXXX)
@@ -114,6 +117,24 @@ for prof in "${PROFILES[@]}"; do
     echo "   FIXTURE CRASH (see $WORK/$prof/fixture.log)"
     tail -5 "$WORK/$prof/fixture.log" | sed 's/^/   | /'
     overall=1; summary+=("$prof: FIXTURE CRASH"); continue
+  fi
+
+  # dupids: a PK-violating corpus is CONTRACT-gated, not parity-gated —
+  # oracle parity is undefined under duplicate ids (31 silent
+  # divergences when probed), so the profile's whole gate is PkGuard:
+  # the designed uniqueness error must fire for both tables and the
+  # graft.pk.check=skip escape must open.
+  if [ "$prof" = "dupids" ]; then
+    if java $JVM_OPTS -cp "$CP" graft.tools.PkGuard "$fix" \
+         > "$WORK/$prof/pkguard.out" 2>&1; then
+      grep '^\[pk-guard\]' "$WORK/$prof/pkguard.out" | sed 's/^/   /'
+      summary+=("$prof: OK (PK contract enforced on data)")
+    else
+      echo "   PK GUARD FAILED:"
+      tail -8 "$WORK/$prof/pkguard.out" | sed 's/^/   | /'
+      overall=1; summary+=("$prof: PK contract NOT enforced")
+    fi
+    continue
   fi
 
   conf=$(profile_conf "$prof")

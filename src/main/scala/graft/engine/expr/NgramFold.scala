@@ -389,6 +389,78 @@ object NgramFold {
     new GenericInternalRow(Array[Any](n, counts.size.toLong, top))
   }
 
+  /** MOSS winnowing sufficient statistics, whole-document map-side:
+    * per-position n-gram folds (== foldSeq) reduced mod P, MIN over
+    * each width-4 sliding window (full windows only: positions
+    * 0..m-4), then (count, min, max) over the DISTINCT selected mins.
+    * Equals the posexplode → doc_id-window(count, sliding min) →
+    * filter(full) → distinct → groupBy(count, min, max) composition
+    * EXACTLY — every position of a doc lives in its own row, so the
+    * doc_id exchange, both window sorts, the distinct shuffle and the
+    * final agg shuffle all disappear. Returns null when the doc has
+    * no full window (m < 4), matching the groupBy form emitting no
+    * row for docs the full-window filter empties. */
+  def winnowStats(words: ArrayData, n: Int, width: Int): GenericInternalRow = {
+    val P = 1000003L
+    val folds = allFolds(words, n, width)
+    val m = folds.length
+    if (m < 4) return null
+    var i = 0
+    while (i < m) { folds(i) = folds(i) % P; i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var minFp = Long.MaxValue
+    var maxFp = Long.MinValue
+    i = 0
+    while (i <= m - 4) {
+      var wmin = folds(i)
+      var j = i + 1
+      while (j < i + 4) {
+        if (folds(j) < wmin) wmin = folds(j)
+        j += 1
+      }
+      seen.add(wmin)
+      if (wmin < minFp) minFp = wmin
+      if (wmin > maxFp) maxFp = wmin
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](seen.size.toLong, minFp, maxFp))
+  }
+
+  /** All unordered distinct-token pairs of a document as (t1, t2)
+    * structs with t1 < t2 byte-wise — equals the doc-local self-join
+    * `tok.as("a").join(tok.as("b"), a.doc_id === b.doc_id && a.token <
+    * b.token)` over the exploded distinct-token rows EXACTLY (a doc's
+    * tokens live in its own row, so the pair surface never needs the
+    * doc_id exchange the join paid on both sides): TreeSet ordering is
+    * UTF8String.compareTo, the same binary comparison Spark's `<` on
+    * strings evaluates. Per-doc quadratic in its ~dozens of distinct
+    * tokens, never corpus-quadratic — the same bound the join had. */
+  def tokenPairs(words: ArrayData): ArrayData = {
+    val sz = words.numElements()
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < sz) {
+      if (!words.isNullAt(i)) set.add(words.getUTF8String(i))
+      i += 1
+    }
+    val m = set.size
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = set.toArray(new Array[UTF8String](m))
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m - 1) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = new GenericInternalRow(Array[Any](toks(i), toks(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-code-point frequency histogram of a string, first-occurrence
     * order: (ch, c) pairs — equals
     * `transform(sequence(1, length(s)), i -> substring(s, i, 1))` →
@@ -633,6 +705,58 @@ case class CharFreq(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.engine.expr.NgramFold.charFreq($s);")
   override protected def withNewChildInternal(newChild: Expression): CharFreq =
+    copy(child = newChild)
+}
+
+/** `winnow_stats(words, n, width)` — see [[NgramFold.winnowStats]]. */
+case class WinnowStats(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_stats expects (array<string>, int, int), got " +
+          s"(${a.simpleString(3)}, ${b.simpleString(3)}, ${c.simpleString(3)})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_fp", LongType, nullable = false),
+    StructField("min_fp", LongType, nullable = false),
+    StructField("max_fp", LongType, nullable = false)))
+  override def nullable: Boolean = true // docs with no full window
+  override def prettyName: String = "winnow_stats"
+  override def nullSafeEval(w: Any, n: Any, width: Any): Any =
+    NgramFold.winnowStats(w.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int], width.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, n, width) => {
+      val row = ctx.freshName("wst")
+      s"""org.apache.spark.sql.catalyst.expressions.GenericInternalRow $row =
+         |  graft.engine.expr.NgramFold.winnowStats($w, $n, $width);
+         |if ($row == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $row; }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowStats = copy(f, s, t)
+}
+
+/** `token_pairs(words)` — see [[NgramFold.tokenPairs]]. */
+case class TokenPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_pairs expects array<string>, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t1", StringType, nullable = false),
+    StructField("t2", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_pairs"
+  override def nullSafeEval(w: Any): Any =
+    NgramFold.tokenPairs(w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.engine.expr.NgramFold.tokenPairs($w);")
+  override protected def withNewChildInternal(newChild: Expression): TokenPairs =
     copy(child = newChild)
 }
 

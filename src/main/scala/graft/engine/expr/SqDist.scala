@@ -196,6 +196,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WordStats].getCanonicalName, "word_stats"),
     (children: Seq[Expression]) => WordStats(children.head))
 
+  val winnowStatsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_stats"),
+    new ExpressionInfo(classOf[WinnowStats].getCanonicalName, "winnow_stats"),
+    (children: Seq[Expression]) => WinnowStats(children.head, children(1), children(2)))
+
+  val tokenPairsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_pairs"),
+    new ExpressionInfo(classOf[TokenPairs].getCanonicalName, "token_pairs"),
+    (children: Seq[Expression]) => TokenPairs(children.head))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
       ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor,
@@ -203,7 +213,8 @@ object GraftFunctions {
       ngramStringsDescriptor, wordBigramsDescriptor, charPairFreqDescriptor,
       absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor,
       vecHasNullElemDescriptor, vecHasNonFiniteElemDescriptor,
-      minhash8Descriptor, simhash16Descriptor, wordStatsDescriptor)
+      minhash8Descriptor, simhash16Descriptor, wordStatsDescriptor,
+      winnowStatsDescriptor, tokenPairsDescriptor)
 
   def register(s: SparkSession): Unit = {
     descriptors.foreach {

@@ -884,18 +884,25 @@ object TextOps {
 
     // Token co-occurrence PMI over document-level presence (p(t) =
     // df/N): the collocation screen (phrase mining / tokenizer-merge
-    // candidates). Pairs come from a doc-local self-join of the
-    // distinct token set (per-doc quadratic in its ~dozens of tokens,
-    // never corpus-quadratic), with a min-support filter (co-df ≥ 5)
+    // candidates). Pairs come map-side from each doc's distinct token
+    // set (per-doc quadratic in its ~dozens of tokens, never
+    // corpus-quadratic), with a min-support filter (co-df ≥ 5)
     // so the output — and at 100 TB the pair aggregation — stays
     // bounded. PMI's ln is one transcendental under ROUND(·,6).
     "cooccurrence_pmi" -> ((s, d) => {
-      val tok = distinctTokens(s, d)
+      graft.engine.expr.GraftFunctions.register(s)
       val n = docs(s, d).agg(count(lit(1)).as("n"))
-      val df_ = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      val co = tok.as("a").join(tok.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
-        .select(col("a.token").as("t1"), col("b.token").as("t2"))
+      val df_ = distinctTokens(s, d).groupBy("token").agg(count(lit(1)).as("df"))
+      // pair surface is MAP-SIDE (codegen'd `token_pairs` kernel): a
+      // doc's distinct tokens live in its own row, so the per-doc
+      // sorted-pair fabrication needs neither side of the former
+      // doc-local self-join (two doc_id exchanges of the exploded
+      // token rows + the join) — only the (t1, t2) partial-agg
+      // shuffle remains, and partial aggregation collapses repeats
+      // before the exchange. Per-doc quadratic bound unchanged.
+      val co = docsF(s, d)
+        .select(explode(expr("token_pairs(split(text, ' '))")).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
         .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
       co.join(broadcast(df_.select(col("token").as("t1"), col("df").as("df1"))), "t1")
@@ -909,32 +916,27 @@ object TextOps {
     // MOSS winnowing fingerprints: per-position trigram hashes, MIN
     // over each w=4 sliding window (full windows only), distinct
     // selected hashes per doc — the positional fingerprint family
-    // robust to local edits. One doc-partitioned window pass (the
-    // plagiarism-detection twin of doc_fingerprint's rolling hash).
-    // Per-position hashes come from the codegen'd `ngram_fold_seq`
-    // kernel (expr/NgramFold.scala — pinned bit-for-bit against the
-    // former interpreted transform(concat_ws)→fold_hex chain in
-    // NgramFoldSpec): one generated pass fabricates and folds every
-    // trigram map-side, and posexplode ships only (pos, hash) — the
-    // trigram STRINGS never materialize at all.
+    // robust to local edits (the plagiarism-detection twin of
+    // doc_fingerprint's rolling hash).
     "winnow_fingerprint" -> ((s, d) => {
+      // The whole winnow selection is WHOLE-DOCUMENT: every trigram
+      // position of a doc lives in its own row, so the per-doc
+      // (count, min, max) over the distinct window mins is one
+      // generated pass in the `winnow_stats` kernel — the former
+      // posexplode → doc_id-window(count, sliding min) → distinct →
+      // groupBy chain paid a doc_id exchange, two window sorts, a
+      // distinct shuffle and an agg shuffle for rows the kernel never
+      // materializes (NgramFoldSpec pins the swap bit-for-bit; docs
+      // with no full window return null = the rows the full-window
+      // filter used to empty out of the groupBy).
       graft.engine.expr.GraftFunctions.register(s)
       val w = foldWidth(s)
-      val hashed = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("wd"))
+      docs(s, d)
         .select(col("doc_id"),
-          posexplode(expr(s"ngram_fold_seq(wd, 3, $w)")).as(Seq("pos", "__f")))
-        .withColumn("h", col("__f") % P).drop("__f")
-      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-      val nW = Window.partitionBy("doc_id")
-      hashed
-        .withColumn("ntri", count(lit(1)).over(nW))
-        .withColumn("wmin", min("h").over(win))
-        .filter(col("pos") <= col("ntri") - 4)
-        .select(col("doc_id"), col("wmin")).distinct()
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"), min("wmin").as("min_fp"),
-          max("wmin").as("max_fp"))
+          expr(s"winnow_stats(split(text, ' '), 3, $w)").as("st"))
+        .filter(col("st").isNotNull)
+        .select(col("doc_id"), col("st.n_fp").as("n_fp"),
+          col("st.min_fp").as("min_fp"), col("st.max_fp").as("max_fp"))
         .orderBy("doc_id")
     }),
 

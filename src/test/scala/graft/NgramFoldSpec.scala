@@ -234,6 +234,61 @@ class NgramFoldSpec extends SparkSpec {
     assert(got == want, s"word_stats diverged:\n$got\n$want")
   }
 
+  test("winnow_stats == posexplode→doc_id-window(sliding min)→distinct→groupBy") {
+    // the exact composition winnow_fingerprint replaced: per-position
+    // folds mod P, min over each full 4-window, (count, min, max) over
+    // the distinct mins; docs with no full window (m < 4) yield null
+    // in the kernel = no row in the groupBy form
+    import org.apache.spark.sql.expressions.Window
+    for (width <- Seq(8, 12)) {
+      val hashed = df
+        .select(col("doc_id"),
+          posexplode(expr(s"ngram_fold_seq(w, 3, $width)")).as(Seq("pos", "__f")))
+        .withColumn("h", col("__f") % 1000003L).drop("__f")
+      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      val nW = Window.partitionBy("doc_id")
+      val want = hashed
+        .withColumn("ntri", count(lit(1)).over(nW))
+        .withColumn("wmin", min("h").over(win))
+        .filter(col("pos") <= col("ntri") - 4)
+        .select(col("doc_id"), col("wmin")).distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("wmin").as("min_fp"), max("wmin").as("max_fp"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val got = df.select(col("doc_id"), expr(s"winnow_stats(w, 3, $width)").as("st"))
+        .filter(col("st").isNotNull)
+        .select(col("doc_id"), col("st.n_fp"), col("st.min_fp"), col("st.max_fp"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == want, s"width=$width diverged:\ngot  $got\nwant $want")
+    }
+    // null input stays null
+    val nul = Seq((0L, null.asInstanceOf[Seq[String]])).toDF("doc_id", "w")
+      .select(expr("winnow_stats(w, 3, 8)")).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
+  test("token_pairs == doc-local distinct-token self-join with t1 < t2") {
+    // the exact pair surface cooccurrence_pmi replaced: every
+    // unordered distinct-token pair exactly once, t1 < t2 under
+    // Spark's binary string comparison (multi-byte rows exercise the
+    // byte-wise ordering)
+    val tok = df.select(col("doc_id"), explode(array_distinct(col("w"))).as("token"))
+    val want = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .select(col("a.doc_id"), col("a.token").as("t1"), col("b.token").as("t2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val got = df.select(col("doc_id"), explode(expr("token_pairs(w)")).as("p"))
+      .select(col("doc_id"), col("p.t1"), col("p.t2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(got == want, s"token_pairs diverged:\ngot  $got\nwant $want")
+    // null input stays null
+    val nul = Seq((0L, null.asInstanceOf[Seq[String]])).toDF("doc_id", "w")
+      .select(expr("token_pairs(w)")).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("size < n returns an empty array, not null, and null input stays null") {
     val out = Seq((0L, Seq("a", "b")), (1L, null.asInstanceOf[Seq[String]]))
       .toDF("doc_id", "w")

@@ -257,13 +257,12 @@ class ScaleShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(bplan.contains("TakeOrderedAndProject"),
       s"bm25 top-k must be TakeOrdered, not a global sort:\n$bplan")
-    // winnowing windows must partition by doc_id (no global window)
+    // winnowing is whole-document map-side (winnow_stats kernel): no
+    // window operator — and so no doc_id exchange — may reappear
     val wplan = graft.SparkEntry.queries("winnow_fingerprint")(spark, sf0001)
       .queryExecution.optimizedPlan.toString
-    val allW = "windowspecdefinition\\(".r.findAllIn(wplan).size
-    val byDoc = "windowspecdefinition\\(doc_id".r.findAllIn(wplan).size
-    assert(allW > 0 && allW == byDoc,
-      s"winnow windows must be doc_id-partitioned ($byDoc of $allW):\n$wplan")
+    assert(!wplan.contains("windowspecdefinition"),
+      s"winnow must stay whole-document map-side (no window):\n$wplan")
   }
 
   test("round-5b ops: equi-join shapes only; top-k is TakeOrdered; windows partitioned") {
@@ -549,7 +548,8 @@ class ScaleShapeSpec extends SparkSpec {
       s"trigram-id build must use the native kernel:\n$triPlan")
     assert(!triPlan.toLowerCase.contains("lambdafunction"),
       s"interpreted HOF lambda back in the trigram-id build:\n$triPlan")
-    for ((k, kernel) <- Seq("winnow_fingerprint" -> "ngram_fold_seq",
+    for ((k, kernel) <- Seq("winnow_fingerprint" -> "winnow_stats",
+                            "cooccurrence_pmi" -> "token_pairs",
                             "exact_substring_dedup" -> "ngram_md5_set",
                             "bpe_merge_candidates" -> "char_pair_freq",
                             "char_entropy" -> "char_freq",

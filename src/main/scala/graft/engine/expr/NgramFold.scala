@@ -389,6 +389,37 @@ object NgramFold {
     new GenericInternalRow(Array[Any](n, counts.size.toLong, top))
   }
 
+  /** Character-entropy sufficient statistics, whole-document map-side:
+    * (n_chars, Σ c·ln c) over the code-point histogram — equals the
+    * char_freq explode → per-doc (sum(c), sum(c·ln c)) composition
+    * with the explode and the doc_id agg exchange gone (a doc's
+    * characters live in its own row). Σ order is first-occurrence —
+    * a fixed order inside the ROUND(·,6) float-add tolerance the
+    * parallel sum already carried. Empty string returns null (the
+    * explode form emitted no row for it). */
+  def charEntropyStats(s: UTF8String): GenericInternalRow = {
+    val b = s.getBytes
+    if (b.length == 0) return null
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var bi = 0
+    while (bi < b.length) {
+      val nb = math.min(UTF8String.numBytesForFirstByte(b(bi)), b.length - bi)
+      val ch = UTF8String.fromBytes(b, bi, nb)
+      val prev = counts.get(ch)
+      counts.put(ch, if (prev == null) 1L else prev + 1L)
+      bi += nb
+    }
+    var n = 0L
+    var clc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      n += c
+      clc += c * math.log(c.toDouble)
+    }
+    new GenericInternalRow(Array[Any](n, clc))
+  }
+
   /** MOSS winnowing sufficient statistics, whole-document map-side:
     * per-position n-gram folds (== foldSeq) reduced mod P, MIN over
     * each width-4 sliding window (full windows only: positions
@@ -738,6 +769,32 @@ case class WinnowStats(first: Expression, second: Expression, third: Expression)
     })
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): WinnowStats = copy(f, s, t)
+}
+
+/** `char_entropy_stats(s)` — see [[NgramFold.charEntropyStats]]. */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_stats expects string, got ${t.simpleString(3)}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("clc", org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullable: Boolean = true // empty string
+  override def prettyName: String = "char_entropy_stats"
+  override def nullSafeEval(s: Any): Any =
+    NgramFold.charEntropyStats(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val row = ctx.freshName("ces")
+      s"""org.apache.spark.sql.catalyst.expressions.GenericInternalRow $row =
+         |  graft.engine.expr.NgramFold.charEntropyStats($s);
+         |if ($row == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $row; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
 }
 
 /** `token_pairs(words)` — see [[NgramFold.tokenPairs]]. */

@@ -206,6 +206,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[TokenPairs].getCanonicalName, "token_pairs"),
     (children: Seq[Expression]) => TokenPairs(children.head))
 
+  val charEntropyStatsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_entropy_stats"),
+    new ExpressionInfo(classOf[CharEntropyStats].getCanonicalName, "char_entropy_stats"),
+    (children: Seq[Expression]) => CharEntropyStats(children.head))
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(sqDistDescriptor, dotProdDescriptor, foldHexDescriptor,
       ngramFoldIdsDescriptor, ngramFoldSeqDescriptor, ngramMd5SetDescriptor,
@@ -214,7 +219,7 @@ object GraftFunctions {
       absMaxDescriptor, quantizeI8Descriptor, quantSseDescriptor,
       vecHasNullElemDescriptor, vecHasNonFiniteElemDescriptor,
       minhash8Descriptor, simhash16Descriptor, wordStatsDescriptor,
-      winnowStatsDescriptor, tokenPairsDescriptor)
+      winnowStatsDescriptor, tokenPairsDescriptor, charEntropyStatsDescriptor)
 
   def register(s: SparkSession): Unit = {
     descriptors.foreach {

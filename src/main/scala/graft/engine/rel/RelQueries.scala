@@ -698,18 +698,24 @@ object RelQueries {
         unix_timestamp(date_trunc("second", col("ts"))).as("es"), col("value")))),
 
     // #28e CDC compaction / latest-per-key: collapse an event log to
-    // each key's most recent record (row_number over a per-key window,
+    // each key's most recent record (latest = max over (es, event_id),
     // event_id tie-break at equal seconds) — the standard snapshot
-    // step before joining mutable dimensions at scale. One shuffle on
-    // the key; at 100 TB this is the same plan with more partitions.
+    // step before joining mutable dimensions at scale. Latest-per-key
+    // is an ARGMAX: max(struct(es, event_id, payload…)) inside a hash
+    // aggregate picks the identical row to the former row_number-over-
+    // (es DESC, event_id DESC) window (struct ordering is field-by-
+    // field; a NULL es ranks below every value = the window's DESC
+    // NULLS LAST; (es, event_id) is total per key), with no per-key
+    // sort and with partial aggregation collapsing each task's events
+    // to one row per key BEFORE the user_id exchange — at 100 TB the
+    // shuffle carries keys, not the event log.
     "q_cdc_latest" -> ((s, d) => {
-      val ev = events(s, d).select(col("event_id"), col("user_id"),
-        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
-        col("event_type"), col("value"))
-      val w = Window.partitionBy("user_id").orderBy(desc("es"), desc("event_id"))
-      ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("es").as("last_es"),
-          col("event_type").as("last_type"), round(col("value"), 4).as("last_value"))
+      events(s, d).select(col("user_id"),
+          struct(unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+            col("event_id"), col("event_type"), col("value")).as("r"))
+        .groupBy("user_id").agg(max("r").as("m"))
+        .select(col("user_id"), col("m.es").as("last_es"),
+          col("m.event_type").as("last_type"), round(col("m.value"), 4).as("last_value"))
         .orderBy("user_id")
     }),
 
@@ -776,19 +782,21 @@ object RelQueries {
     // survive unchanged, delta keys outside the base INSERT. The
     // declared result is the POST-MERGE snapshot with the per-row
     // action, i.e. the full lakehouse merge surface without a table
-    // format. Scale shape: one user-partitioned window for the delta,
+    // format. Scale shape: one partial-agged argmax for the delta,
     // one shuffle full-outer join on the merge key — no broadcast
     // needed (both sides are fact-sized at 100 TB), AQE handles skew.
     "q_merge_upsert" -> ((s, d) => {
       val base = customer(s, d).select(col("c_custkey").as("mk"),
         round(col("c_acctbal").cast("double"), 2).as("bal"))
-      val ev = events(s, d).select(col("event_id"), col("user_id"),
-        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
-        col("event_type"), col("value"))
-      val w = Window.partitionBy("user_id").orderBy(desc("es"), desc("event_id"))
-      val delta = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id").as("mk"), col("event_type"),
-          round(col("value"), 4).as("new_bal"))
+      // latest-per-key delta as the q_cdc_latest argmax hash agg (same
+      // (es DESC, event_id DESC) pick, no window sort, partial-agg
+      // collapse before the user_id exchange)
+      val delta = events(s, d).select(col("user_id"),
+          struct(unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+            col("event_id"), col("event_type"), col("value")).as("r"))
+        .groupBy("user_id").agg(max("r").as("m"))
+        .select(col("user_id").as("mk"), col("m.event_type").as("event_type"),
+          round(col("m.value"), 4).as("new_bal"))
       // presence marker, NOT the nullable measure: classifying
       // "inserted" off bal.isNull would call a base row with a NULL
       // balance "inserted" (inert on TPC-H's non-null acctbal; wrong

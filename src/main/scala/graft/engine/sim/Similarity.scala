@@ -466,9 +466,18 @@ object Similarity {
         col("d2s").cast("double") / (col("n") * col("n")).cast("double") / lit(1e12))
         .otherwise(raise_error(lit(
           "incremental_ann_upsert: ragged embedding dimensionality within a cell")))
-      val w = Window.partitionBy("vec_id").orderBy(dv.asc, col("cell"))
-      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("cell"), floor(dv * lit(1e6)).cast("long").as("d2_ppm"))
+      // nearest cell per batch vector as a map-side-combinable
+      // min(struct(dv, cell)) — identical pick to the former
+      // row_number-over-(dv ASC, cell) window (dv is finite and
+      // non-negative by the gates above; (dv, cell) is a total order
+      // within a vector), without the per-vector sort/window buffer,
+      // and with partial aggregation collapsing the (vec, cell) rows
+      // before the vec_id exchange
+      d2.select(col("vec_id"),
+          struct(dv.as("dv"), col("cell").as("cell")).as("sc"))
+        .groupBy("vec_id").agg(min("sc").as("m"))
+        .select(col("m.cell").as("cell"),
+          floor(col("m.dv") * lit(1e6)).cast("long").as("d2_ppm"))
         .groupBy("cell")
         .agg(count(lit(1)).as("n_new"), sum("d2_ppm").as("sum_d2_ppm"))
         .orderBy("cell")
@@ -571,14 +580,23 @@ object Similarity {
     * the §7.6 discipline every consumer and oracle shares. */
   private def scoreBest(v: DataFrame, cand: DataFrame): DataFrame = {
     graft.engine.expr.GraftFunctions.register(v.sparkSession)
-    val rankW = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
+    // argmax as a map-side-combinable max(struct) — bestAndCount's
+    // pattern: max picks the largest cos (struct ordering ranks a null
+    // cos below every value, exactly the former window's DESC NULLS
+    // LAST), ties fall to -id2 max = id2 min (the window's tie-break).
+    // vs row_number-over-(cos DESC, id2): no per-query sort, no
+    // whole-partition window buffer, and partial aggregation collapses
+    // the candidate pairs BEFORE the id1 exchange — at 100 TB the
+    // shuffle carries ~1 row per (task, query) instead of the full
+    // nprobe·√n candidate surface.
     cand
       .join(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), "id1")
       .join(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6)).as("cos"))
-      .withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
-      .select(col("id1"), col("id2").as("nn_id"), col("cos"))
+      .groupBy("id1")
+      .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
+      .select(col("id1"), (-col("m.nid")).as("nn_id"), col("m.cos").as("cos"))
   }
 
   private[graft] def annLshPlan(s: SparkSession, d: String): DataFrame = {
@@ -974,10 +992,12 @@ object Similarity {
           when(col("rn1") * col("rn2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("rn1") * col("rn2")), 6)).as("cos"))
         .localCheckpoint(true)
       def point(k: Int): DataFrame = {
-        val wk = Window.partitionBy("id1").orderBy(desc("cos"), col("id2"))
+        // argmax via the shared max(struct) pattern (see scoreBest):
+        // same (cos DESC NULLS LAST, id2 ASC) pick, no per-point sort
         val ans = rescored.filter(col("qr") <= k)
-          .withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
-          .select(col("id1"), col("id2").as("nn_id"))
+          .groupBy("id1")
+          .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
+          .select(col("id1"), (-col("m.nid")).as("nn_id"))
         truth.join(ans, Seq("id1"), "left")
           .agg(count(lit(1)).as("n_queries"),
             sum(when(col("nn_id") === col("true_nn"), 1L).otherwise(0L)).as("n_correct"))

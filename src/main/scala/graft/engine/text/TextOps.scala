@@ -412,6 +412,26 @@ object TextOps {
         .localCheckpoint(true)
     }
 
+  /** The rarest-first PPJoin prefix PLAN for `ngram_jaccard_dedup`
+    * (pre-checkpoint), package-private for ScaleShapeSpec's
+    * doc_id-partitioned-window pin — the declared query eagerly
+    * checkpoints it for the candidate self-join's two sides. The
+    * per-doc id count rides the explode map-side (|arr| IS the count
+    * the former count-over-doc window re-derived by buffering every
+    * doc's exploded rows — one whole Window pass gone). Prefix length
+    * for t = 0.5: |A| − ⌈|A|/2⌉ + 1 = ⌊|A|/2⌋ + 1, rarest-first under
+    * the (df, tid) total order. */
+  private[graft] def ngramPrefixPlan(s: SparkSession, d: String): DataFrame = {
+    val tri = docTrigramIdArrays(s, d).select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("tid"))
+    val dfreq = tri.groupBy("tid").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("df", "tid")
+    tri.join(dfreq, "tid")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= (col("n") / 2).cast("bigint") + 1)
+      .select("doc_id", "tid", "rn", "n")
+  }
+
   /** Per-doc SORTED distinct-token array (doc_id, arr), map-side from
     * the text column (array_distinct ∘ split — no explode, no shuffle),
     * memoized: the exact-Jaccard truth build and the candidate-quality
@@ -899,9 +919,12 @@ object TextOps {
       // doc-local self-join (two doc_id exchanges of the exploded
       // token rows + the join) — only the (t1, t2) partial-agg
       // shuffle remains, and partial aggregation collapses repeats
-      // before the exchange. Per-doc quadratic bound unchanged.
-      val co = docsF(s, d)
-        .select(explode(expr("token_pairs(split(text, ' '))")).as("p"))
+      // before the exchange. Per-doc quadratic bound unchanged. The
+      // kernel reads the MEMOIZED sorted distinct-token arrays (the
+      // exact-Jaccard substrate) so this query adds no documents scan
+      // of its own (ScanAuditSpec allowance: 1, the n scalar).
+      val co = docTokenArrays(s, d)
+        .select(explode(expr("token_pairs(arr)")).as("p"))
         .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
         .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
@@ -1034,17 +1057,14 @@ object TextOps {
       // folding makes the per-doc id SET the declared universe on
       // both sides.
       val docsArr = docTrigramIdArrays(s, d)
-      val tri = docsArr.select(col("doc_id"), explode(col("arr")).as("tid"))
-      val dfreq = tri.groupBy("tid").agg(count(lit(1)).as("df"))
-      val wOrd = Window.partitionBy("doc_id").orderBy("df", "tid")
-      val wDoc = Window.partitionBy("doc_id")
-      // prefix length for t = 0.5: |A| − ⌈|A|/2⌉ + 1 = ⌊|A|/2⌋ + 1,
-      // rarest-first under the (df, tid) total order
-      val prefix = tri.join(dfreq, "tid")
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wDoc))
-        .filter(col("rn") <= (col("n") / 2).cast("bigint") + 1)
-        .select("doc_id", "tid", "rn", "n")
+      // NOT checkpointed: exchange reuse shares the doc_id exchange
+      // between the self-join's two sides, so the duplicate work is
+      // only the sort + rank window (CPU over the prefix surface) —
+      // measured CHEAPER than an eager checkpoint's materialization
+      // barrier at sf0.1 (1.88 s vs 2.28 s interleaved solo), and at
+      // scale the checkpoint would hold the whole prefix surface in
+      // executor storage for the same join.
+      val prefix = ngramPrefixPlan(s, d)
       // PPJoin POSITION filter, applied inside the join condition:
       // both prefixes are ranked under the SAME global (df, tid)
       // order, so a pair matching at 1-based ranks (rn_a, rn_b) has
@@ -1137,17 +1157,25 @@ object TextOps {
     // language-ID heuristic: token → dominant lang (by corpus counts,
     // alphabetical tie-break), doc → majority token-lang vote.
     "lang_id" -> ((s, d) => {
+      // both "pick the best row per key" steps are ARGMAX patterns:
+      // min(struct(-count, tie-break…)) inside a hash aggregate picks
+      // the same row as the former row_number()-over-(count DESC,
+      // tie ASC) window filter (struct ordering is field-by-field),
+      // without the per-key sort or the whole-partition window buffer
+      // — and partial aggregation collapses rows before each exchange,
+      // which the rank window could never do.
       val tok = tokens(docs(s, d)).select("doc_id", "lang", "token")
-      val byTok = tok.groupBy("token", "lang").agg(count(lit(1)).as("c"))
-      val wTok = Window.partitionBy("token").orderBy(desc("c"), col("lang"))
-      val tlang = byTok.withColumn("rn", row_number().over(wTok)).filter(col("rn") === 1)
-        .select(col("token"), col("lang").as("tlang"))
+      val tlang = tok.groupBy("token", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("token")
+        .agg(min(struct((-col("c")).as("nc"), col("lang").as("tlang"))).as("m"))
+        .select(col("token"), col("m.tlang").as("tlang"))
       val votes = tok.join(broadcast(tlang), "token")
         .groupBy("doc_id", "lang", "tlang").agg(count(lit(1)).as("v"))
-      val wDoc = Window.partitionBy("doc_id").orderBy(desc("v"), col("tlang"))
-      votes.withColumn("rn", row_number().over(wDoc)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("tlang").as("pred"), col("lang"),
-          when(col("tlang") === col("lang"), 1).otherwise(0).as("hit"))
+      votes.groupBy("doc_id")
+        .agg(min(struct((-col("v")).as("nv"), col("tlang").as("tlang"),
+          col("lang").as("lang"))).as("m"))
+        .select(col("doc_id"), col("m.tlang").as("pred"), col("m.lang").as("lang"),
+          when(col("m.tlang") === col("m.lang"), 1).otherwise(0).as("hit"))
         .orderBy("doc_id")
     }),
 
@@ -1863,27 +1891,23 @@ object TextOps {
     // Per-document character-distribution Shannon entropy (nats),
     // H = ln n − (Σ c·ln c)/n — the gibberish/boilerplate screen
     // (natural text sits near ~3 nats over chars+space; repeated
-    // filler collapses toward 0). The per-doc histogram comes from
-    // the codegen'd `char_freq` kernel (expr/NgramFold.scala): the
-    // former per-position substring transform interpreted its lambda
-    // per CHARACTER — the hottest per-byte interpreted loop left
-    // after the trigram/shingle swaps — and exploded one row per
-    // character into the hash agg; the kernel counts code points in
-    // one generated pass and the explode shrinks to one row per
-    // DISTINCT char (alphabet-bounded), removing the (doc_id, ch)
-    // pre-aggregation entirely. Exact integer counts either way —
-    // only the ln() terms' float ADD ORDER differs, the same
+    // filler collapses toward 0). The WHOLE statistic is per-document
+    // (a doc's characters live in its own row), so the codegen'd
+    // `char_entropy_stats` kernel computes (n_chars, Σ c·ln c) in one
+    // generated pass — the former char_freq explode → per-doc hash agg
+    // paid a fan-out exchange plus the doc_id agg exchange for rows
+    // this kernel never materializes. Exact integer counts either way;
+    // only the ln() terms' float ADD ORDER differs (first-occurrence
+    // in the kernel vs partial-agg order before), the same
     // engine-vs-oracle tolerance the ROUND(·,6) already carries.
-    // Empty text emits an empty histogram and therefore NO row,
-    // matching the oracle's generate_series(1, 0) emitting nothing.
+    // Empty text returns a null struct and therefore NO row, matching
+    // the oracle's generate_series(1, 0) emitting nothing.
     "char_entropy" -> ((s, d) => {
       graft.engine.expr.GraftFunctions.register(s)
-      docsF(s, d).select(col("doc_id"), explode(expr("char_freq(text)")).as("cc"))
-        .groupBy("doc_id")
-        .agg(sum("cc.c").as("n_chars"),
-          sum(col("cc.c") * log(col("cc.c"))).as("clc"))
-        .select(col("doc_id"), col("n_chars"),
-          round(log(col("n_chars")) - col("clc") / col("n_chars"), 6).as("entropy"))
+      docs(s, d).select(col("doc_id"), expr("char_entropy_stats(text)").as("st"))
+        .filter(col("st").isNotNull)
+        .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+          round(log(col("st.n_chars")) - col("st.clc") / col("st.n_chars"), 6).as("entropy"))
         .orderBy("doc_id")
     }),
 

@@ -267,6 +267,27 @@ class NgramFoldSpec extends SparkSpec {
     assert(nul(0).isNullAt(0))
   }
 
+  test("char_entropy_stats == char_freq explode + per-doc (sum c, sum c·ln c)") {
+    // n_chars is exact-integer equal; the float Σ c·ln c differs only
+    // in add order, so entropy compares at the query's ROUND(·,6)
+    val got = df.select(col("doc_id"), expr("char_entropy_stats(text0)").as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.n_chars"),
+        round(log(col("st.n_chars")) - col("st.clc") / col("st.n_chars"), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = df.select(col("doc_id"), explode(expr("char_freq(text0)")).as("cc"))
+      .groupBy("doc_id")
+      .agg(sum("cc.c").as("n"), sum(col("cc.c") * log(col("cc.c"))).as("clc"))
+      .select(col("doc_id"), col("n"),
+        round(log(col("n")) - col("clc") / col("n"), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want, s"char_entropy_stats diverged:\ngot  $got\nwant $want")
+    // empty text yields null (the explode form emits no row); null stays null
+    val edge = Seq((0L, ""), (1L, null.asInstanceOf[String])).toDF("doc_id", "t")
+      .select(expr("char_entropy_stats(t)")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+  }
+
   test("token_pairs == doc-local distinct-token self-join with t1 < t2") {
     // the exact pair surface cooccurrence_pmi replaced: every
     // unordered distinct-token pair exactly once, t1 < t2 under

@@ -93,7 +93,9 @@ class ScaleShapeSpec extends SparkSpec {
       assert(!plan.contains("Window"), s"$k must not use any window:\n$plan")
     }
     // ngram's prefix filter DOES window — but partitioned by doc_id
-    val nplan = graft.SparkEntry.queries("ngram_jaccard_dedup")(spark, sf0001)
+    // (pin on the pre-checkpoint builder: the declared plan reads the
+    // eager checkpoint, same pattern as bigramStreamPlan)
+    val nplan = graft.engine.text.TextOps.ngramPrefixPlan(spark, sf0001)
       .queryExecution.optimizedPlan.toString
     assert(nplan.contains("windowspecdefinition(doc_id"),
       s"prefix ranking must partition by doc_id:\n$nplan")
@@ -346,8 +348,11 @@ class ScaleShapeSpec extends SparkSpec {
     // the as-of is the op most tempting to write as a per-pair range
     // join (quadratic per hot user) — this pins the union+window form:
     // no join of any kind in the plan, and every window spec is
-    // partitioned (an unpartitioned window = one task at 100 TB)
-    for (k <- Seq("q_asof_join", "q_sessionize", "q_cdc_latest")) {
+    // partitioned (an unpartitioned window = one task at 100 TB).
+    // q_cdc_latest graduated past the window form entirely: its
+    // latest-per-key is the max(struct) argmax hash agg — pinned
+    // window-FREE (and join-free, one hash exchange) below.
+    for (k <- Seq("q_asof_join", "q_sessionize")) {
       val plan = graft.SparkEntry.queries(k)(spark, sf0001)
         .queryExecution.optimizedPlan.toString
       val all = "windowspecdefinition\\(".r.findAllIn(plan).size
@@ -367,6 +372,18 @@ class ScaleShapeSpec extends SparkSpec {
       val hashEx = "Exchange hashpartitioning\\(".r.findAllIn(phys).size
       assert(hashEx == 1, s"$k: expected exactly 1 hash exchange, got $hashEx:\n$phys")
     }
+    // q_cdc_latest: the argmax hash-agg form — window-free, join-free,
+    // one user_id hash exchange (partial agg collapses the event log
+    // map-side before it)
+    val cdc = graft.SparkEntry.queries("q_cdc_latest")(spark, sf0001)
+    val cdcOpt = cdc.queryExecution.optimizedPlan.toString
+    assert(!cdcOpt.contains("windowspecdefinition"),
+      s"q_cdc_latest must stay window-free (argmax hash agg):\n$cdcOpt")
+    assert(!cdcOpt.contains("Join"), s"q_cdc_latest must be join-free:\n$cdcOpt")
+    cdc.collect()
+    val cdcPhys = cdc.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val cdcEx = "Exchange hashpartitioning\\(".r.findAllIn(cdcPhys).size
+    assert(cdcEx == 1, s"q_cdc_latest: expected exactly 1 hash exchange, got $cdcEx:\n$cdcPhys")
   }
 
   test("round-7 ops: substring dedup joins nothing (digest-grouped); fertility is one hash agg") {
@@ -552,7 +569,7 @@ class ScaleShapeSpec extends SparkSpec {
                             "cooccurrence_pmi" -> "token_pairs",
                             "exact_substring_dedup" -> "ngram_md5_set",
                             "bpe_merge_candidates" -> "char_pair_freq",
-                            "char_entropy" -> "char_freq",
+                            "char_entropy" -> "char_entropy_stats",
                             "rag_chunk" -> "chunk_fps",
                             "chunk_dedup" -> "chunk_fps",
                             "embedding_quantize" -> "quant_sse")) {

@@ -1,7 +1,6 @@
 package graft.engine.cluster
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.ArrayMath
 
@@ -87,11 +86,17 @@ object Centroids {
     * (§7.6 discipline): ranking on raw d2 would let cross-engine
     * summation-order ulp drift flip the winner between two
     * near-equidistant centroids. Returns (id, assigned, d2). */
-  def assignNearest(points: DataFrame, centroids: DataFrame, idCol: String = "vec_id"): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(round(col("d2"), 6), col("c_cluster"))
+  def assignNearest(points: DataFrame, centroids: DataFrame, idCol: String = "vec_id"): DataFrame =
+    // argmin as a map-side-combinable min(struct): the same
+    // (ROUND(d2,6), centroid id) pick as the former row_number window
+    // (struct ordering is field-by-field, nulls-first on both paths),
+    // but the k-way fan-out of the broadcast cross join is collapsed
+    // by PARTIAL aggregation inside the producing task — the exchange
+    // carries one row per point instead of one per (point, centroid),
+    // and the per-point sort disappears.
     pointCentroidDistances(points.select(col(idCol), col("features")), centroids)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("c_cluster").as("assigned"), col("d2"))
-  }
+      .groupBy(col(idCol))
+      .agg(min(struct(round(col("d2"), 6).as("rd"),
+        col("c_cluster").as("assigned"), col("d2").as("d2"))).as("m"))
+      .select(col(idCol), col("m.assigned").as("assigned"), col("m.d2").as("d2"))
 }

@@ -247,21 +247,26 @@ object Multimodal {
     * inherit that single partition. One tiny round-robin exchange
     * buys 32× codec parallelism; a production media table has many
     * files and needs none. */
-  private def payloads(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def payloads(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
       // null boundary (the null-text dedup discipline): a NULL text
       // has no media payload — cast("binary") yields NULL and the
       // typed Array[Byte] codec rows NPE/NOT_NULL-abort on it. Every
       // multimodal oracle gates on the same text IS NOT NULL.
       .filter(col("text").isNotNull)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(
+    // fan GUARDED on the scan's partition count (RelQueries.scala:91
+    // pattern): a production media table has many files and must not
+    // pay a full payload shuffle for parallelism it already has
+    val par = s.sparkContext.defaultParallelism
+    val fanned = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    fanned.select(
       col("doc_id").as("media_id"),
       element_at(lit(Array("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"),
       octet_length(col("text")).as("n_bytes"),
       col("lang").as("container"))
+  }
 
   /** The media table: (media_id, kind, bytes, meta struct). Every row
     * carries a genuine encoded stream — PNG (image), PCM WAV (audio),

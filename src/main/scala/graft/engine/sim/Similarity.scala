@@ -48,8 +48,14 @@ object Similarity {
     * matches the session's parallelism and this is a no-op-sized
     * shuffle either way. Applied ONLY on pair-generating stream sides,
     * never on the cheap single-pass stat queries. */
-  private def fan(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  // fan GUARDED on the input's partition count (RelQueries.scala:91
+  // pattern): only the one-file fixture scan needs the round-robin
+  // exchange — a production vector table with many files must not pay
+  // a full-corpus shuffle for parallelism it already has
+  private def fan(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   /** Corpus vector count (drives the LSH/IVF index granularity) —
     * counted over the CLEAN vector universe so the oracle's gated

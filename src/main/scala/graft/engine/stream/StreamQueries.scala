@@ -46,6 +46,19 @@ object StreamQueries {
     * start+awaitTermination is sufficient and the session value is
     * restored for everything downstream. At real scale the state
     * partition count follows the cluster's shuffle sizing. */
+  /** State-store instance count per stateful operator, conf-driven
+    * (`graft.stream.statePartitions`, default 4 — the measured local
+    * micro-batch sweet spot; see [[withStatePartitions]]). At cluster
+    * scale set it to the deployment's shuffle sizing — a CONSTANT here
+    * would be local tuning masquerading as a default. Results are
+    * independent of the value (state partitioning is orthogonal to
+    * the declared output; StreamSpec pins the semantics). */
+  private def statePartitions(s: SparkSession): Int = {
+    val n = s.conf.get("graft.stream.statePartitions", "4").toInt
+    require(n >= 1, s"graft.stream.statePartitions=$n must be >= 1")
+    n
+  }
+
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -148,7 +161,7 @@ object StreamQueries {
     Tables.requireUtcForEventTs(s) // eventTsExpr on a readStream below
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = freshSinkName("wm_dedup")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .withColumn("ts", Tables.eventTsExpr(schema))
@@ -187,7 +200,7 @@ object StreamQueries {
       // null-free here).
       .filter(col("user_id").isNotNull && col("value").isNotNull)
       .selectExpr("user_id", "value").as[(Long, Double)]
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = events.groupByKey(_._1)
         .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -231,7 +244,7 @@ object StreamQueries {
       .select(col("user_id").as("cu"), col("tss").as("cts"))
       .withWatermark("cts", "10 minutes")
     val name = freshSinkName("ssj")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = err.join(clk,
           col("eu") === col("cu")
             && col("cts") >= col("ets") - expr("INTERVAL 10 MINUTES")
@@ -288,7 +301,7 @@ object StreamQueries {
     import s.implicits._
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = freshSinkName("tws")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         // same null boundary as statefulPerUser (typed encoder)
@@ -319,7 +332,7 @@ object StreamQueries {
   private def streamContentDedup(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val name = freshSinkName("scd")
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         // null-text docs leave the dedup universe (same boundary
@@ -371,7 +384,7 @@ object StreamQueries {
 
   private def foreachBatchRun(s: SparkSession, d: String, out: String): Unit = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts", Tables.eventTsExpr(schema))
@@ -418,7 +431,7 @@ object StreamQueries {
     import java.sql.Timestamp
     def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
     val rows = (0 until 8).map(i => (i.toLong, t(i), i.toDouble))
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, statePartitions(s)) {
       // 1) watermarked window agg + within-watermark dedup (HDFS store)
       val m1 = MemoryStream[(Long, Timestamp, Double)](s)
       val q1 = m1.toDF().toDF("id", "ts", "v")

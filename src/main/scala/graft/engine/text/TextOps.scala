@@ -41,10 +41,17 @@ object TextOps {
     * fixture scan is a single input partition, and a stage that
     * fabricates millions of rows from it serializes on one core until
     * its first shuffle. Cheap single-pass queries keep the bare scan
-    * (an exchange would cost more than it saves there); a production
-    * corpus has many files/row groups and needs neither. */
-  private def docsF(s: SparkSession, d: String): DataFrame =
-    docs(s, d).repartition(s.sparkContext.defaultParallelism)
+    * (an exchange would cost more than it saves there). GUARDED on the
+    * scan's actual partition count (the RelQueries.scala:91 pattern):
+    * a production corpus has many files/row groups and must NOT pay a
+    * full-corpus round-robin shuffle for a fan it already has — the
+    * exchange only appears when the scan is narrower than the session
+    * parallelism (the one-file fixture case). */
+  private def docsF(s: SparkSession, d: String): DataFrame = {
+    val df = docs(s, d)
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   /** (doc_id, token) with multiplicity, plus lang/source. */
   private def tokens(df: DataFrame): DataFrame =

@@ -247,6 +247,8 @@ object Multimodal {
     * inherit that single partition. One tiny round-robin exchange
     * buys 32× codec parallelism; a production media table has many
     * files and needs none. */
+  private val fanWidthCache = new graft.engine.SessionCache[java.lang.Boolean]
+
   private def payloads(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       // null boundary (the null-text dedup discipline): a NULL text
@@ -256,9 +258,12 @@ object Multimodal {
       .filter(col("text").isNotNull)
     // fan GUARDED on the scan's partition count (RelQueries.scala:91
     // pattern): a production media table has many files and must not
-    // pay a full payload shuffle for parallelism it already has
+    // pay a full payload shuffle for parallelism it already has. The
+    // width probe is a fixed table property — memoized epoch-stable.
     val par = s.sparkContext.defaultParallelism
-    val fanned = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val narrow = fanWidthCache.getStable(s, s"$d|docsWidth")(
+      base.rdd.getNumPartitions < par)
+    val fanned = if (narrow) base.repartition(par) else base
     fanned.select(
       col("doc_id").as("media_id"),
       element_at(lit(Array("image", "audio", "video")),

@@ -51,10 +51,17 @@ object Similarity {
   // fan GUARDED on the input's partition count (RelQueries.scala:91
   // pattern): only the one-file fixture scan needs the round-robin
   // exchange — a production vector table with many files must not pay
-  // a full-corpus shuffle for parallelism it already has
-  private def fan(df: DataFrame): DataFrame = {
+  // a full-corpus shuffle for parallelism it already has. The width
+  // probe (df.rdd = planning + codegen) is a fixed table property,
+  // memoized epoch-STABLE per (session, sfDir) like the other
+  // contract checks — every fan input is a narrow projection of the
+  // same vec scan, so one probe decides for all of them.
+  private val fanWidthCache = new graft.engine.SessionCache[java.lang.Boolean]
+  private def fan(df: DataFrame, d: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val narrow = fanWidthCache.getStable(df.sparkSession, s"$d|vecWidth")(
+      df.rdd.getNumPartitions < par)
+    if (narrow) df.repartition(par) else df
   }
 
   /** Corpus vector count (drives the LSH/IVF index granularity) —
@@ -140,7 +147,7 @@ object Similarity {
       val q = v.filter(col("vec_id") % 13 === 0)
         .select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1"))
       broadcast(q)
-        .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2"))))
+        .crossJoin(fan(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")), d))
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),
           when(col("n1") * col("n2") > 0, round(ArrayMath.dotNative(col("f1"), col("f2")) / (col("n1") * col("n2")), 6)).as("cos"))
@@ -163,7 +170,7 @@ object Similarity {
     // fan the STREAMED side: the nested-loop pair generation and the
     // fused dot products run there, and a one-row-group scan would
     // pin all of it to a single core (see fan())
-    fan(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")))
+    fan(v.select(col("vec_id").as("id1"), col("f").as("f1"), col("nrm").as("n1")), d)
       .crossJoin(v.select(col("vec_id").as("id2"), col("f").as("f2"), col("nrm").as("n2")))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -549,7 +556,7 @@ object Similarity {
       val bits = lshBits(nVecs(s, d))
       def wt(i: Int, j: Int): Long =
         (((i * 73 + 19) * (j * 31 + 7) + i.toLong * j * j + i.toLong * i) % 13) - 6
-      fan(v.select("vec_id", "f")).as[(Long, Array[Double])]
+      fan(v.select("vec_id", "f"), d).as[(Long, Array[Double])]
         .mapPartitions { it =>
           it.flatMap { case (id, f) =>
             (0 until 5).map { t =>
@@ -738,7 +745,7 @@ object Similarity {
   private def cellRanked(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     graft.engine.expr.GraftFunctions.register(v.sparkSession)
-    val d2 = fan(v).join(broadcast(seedCells(v, nVecs(s, d))))
+    val d2 = fan(v, d).join(broadcast(seedCells(v, nVecs(s, d))))
       .withColumn("d2", round(ArrayMath.sqDistNative(col("f"), col("cf")), 6))
     val wCell = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
     d2.select(col("vec_id"), col("cell"), col("d2"), col("label"))
@@ -980,7 +987,7 @@ object Similarity {
         .select(col("vec_id").as("id1"), col("q").as("q1"), col("sc").as("s1"),
           col("nrm").as("n1"))
       val qc = fan(qv.select(col("vec_id").as("id2"), col("q").as("q2"),
-        col("sc").as("s2"), col("nrm").as("n2")))
+        col("sc").as("s2"), col("nrm").as("n2")), d)
       val coarse = broadcast(qq).crossJoin(qc)
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),

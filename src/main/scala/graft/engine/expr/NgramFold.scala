@@ -431,21 +431,36 @@ object NgramFold {
     * final agg shuffle all disappear. Returns null when the doc has
     * no full window (m < 4), matching the groupBy form emitting no
     * row for docs the full-window filter empties. */
-  def winnowStats(words: ArrayData, n: Int, width: Int): GenericInternalRow = {
-    val P = 1000003L
-    val folds = allFolds(words, n, width)
+  /** Hash modulus of the winnow path. MUST equal TextOps.P (the
+    * corpus-wide arithmetic-hash modulus) and the literal `% 1000003`
+    * in the winnow_fingerprint oracle SQL — the three sites are one
+    * contract; changing any one alone desyncs engine and oracle
+    * (ADVICE r15 #3). */
+  private[graft] val WinnowP = 1000003L
+
+  /** MOSS winnowing window span (positions per sliding min). Baked
+    * into the winnow_fingerprint oracle's w=4 window arithmetic and
+    * the m<4 null guard below — the same single-contract rule as
+    * WinnowP. */
+  private[graft] val WinnowSpan = 4
+
+  /** `foldWidth` is the fold-hex digit width of the per-n-gram hash
+    * (TextOps.foldWidth), NOT the winnow window span — that is
+    * [[WinnowSpan]]. */
+  def winnowStats(words: ArrayData, n: Int, foldWidth: Int): GenericInternalRow = {
+    val folds = allFolds(words, n, foldWidth)
     val m = folds.length
-    if (m < 4) return null
+    if (m < WinnowSpan) return null
     var i = 0
-    while (i < m) { folds(i) = folds(i) % P; i += 1 }
+    while (i < m) { folds(i) = folds(i) % WinnowP; i += 1 }
     val seen = new java.util.HashSet[java.lang.Long]()
     var minFp = Long.MaxValue
     var maxFp = Long.MinValue
     i = 0
-    while (i <= m - 4) {
+    while (i <= m - WinnowSpan) {
       var wmin = folds(i)
       var j = i + 1
-      while (j < i + 4) {
+      while (j < i + WinnowSpan) {
         if (folds(j) < wmin) wmin = folds(j)
         j += 1
       }

@@ -14,12 +14,25 @@ import graft.SparkEntry
   * (no keys = every declared query).
   */
 object ExplainDump {
+  /** Checkpoint-hidden BUILDER plans (VERDICT r15 what's-wrong #3):
+    * the declared ann_lsh_topk / ann_ivf_topk / ann_filtered_topk
+    * after-plans show only `Scan ExistingRDD` because their heavy
+    * subtree is a memoized localCheckpoint — these pseudo-queries dump
+    * the builder plan itself so shape claims about the cold build are
+    * committed evidence, not inference. Named with a `builder_` prefix
+    * so they can never collide with (or be mistaken for) a declared
+    * query; they are NOT part of the bench/oracle surface. */
+  private val builders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "builder_ann_lsh" -> ((s, d) => graft.engine.sim.Similarity.annLshPlan(s, d)),
+    "builder_ann_ivf" -> ((s, d) => graft.engine.sim.Similarity.annIvfPlan(s, d)),
+    "builder_cell_ranked" -> ((s, d) => graft.engine.sim.Similarity.cellRanked(s, d)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val suffix = args(2)
     val keys = if (args.length > 3) args.drop(3).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted ++ builders.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,10 +42,14 @@ object ExplainDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // a whole-surface plan audit with failing queries must not look
+    // green: track failures and exit nonzero (ADVICE r15 #4 — the old
+    // per-query catch printed FAILED but still exited 0)
+    var failed = List.empty[String]
     keys.foreach { k =>
       try {
         spark.sparkContext.setJobDescription(s"explain:$k")
-        val df = SparkEntry.queries(k)(spark, sfDir)
+        val df = builders.getOrElse(k, SparkEntry.queries(k))(spark, sfDir)
         // materialize THIS queryExecution so AQE finalizes (the
         // Explain tool's discipline); no rows land on the driver
         df.queryExecution.toRdd.count()
@@ -51,9 +68,14 @@ object ExplainDump {
         println(s"SHAPE $k exchanges=$ex smj=$smj bhj=$bhj shj=$shj bnlj=$bnl scans=$scans sorts=$sorts")
       } catch {
         case e: Throwable =>
+          failed ::= k
           println(s"SHAPE $k FAILED ${e.getMessage}")
       }
     }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[explain-dump] ${failed.size} failed: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -92,13 +92,23 @@ class ScaleShapeSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("Window"), s"$k must not use any window:\n$plan")
     }
-    // ngram's prefix filter DOES window — but partitioned by doc_id
-    // (pin on the pre-checkpoint builder: the declared plan reads the
-    // eager checkpoint, same pattern as bigramStreamPlan)
+    // ngram's prefix filter DOES window — but partitioned by doc_id.
+    // Pin BOTH faces (ADVICE r15 #1): the builder (direct shape
+    // evidence) AND the declared query — the prefix plan is NOT
+    // checkpointed by ngram_jaccard_dedup (deliberate, see the use
+    // site), so its window is visible in the shipped plan and a
+    // refactor that stopped routing the query through ngramPrefixPlan
+    // could not silently escape the pin.
     val nplan = graft.engine.text.TextOps.ngramPrefixPlan(spark, sf0001)
       .queryExecution.optimizedPlan.toString
     assert(nplan.contains("windowspecdefinition(doc_id"),
       s"prefix ranking must partition by doc_id:\n$nplan")
+    val declared = graft.SparkEntry.queries("ngram_jaccard_dedup")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(declared.contains("windowspecdefinition(doc_id"),
+      s"declared ngram_jaccard_dedup must carry the doc_id-partitioned prefix window:\n$declared")
+    assert(!declared.replace("windowspecdefinition(doc_id", "").contains("windowspecdefinition"),
+      s"declared ngram_jaccard_dedup must have no window on any other key:\n$declared")
   }
 
   test("ann_ivf_topk broadcasts ONLY the centroid dim (no vector-table broadcast or kernel)") {

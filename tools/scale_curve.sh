@@ -32,7 +32,11 @@ set -u
 cd "$(dirname "$0")/.."
 
 KS=(${SCALE_KS:-1 4 16 64})
-QUERIES="${SCALE_QUERIES:-exact_dedup,minhash_near_dedup,near_dedup_groups,simhash_dedup,dedup_jaccard_histogram,exact_substring_dedup,winnow_fingerprint,doc_fingerprint,ann_ivf_topk,ann_lsh_topk,semdedup_embedding,q_sessionize,event_funnel,retention_cohort}"
+# round-16: the round-15 kernel rewrites (cooccurrence_pmi,
+# char_entropy, q_cdc_latest, assign_nearest_centroid; winnow already
+# listed) joined the curve — their 100 TB story is "map-side kernel,
+# ~linear growth", and this is the harness that proves it with numbers
+QUERIES="${SCALE_QUERIES:-exact_dedup,minhash_near_dedup,near_dedup_groups,simhash_dedup,dedup_jaccard_histogram,exact_substring_dedup,winnow_fingerprint,doc_fingerprint,ann_ivf_topk,ann_lsh_topk,semdedup_embedding,q_sessionize,event_funnel,retention_cohort,cooccurrence_pmi,char_entropy,q_cdc_latest,assign_nearest_centroid}"
 SRC="${SCALE_SRC:-/root/testdata/sf0.1}"
 WORK="${SCALE_WORK:-/tmp/graft_scale}"
 BAR="${SCALE_BAR:-1.3}"

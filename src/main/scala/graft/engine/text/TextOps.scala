@@ -604,28 +604,35 @@ object TextOps {
     val truth = minhashTruthCached(s, d)
     val flags = sampFlags(s, d)
     val pairs = minhashPairs(s, d, rowsPerBand = rowsPerBand)
-    // sample membership by per-doc flag equi-join (see sampFlags —
-    // the per-pair HOF filter was ~40 s of the round-4 bench)
-    val cand = pairs
+    // ONE pass over the pair table for BOTH counts (round 16 — the
+    // old form scanned the millions of checkpointed pairs twice, once
+    // under the flag joins for n_cand and once under a truth semi-join
+    // for n_tp; two of the three jobs of a warm recall query):
+    //  * sample membership stays the per-doc flag equi-join (see
+    //    sampFlags — the per-pair HOF filter was ~40 s of the round-4
+    //    bench), counted conditionally instead of filtered;
+    //  * the truth semi-join becomes a LEFT join against the DISTINCT
+    //    truth pair set (distinct by construction — d1<d2 through a
+    //    distinct() and per-doc-unique attach joins), so count(t) ≡
+    //    the semi-join count, evaluated in the same scan. AQE
+    //    broadcasts the small checkpointed truth (~86k rows at sf0.1)
+    //    exactly as it did the semi build side; at a scale where the
+    //    truth outgrows the threshold the same plan degrades to a
+    //    shuffle join of the single pass — still one pass.
+    // n_cand counts pairs with a sampled side (f1 || f2); every truth
+    // pair has a sampled side by construction, so n_tp over the
+    // UNFILTERED pairs equals n_tp over the sampled candidates.
+    val counts = pairs
       .join(flags.select(col("doc_id").as("d1"), col("samp").as("f1")), "d1")
       .join(flags.select(col("doc_id").as("d2"), col("samp").as("f2")), "d2")
-      .filter(col("f1") || col("f2")).select("d1", "d2")
-    // every truth pair has a sampled side by construction, so
-    // truth ⋉ pairs ≡ truth ⋉ cand — intersect the UNFILTERED pair
-    // set and skip the flag joins on this path entirely. Keep the
-    // PAIR LIST on the probe (left) side: both sets are distinct, so
-    // |pairs ∩ truth| counts the same either way, and AQE then
-    // broadcasts the small checkpointed truth (~86k rows at sf0.1)
-    // instead of shuffling all 4.4M pairs on (d1, d2); at a scale
-    // where the sampled truth outgrows the broadcast threshold the
-    // same plan degrades to the shuffle join on its own
-    val tp = pairs.join(truth, Seq("d1", "d2"), "left_semi")
+      .join(truth.select(col("d1"), col("d2"), lit(1L).as("t")), Seq("d1", "d2"), "left")
+      .agg(count(when(col("f1") || col("f2"), 1)).as("n_cand"),
+        count(col("t")).as("n_tp"))
     // recall/precision NULL (not a crash) when a denominator is 0:
     // at a tiny SF or an unlucky sample n_truth/n_cand can be empty,
     // and Spark's ANSI division would raise where DuckDB yields NULL
     truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .crossJoin(counts)
       .select(lit(algo).as("algo"), col("n_truth"), col("n_cand"),
         col("n_tp"),
         round(when(col("n_truth") > 0, col("n_tp") / col("n_truth")), 6)
@@ -1159,13 +1166,22 @@ object TextOps {
 
     // #22 top-5 TF-IDF terms per source
     "tf_idf_top_terms" -> ((s, d) => {
-      // tf and document-frequency both read the token stream — one
-      // eager checkpoint halves the explode (the dn scalar reads the
-      // unexploded table, pruned to zero columns)
-      val tok = tokens(docs(s, d)).select("doc_id", "source", "token")
-        .localCheckpoint(true)
-      val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      // Document frequency reads the MEMOIZED distinct (doc_id, token)
+      // checkpoint (the substrate the whole dedup family shares): the
+      // per-doc-distinct pairs are globally distinct under the
+      // primary-key contract (Tables.requirePk — duplicate doc_ids
+      // fail the LOAD, they never reach a query), so COUNT(*) here IS
+      // COUNT(DISTINCT doc_id) — the exact argument minhashTruthPairs
+      // already ships for its df. That replaces the countDistinct
+      // expand (partial-distinct exchange + final exchange, with the
+      // full multiplicity-bearing token stream into the first) with
+      // ONE map-side-combinable count (guide §2.3 "aggregate before
+      // you shuffle"; VERDICT r15 next-round #5). tf is then the token
+      // stream's SOLE consumer, so the query-local eager checkpoint
+      // (a full materialization barrier) is gone too — tf aggregates
+      // straight off the explode with map-side partials.
+      val tf = tokens(docs(s, d)).groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = distinctTokens(s, d).groupBy("token").agg(count(lit(1)).as("df"))
       val dn = docs(s, d).agg(count(lit(1)).as("dn"))
       val w = Window.partitionBy("source").orderBy(desc("score"), col("token"))
       tf.join(broadcast(dfreq), "token").crossJoin(broadcast(dn))

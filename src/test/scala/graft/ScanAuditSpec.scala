@@ -54,6 +54,11 @@ class ScanAuditSpec extends SparkSpec {
     "q_cogroup_reconcile" -> 2, // orders + events
     "retention_cohort" -> 2,   // events cohort side + activity side
     "corpus_mix" -> 2, "domain_token_cap" -> 2, "lang_id" -> 2,
+    "tf_idf_top_terms" -> 2,   // tf explode pass + the dn scalar count
+                               // (round 16: the query-local token
+                               // checkpoint is gone — tf aggregates
+                               // straight off the explode, df reads
+                               // the shared distinct-tokens memo)
     "vocab_coverage" -> 2,     // vocab build + coverage pass (declared)
     "external_validity_chi2" -> 2,
     "zorder_layout_audit" -> 2, // linear + zorder layout branches

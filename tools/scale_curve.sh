@@ -48,7 +48,11 @@ if [ ! -f "$CLASSES/graft/Bench.class" ]; then
 fi
 CP="$CLASSES:/opt/spark/jars/*"
 export LC_ALL=C.utf8
-JVM_OPTS="-Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 \
+# explicit heap: without -Xmx the curve JVM runs at the JVM default and
+# the bench warmup's pair-memo pre-touch OOMs (and kills the
+# SparkContext) on the x64 corpus — 48g default because the curve runs
+# up-to-64x corpora in one local JVM (the sf0.1 bench uses 24g)
+JVM_OPTS="-Xmx${SPARK_DRIVER_MEM:-48g} -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
